@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin wrapper over ``ethical_data_ingestion_spark.registry``: every operator
+module registers its (Spark query, DuckDB-oracle SQL) pair there; this file
+just exposes the three driver hooks.
+
+Hash-comparability rules observed by every registered pair (SURVEY §7.5):
+identical column aliases on both sides; money sums accumulated in DECIMAL
+then cast to double (order-insensitive across partitions); AVGs rounded to
+4 decimals on both engines; every LIMIT backed by a total order with a
+unique tie-break so the returned *set* is deterministic.
 """
 
 from __future__ import annotations
@@ -13,26 +17,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ethical_data_ingestion_spark import registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY §7.2) on /root/testdata/sf0.001: the
+    reference's canonical GROUP BY + COUNT/AVG + ORDER BY analytics shape
+    (``ethical_crawler.py:1039-1050``) generalized to lineitem."""
+    return registry.QUERIES["flagship_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY §2 (+ extensions)."""
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL mirror for each SQL-expressible query."""
+    return dict(registry.ORACLE_SQL)

@@ -1,0 +1,61 @@
+"""Fixture-table loaders.
+
+The reference reaches its data through one embedded DuckDB file
+(``ethical_crawler.py:777``); our at-rest layer is parquet on a distributed
+filesystem. Loaders here are plain ``spark.read.parquet`` — declarative scans
+so Catalyst gets predicate pushdown, column pruning, and partition pruning
+for free. Never collect here; callers compose DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .schemas import FIXTURE_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (``{sf_dir}/{name}.parquet``).
+
+    No ``.schema(...)`` override: parquet carries its own schema and an
+    explicit mismatch would silently null columns out. ``schemas.py``
+    documents the expected shapes; tests assert them.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
+    only as epoch-nanos long (``spark.sql.legacy.parquet.nanosAsLong`` —
+    set here at runtime so this works under ANY caller-built session, e.g.
+    the driver's own). Convert to TIMESTAMP_NTZ microseconds: integer-div
+    floors like DuckDB's nanos→micros truncation, and NTZ arithmetic is
+    timezone-independent, matching how Spark reads the other tables'
+    TIMESTAMP(isAdjustedToUTC=false) columns.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer `div`, NOT `/`: float division loses precision at 1e18
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+            ),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All fixture tables, keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in FIXTURE_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` paths.
+
+    Mirrors the DuckDB oracle's pre-registered views so the same SQL text
+    can run on both engines.
+    """
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

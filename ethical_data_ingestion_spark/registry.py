@@ -1,0 +1,55 @@
+"""Query registry: the driver-contract surface.
+
+Every implemented operator from SURVEY §2 (plus the LLM-pipeline extension
+ops) registers here as a pair:
+
+* ``QUERIES[name]``   — ``(spark, sf_dir) -> DataFrame``, idiomatic Spark
+* ``ORACLE_SQL[name]``— equivalent ANSI SQL for the DuckDB oracle, over the
+  pre-registered views (region nation customer supplier part orders
+  lineitem events documents embeddings)
+
+Rules that keep the pair hash-comparable (see __spark_entry__ docstring):
+column names aliased identically on both sides; money sums accumulated in
+DECIMAL then cast to double (order-insensitive, SURVEY §7.5 risk 3); AVGs
+rounded to 4 decimals on both sides; every LIMIT carried by a total order
+with a unique tie-break (risk 4). Ops with no faithful single-statement SQL
+equivalent (LSH, streaming state) register in QUERIES only → driver applies
+its weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the
+    registry, with its DuckDB-oracle SQL mirror."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_everything() -> None:
+    # Import for side effect: each module registers its queries.
+    from .queries import (  # noqa: F401
+        parity,
+        relational,
+        dedup_q,
+        similarity_q,
+        text_q,
+        windows_q,
+    )
+
+
+_load_everything()

@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+The reference runs an embedded single-threaded DuckDB connection
+(``ethical_crawler.py:53-62``); here the analogous "engine bootstrap" is a
+SparkSession configured for deterministic, oracle-comparable output and for
+scale-ready execution:
+
+* AQE on (runtime re-planning, skew-join splitting, partition coalescing) —
+  this is what survives a 100× scale-up, not hand-tuned partition counts.
+* UTC session timezone so timestamp semantics match the DuckDB oracle.
+* Arrow enabled for any Pandas-UDF path (vectorized Python, never per-row).
+* ``spark.sql.shuffle.partitions`` sized for the local harness; on a real
+  cluster AQE coalescing makes the initial number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ethical_data_ingestion_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the same code path serves tests, bench, and the driver harness.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS); Spark's vectorized reader
+        # rejects it. Read as epoch-nanos long; io.load_table converts to a
+        # microsecond timestamp (same floor-truncation DuckDB applies).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

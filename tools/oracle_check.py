@@ -1,0 +1,131 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` mirror on
+DuckDB over the same parquet, then compares row count, column names, and an
+order-insensitive value hash. Usage:
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+
+Defaults to /root/testdata/sf0.01 and all registered queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from ethical_data_ingestion_spark.schemas import FIXTURE_TABLES  # noqa: E402
+from ethical_data_ingestion_spark.session import get_spark  # noqa: E402
+
+
+def _norm_cell(v: object) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # normalize -0.0 and represent with fixed precision
+        if v == 0:
+            v = 0.0
+        return f"{v:.6g}"
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    normed = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in normed:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        spark_s = time.time() - t0
+
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle; rows-only) [{spark_s:.1f}s]")
+            if len(srows) == 0:
+                print(f"  WARN {name}: 0 rows")
+            continue
+
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = [tuple(r) for r in res.fetchall()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
+            if sh != oh:
+                problems.append(f"hash spark={sh} oracle={oh}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} [{spark_s:.1f}s]")
+            failures.append(name)
+            # show a tiny diff sample
+            sset = {tuple(_norm_cell(v) for v in r) for r in srows}
+            oset = {tuple(_norm_cell(v) for v in r) for r in orows}
+            for label, diff in (("spark-only", sset - oset), ("oracle-only", oset - sset)):
+                for row in list(diff)[:3]:
+                    print(f"    {label}: {row}")
+        else:
+            print(f"OK    {name}: {len(srows)} rows [{spark_s:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
