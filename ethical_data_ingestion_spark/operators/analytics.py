@@ -30,6 +30,22 @@ def dsum(col: str, alias: str, scale: int = 2):
     )
 
 
+def davg(col, alias: str, scale: int = 6):
+    """Order-insensitive average: exact DECIMAL sum ÷ count, rounded to 4.
+
+    A plain ``round(avg(double), 4)`` is NOT cross-engine stable: partial
+    sums accumulate in different orders, and a result landing within an ulp
+    of a .00005 boundary rounds differently per engine (observed at sf0.01).
+    The decimal sum makes the dividend exact, so both engines divide the
+    same two numbers. DuckDB mirror:
+    ``ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x), 4)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c), 4
+    ).alias(alias)
+
+
 def source_stats(df: DataFrame, key: str, distinct_col: str, avg_col: str, ts_col: str) -> DataFrame:
     """Single-key 5-aggregate rollup (``ethical_crawler.py:1039-1050``):
     COUNT(*), COUNT(DISTINCT t), AVG(x), MIN(ts), MAX(ts) per group,
@@ -44,7 +60,7 @@ def source_stats(df: DataFrame, key: str, distinct_col: str, avg_col: str, ts_co
         .agg(
             F.count(F.lit(1)).alias("record_count"),
             F.countDistinct(distinct_col).alias("type_count"),
-            F.round(F.avg(avg_col), 4).alias("avg_size"),
+            davg(avg_col, "avg_size"),
             F.min(ts_col).alias("first_ingested"),
             F.max(ts_col).alias("last_ingested"),
         )

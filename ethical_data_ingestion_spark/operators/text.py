@@ -1,0 +1,123 @@
+"""Text-analysis operators for the documents table.
+
+Realizes the reference's declared-but-unimplemented ML/text surface
+(SURVEY #45: `tiktoken`/`SentenceTransformer` imported but never called,
+``ethical_crawler.py:31-34``) as first-class columnar operators: language
+ID, quality scoring, token counting, fingerprinting. Everything is a
+Catalyst expression (split / filter / transform / regexp / md5) — no Python
+UDFs, so the hot path stays inside whole-stage codegen and scales linearly
+with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram-free language-ID
+#: heuristic. Order matters: ties break toward the earlier language.
+LANG_STOPWORDS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "to"]),
+    ("de", ["der", "die", "das", "und", "ist"]),
+    ("es", ["el", "la", "de", "y", "que"]),
+    ("fr", ["le", "la", "et", "les", "des"]),
+]
+
+#: BPE-ish tokenizer regex: word pieces, digit runs, or single symbols.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (documents are space-separated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def n_tokens(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def n_tokens_bpe(col: str | Column) -> Column:
+    """Token count under the BPE-ish regex — the `tiktoken`-shaped counter
+    (SURVEY #45) without the model dependency. ``regexp_extract_all`` has
+    identical semantics in DuckDB for the oracle mirror."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def stopword_count(col: str | Column, stopwords: list[str]) -> Column:
+    """Number of tokens that are stopwords — array `filter`, JVM-side."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(col: str | Column, stopwords: list[str]) -> Column:
+    """Stopword tokens / total tokens, rounded for oracle comparability."""
+    return F.round(
+        stopword_count(col, stopwords).cast("double") / n_tokens(col).cast("double"), 6
+    )
+
+
+def avg_token_len(col: str | Column) -> Column:
+    """Mean token length = (chars - spaces) / tokens; a standard cheap
+    quality signal (gibberish and boilerplate skew it)."""
+    c = F.col(col) if isinstance(col, str) else col
+    non_space = F.length(F.regexp_replace(c, " ", ""))
+    return F.round(non_space.cast("double") / n_tokens(col).cast("double"), 6)
+
+
+def quality_score(col: str | Column, stopwords: list[str]) -> Column:
+    """Composite [0,1] quality score: rewards stopword presence (natural
+    language) and mid-range token length. Deterministic closed form so the
+    oracle can reproduce it exactly:
+
+        0.5 * min(1, 5 * stopword_ratio) + 0.5 * (1 / (1 + |avg_len - 5|))
+    """
+    swr = stopword_ratio(col, stopwords)
+    alen = avg_token_len(col)
+    return F.round(
+        0.5 * F.least(F.lit(1.0), 5.0 * swr) + 0.5 / (1.0 + F.abs(alen - 5.0)), 6
+    )
+
+
+def lang_guess(col: str | Column) -> Column:
+    """Stopword-vote language ID. Scores each language by stopword hits;
+    argmax with ties toward the LANG_STOPWORDS order; 'und' (undetermined)
+    when no list scores > 0. Pure `when` chain → identical CASE in SQL."""
+    scores = [(lang, stopword_count(col, sws)) for lang, sws in LANG_STOPWORDS]
+    best = None
+    for lang, score in scores:
+        others = [s for lg, s in scores if lg != lang]
+        # wins when it scores > 0 and no other language scores higher;
+        # the when-chain order gives earlier languages the tie.
+        cond = (score > 0) & (score >= F.greatest(*others))
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse
+    whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (md5 is bit-identical
+    across Spark and DuckDB, unlike xxhash64). For near-dup work use the
+    shingle pipeline in operators/dedup.py instead."""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col: str | Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct), the MinHash/Jaccard input.
+
+    Built with `transform` over token indices + `slice` + `array_join` —
+    all Catalyst array expressions, no UDF.
+    """
+    toks = tokens(normalize_text(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )

@@ -80,7 +80,7 @@ def distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
       event_type,
       COUNT(*) AS record_count,
       COUNT(DISTINCT user_id) AS type_count,
-      ROUND(AVG(value), 4) AS avg_size,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 4) AS avg_size,
       MIN(ts) AS first_ingested,
       MAX(ts) AS last_ingested
     FROM events

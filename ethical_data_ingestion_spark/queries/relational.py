@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators import analytics as A
 from ..operators.analytics import dsum
 from ..registry import register
 
@@ -32,9 +33,9 @@ from ..registry import register
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-      ROUND(AVG(l_quantity), 4) AS avg_qty,
-      ROUND(AVG(l_extendedprice), 4) AS avg_price,
-      ROUND(AVG(l_discount), 4) AS avg_disc,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
+      ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount), 4) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -59,9 +60,9 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "sum_base_price"),
             F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
             F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            A.davg("l_quantity", "avg_qty"),
+            A.davg("l_extendedprice", "avg_price"),
+            A.davg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -1,1 +1,176 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over the documents table (SURVEY #45 extension).
+
+Every query pairs a Catalyst-expression pipeline with an exactly-equivalent
+DuckDB SQL mirror (same stopword lists, same regex, same rounding), so the
+"ML-ish" text ops get the same hash-level correctness gate as the relational
+ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import text as T
+from ..operators.analytics import davg
+from ..registry import register
+
+_EN = "'the','a','of','and','to'"
+_DE = "'der','die','das','und','ist'"
+_ES = "'el','la','de','y','que'"
+_FR = "'le','la','et','les','des'"
+
+
+def _sw_count(sql_list: str) -> str:
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({sql_list})))"
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+    WITH scored AS (
+      SELECT
+        source,
+        len(string_split(text, ' ')) AS n_tok,
+        ROUND({_sw_count(_EN)}::DOUBLE / len(string_split(text, ' '))::DOUBLE, 6) AS swr,
+        ROUND(length(replace(text, ' ', ''))::DOUBLE
+              / len(string_split(text, ' '))::DOUBLE, 6) AS alen
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(swr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(swr), 4) AS avg_stopword_ratio,
+           ROUND(CAST(SUM(CAST(alen AS DECIMAL(18,6))) AS DOUBLE) / COUNT(alen), 4) AS avg_token_len
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring rollup: token counts, stopword ratio, mean token
+    length per source — the cheap quality signals an LLM-data pipeline
+    filters on. All array/string expressions; zero Python in the row path."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = [s for lang, s in T.LANG_STOPWORDS if lang == "en"][0]
+    scored = docs.select(
+        "source",
+        T.n_tokens("text").alias("n_tok"),
+        T.stopword_ratio("text", en).alias("swr"),
+        T.avg_token_len("text").alias("alen"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            davg("swr", "avg_stopword_ratio"),
+            davg("alen", "avg_token_len"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '{T.TOKEN_RE}'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (whitespace + BPE-ish regex) — the
+    `tiktoken` surface (SURVEY #45) as pure Catalyst regexp expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(T.n_tokens_bpe("text")).cast("long").alias("total_bpe_tokens"),
+            F.sum(T.n_tokens("text")).cast("long").alias("total_ws_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH guessed AS (
+      SELECT lang,
+             CASE
+               WHEN {_sw_count(_EN)} > 0 AND {_sw_count(_EN)} >= greatest({_sw_count(_DE)}, {_sw_count(_ES)}, {_sw_count(_FR)}) THEN 'en'
+               WHEN {_sw_count(_DE)} > 0 AND {_sw_count(_DE)} >= greatest({_sw_count(_EN)}, {_sw_count(_ES)}, {_sw_count(_FR)}) THEN 'de'
+               WHEN {_sw_count(_ES)} > 0 AND {_sw_count(_ES)} >= greatest({_sw_count(_EN)}, {_sw_count(_DE)}, {_sw_count(_FR)}) THEN 'es'
+               WHEN {_sw_count(_FR)} > 0 AND {_sw_count(_FR)} >= greatest({_sw_count(_EN)}, {_sw_count(_DE)}, {_sw_count(_ES)}) THEN 'fr'
+               ELSE 'und'
+             END AS lang_guess
+      FROM documents
+    )
+    SELECT lang, lang_guess, COUNT(*) AS n
+    FROM guessed
+    GROUP BY lang, lang_guess
+    ORDER BY lang, lang_guess
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword vote) × labeled lang — a confusion
+    matrix. The fixture text is synthetic word soup, so the value here is
+    the operator mechanics, verified bit-for-bit against the SQL CASE
+    mirror of the same vote."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_guess("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 100
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 over normalized text (md5 chosen because
+    it is bit-identical across engines; xxhash64 is Spark-private)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "word_frequency_topk",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY freq DESC, word
+    LIMIT 25
+    """,
+)
+def word_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequency top-k: explode → count → TakeOrdered. The
+    classic two-phase pattern: partial counts map-side, only |vocab| rows
+    shuffle — at 100 TB the shuffle is bounded by vocabulary size, not
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(25)
+    )

@@ -1,1 +1,131 @@
-"""Placeholder — populated in a later milestone."""
+"""Windowing + JSON-extraction queries over the events table.
+
+JSON extraction realizes SURVEY #39 (``json.dumps``/``json.loads`` at
+``ethical_crawler.py:928,1022`` and the JSON ``metadata`` column) as a
+first-class columnar op: ``get_json_object`` stays JVM-side, no Python.
+
+The window queries are the SURVEY #35 extension (absent in the reference):
+batch twins of the streaming operators in streaming/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import windows as W
+from ..operators.analytics import davg
+from ..registry import register
+
+
+@register(
+    "json_extract_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(json_extract_string(props, '$.k')), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY #39: typed extraction from a JSON-text column feeding an
+    aggregate. ``get_json_object`` is a Catalyst expression (whole-stage
+    codegen), not a UDF — the pattern that holds at 100 TB where a Python
+    json.loads loop would be the bottleneck."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            davg("k", "avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "window_tumbling_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def window_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event_type. For day-aligned windows
+    Spark's ``window()`` start equals DuckDB's ``date_trunc('day')`` —
+    which is exactly the oracle bridge."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.tumbling_agg(ev, "ts", "1 day", ["event_type"]).orderBy(
+        "window_start", "event_type"
+    )
+
+
+@register(
+    "window_sliding_6h",
+    oracle="""
+    WITH expanded AS (
+      SELECT e.*, date_trunc('hour', ts) - INTERVAL (h) HOUR AS window_start
+      FROM events e, range(0, 6) r(h)
+      WHERE date_trunc('hour', ts) - INTERVAL (h) HOUR + INTERVAL 6 HOUR > ts
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 4) AS avg_value
+    FROM expanded
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def window_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 6-hour length, 1-hour slide — every event belongs
+    to 6 windows. Spark expands rows inside the TimeWindow generator; the
+    oracle mirrors with an explicit range() expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.sliding_agg(ev, "ts", "6 hours", "1 hour").orderBy("window_start")
+
+
+@register(
+    "session_windows_30m",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, value
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap per user — Spark's built-in
+    ``session_window`` (the batch twin of the streaming stateful session
+    operator). The oracle derives identical sessions via gaps-and-islands
+    (lag → flag → running sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.session_agg(ev, "ts", "30 minutes", "user_id").orderBy(
+        "user_id", "session_start"
+    )

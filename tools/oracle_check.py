@@ -65,7 +65,9 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    spark = get_spark("oracle_check")
+    spark = get_spark(
+        "oracle_check", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         con.execute(
