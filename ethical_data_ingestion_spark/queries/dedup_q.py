@@ -1,1 +1,171 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries over documents/embeddings — every variant
+oracle-checked, including MinHash-LSH and SimHash (both reproduced exactly
+in DuckDB SQL via md5-derived hashes, so even the approximate algorithms
+get hash-level verification, not just rows-only checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import dedup as D
+from ..registry import register
+
+# Shared SQL fragments (DuckDB): normalized text, word 3-gram shingles.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SHINGLES = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split({_NORM}, ' ')) - 2, 1) + 1),
+           i -> array_to_string(string_split({_NORM}, ' ')[i:i+2], ' '))) AS shingles
+  FROM documents
+"""
+_EXACT_JACCARD = f"""
+  shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+  sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+  common AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+    FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  jacc AS (
+    SELECT id1, id2, ROUND(c::DOUBLE / (s1.n + s2.n - c), 4) AS jaccard
+    FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+  )
+"""
+
+
+@register(
+    "dedup_exact_stats",
+    oracle=f"""
+    WITH fps AS (SELECT source, md5({_NORM}) AS fp FROM documents)
+    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dupes
+    FROM fps GROUP BY source ORDER BY source
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy) stats per source — the O(n) first pass."""
+    return D.exact_dedup_stats(load_table(spark, sf_dir, "documents"), "text", "source")
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle=f"""
+    WITH fps AS (SELECT doc_id, source, n_chars, md5({_NORM}) AS fp FROM documents),
+    keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM fps GROUP BY fp)
+    SELECT f.source, COUNT(*) AS n_survivors,
+           CAST(SUM(f.n_chars) AS BIGINT) AS chars_kept
+    FROM fps f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id
+    GROUP BY f.source ORDER BY f.source
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic survivor selection (keep lowest doc_id per identical
+    text) — the Spark analogue of `INSERT OR IGNORE` keep-first semantics
+    (``ethical_crawler.py:915-920``), rolled up per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = D.exact_dedup_keep_first(docs, "text", "doc_id")
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    {_EXACT_JACCARD}
+    SELECT id1, id2, jaccard FROM jacc
+    WHERE jaccard >= 0.8
+    ORDER BY id1, id2
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (≥0.8) via inverted-index
+    join — candidate cost follows shingle co-occurrence, never O(n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               i -> list_min(list_transform(shingles, s -> md5(s || '#' || i)))) AS sig
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, j AS band_idx,
+             md5(array_to_string(sig[j*4+1:j*4+4], ',')) AS band_key
+      FROM sig, range(0, 4) r(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    {_EXACT_JACCARD}
+    SELECT c.id1, c.id2, j.jaccard
+    FROM cand c JOIN jacc j ON c.id1 = j.id1 AND c.id2 = j.id2
+    WHERE j.jaccard >= 0.8
+    ORDER BY c.id1, c.id2
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH banding (4 bands × 4 rows) near-dup pairs,
+    verified with exact Jaccard ≥ 0.8. The md5-simulated permutations make
+    the whole approximate pipeline — signatures, banding, candidates —
+    bit-reproducible in the DuckDB oracle, so this checks LSH end-to-end,
+    not merely "returns some rows"."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, k=3, threshold=0.8
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles, t -> (('0x' || substr(md5(t), 1, 8))::UBIGINT)::BIGINT) AS hashes
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32),
+               b -> CASE WHEN list_sum(list_transform(hashes,
+                              h -> ((h >> b) & 1) * 2 - 1)) > 0
+                         THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+      FROM hs
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ORDER BY id1, id2
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit over distinct word-3-gram shingles) pairs, Hamming ≤ 3.
+
+    Spark candidates come from 8-bit block pigeonholing (distance ≤3 across
+    4 blocks ⇒ one block equal ⇒ lossless), so the blocked plan must equal
+    the oracle's brute-force — verifying both the signature math and the
+    completeness of the blocking scheme."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return pairs.select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
