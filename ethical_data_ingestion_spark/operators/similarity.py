@@ -1,0 +1,198 @@
+"""Vector similarity search over embedding columns.
+
+Realizes the reference's latent vector surface — the ``embedding FLOAT[]``
+column it creates but never populates (``ethical_crawler.py:842``) and the
+`cosine_similarity` import it never calls (``:31-34``) — as first-class
+distributed operators:
+
+* brute-force cosine top-k: the exact baseline (and DuckDB oracle bridge);
+  queries are broadcast, so the scan of the base table is embarrassingly
+  parallel — correct at any base-table size as long as the *query set* is
+  small.
+* random-hyperplane LSH: the scale path — deterministic hash-derived
+  hyperplanes, multi-table bucketing, candidates via equi-join on
+  (table, bucket). Approximate; recall bounded in tests against the exact
+  baseline.
+
+All arithmetic is double (`zip_with` product + sequential `aggregate` sum —
+the same left fold DuckDB's list_dot_product performs, so results are
+bit-comparable).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches DuckDB list_dot_product order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    base: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``broadcast(queries)`` ⇒ BroadcastNestedLoopJoin: every base partition
+    scores all queries locally — no shuffle of the base table; the only
+    shuffle is the per-query top-k (rows ≤ |base|·|queries| pre-window,
+    reduced per partition when AQE kicks in). Rounded score + id tie-break
+    keeps the k-set deterministic.
+    """
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv")
+    )
+    b = base.select(F.col(id_col), as_double(F.col(vec_col)).alias("_bv"))
+    scored = (
+        b.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_bv")), 6))
+        .select(query_id_col, id_col, "cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def hyperplanes(dim: int, n_tables: int, n_bits: int, seed: str = "edi") -> list[list[list[float]]]:
+    """Deterministic pseudo-random unit-free hyperplanes in [-1, 1),
+    derived from md5 — no RNG state, reproducible across runs/engines.
+    Shape: [table][bit][dim]."""
+    planes = []
+    for t in range(n_tables):
+        rows = []
+        for b in range(n_bits):
+            comps = []
+            for d in range(dim):
+                h = hashlib.md5(f"{seed}:{t}:{b}:{d}".encode()).hexdigest()[:8]
+                comps.append((int(h, 16) / 2**32) * 2.0 - 1.0)
+            rows.append(comps)
+        planes.append(rows)
+    return planes
+
+
+def lsh_buckets(
+    vec: Column, planes: list[list[list[float]]]
+) -> Column:
+    """Array of per-table bucket ids: bucket = the sign-bit integer of the
+    vector against each table's hyperplanes. Plane components are literal
+    arrays, so the whole thing is codegen'd arithmetic — no UDF, no
+    per-row hashing."""
+    table_buckets = []
+    for rows in planes:
+        bucket = F.lit(0)
+        for i, comps in enumerate(rows):
+            plane = F.array(*[F.lit(c) for c in comps])
+            bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        table_buckets.append(bucket)
+    return F.array(*table_buckets)
+
+
+def knn_lsh(
+    base: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    dim: int = 64,
+    n_tables: int = 8,
+    n_bits: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    Candidates = base∪query rows colliding in ANY table's bucket
+    (equi-join on (table, bucket) — this is what replaces the O(|base|)
+    scan per query at 100 TB); exact cosine is computed only on candidates,
+    then per-query top-k. Recall grows with n_tables; tests bound it
+    against knn_bruteforce.
+    """
+    planes = hyperplanes(dim, n_tables, n_bits)
+    b = base.select(F.col(id_col), as_double(F.col(vec_col)).alias("_bv"))
+    q = queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv"))
+
+    b_buckets = b.select(
+        id_col,
+        "_bv",
+        F.posexplode(lsh_buckets(F.col("_bv"), planes)).alias("t", "bucket"),
+    )
+    q_buckets = q.select(
+        query_id_col,
+        "_qv",
+        F.posexplode(lsh_buckets(F.col("_qv"), planes)).alias("t", "bucket"),
+    )
+    cand = (
+        b_buckets.join(
+            F.broadcast(q_buckets),
+            (b_buckets.t == q_buckets.t)
+            & (b_buckets.bucket == q_buckets.bucket)
+            & (F.col(id_col) != F.col(query_id_col)),
+        )
+        .select(query_id_col, id_col, "_qv", "_bv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("_qv"), F.col("_bv")), 6)
+    ).select(query_id_col, id_col, "cos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — the embedding-space near-dup
+    operator. Exact (self nested-loop join): this is the oracle baseline;
+    at scale swap the candidate generator for `lsh_buckets` collisions
+    (same verification tail)."""
+    a = df.select(F.col(id_col).alias("id1"), as_double(F.col(vec_col)).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), as_double(F.col(vec_col)).alias("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+        .orderBy("id1", "id2")
+    )

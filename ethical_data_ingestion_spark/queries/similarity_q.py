@@ -1,1 +1,89 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over the embeddings table.
+
+The exact paths (brute-force kNN, threshold pairs) carry full DuckDB
+oracles via ``list_dot_product`` — both engines do the same sequential
+double fold, so scores match to the rounded digit. The LSH path is
+approximate by design → registered rows-only; its recall against the exact
+baseline is bounded in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import similarity as S
+from ..registry import register
+
+_COS = (
+    "ROUND(list_dot_product(qv, bv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(bv, bv))), 6)"
+)
+
+
+@register(
+    "knn_cosine_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings),
+    scored AS (
+      SELECT query_id, vec_id, {_COS} AS cos
+      FROM b, q WHERE vec_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 probe vectors against the full embeddings
+    table — the ANN ground truth. Broadcast probes ⇒ base scan stays
+    shuffle-free; only the tiny scored set moves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.knn_bruteforce(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_dot_product(a.vec, b.vec) /
+                 (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.vec, b.vec) /
+                (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.45
+    ORDER BY id1, id2
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥0.45 — chosen from the
+    fixture's cosine distribution, max ≈ 0.51). Exact baseline; the LSH
+    candidate generator replaces the pair join at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_pairs(emb, threshold=0.45)
+
+
+@register("knn_cosine_lsh")  # approximate → rows-only check; recall bounded in tests
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via 8-table × 4-bit random-hyperplane LSH.
+    Candidates come from bucket equi-joins instead of scanning the base
+    table per query — the shape that survives a 100 TB embedding corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.knn_lsh(emb, queries, k=10, dim=64, n_tables=8, n_bits=4)

@@ -1,0 +1,134 @@
+"""Source adapters: open-data API payload → typed DataRecord DataFrames.
+
+The reference's four adapters (NYC Open Data / UN Comtrade / SEC EDGAR /
+College Scorecard, ``ethical_crawler.py:332-771``) each fetch JSON metadata
+over HTTP and map items to ``DataRecord``s. Re-architected for Spark:
+
+* **fetching** stays driver-side (rate-limited, tiny metadata payloads —
+  SURVEY #1's note) and is *injected* as pre-fetched payloads so tests and
+  air-gapped runs never touch the network;
+* **mapping** is a DataFrame transformation over the raw JSON rows —
+  at scale you spool raw API responses to object storage and
+  ``spark.read.json`` them, so the map step is already distributed.
+
+Each adapter declares its ``DataSource`` row with the reference's exact
+constants (rate limits, license strings) for parity.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions.scalars import generate_summary, parse_date_dual
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    """DataSource registry row (``ethical_crawler.py:148-161``); constants
+    from the four adapter constructors (``:347-356, 490-499, 591-600,
+    684-693``)."""
+
+    name: str
+    base_url: str
+    api_endpoint: str
+    requires_api_key: bool
+    rate_limit_per_second: float
+    data_license: str
+
+
+NYC_OPEN_DATA = SourceSpec(
+    "NYC Open Data", "https://data.cityofnewyork.us",
+    "https://data.cityofnewyork.us/api", False, 1.0, "Public Domain",
+)
+UN_COMTRADE = SourceSpec(
+    "UN Comtrade", "https://comtradeapi.un.org",
+    "https://comtradeapi.un.org/data/v1", True, 0.1, "UN Comtrade License",
+)
+SEC_EDGAR = SourceSpec(
+    "SEC EDGAR", "https://www.sec.gov", "https://data.sec.gov", False, 0.1,
+    "Public Domain",
+)
+COLLEGE_SCORECARD = SourceSpec(
+    "College Scorecard", "https://collegescorecard.ed.gov",
+    "https://api.data.gov/ed/collegescorecard/v1", True, 1.0, "Public Domain",
+)
+
+ALL_SOURCES = [NYC_OPEN_DATA, UN_COMTRADE, SEC_EDGAR, COLLEGE_SCORECARD]
+
+
+class RateLimiter:
+    """Inter-request pacing: sleep ``1/rate − elapsed`` between requests
+    (``ethical_crawler.py:293-302``). Driver-side — request pacing against
+    third-party APIs is inherently centralized; the cluster never blocks
+    on it because fetch and transform are decoupled."""
+
+    def __init__(self, rate_per_second: float):
+        self.min_interval = 1.0 / rate_per_second
+        self._last = 0.0
+
+    def wait(self) -> None:
+        elapsed = time.time() - self._last
+        if elapsed < self.min_interval:
+            time.sleep(self.min_interval - elapsed)
+        self._last = time.time()
+
+
+#: Raw payload row: one JSON document string per discovered item, plus the
+#: source that produced it. What a spooling fetcher writes to storage.
+RAW_SCHEMA = StructType(
+    [
+        StructField("source_name", StringType(), False),
+        StructField("payload", StringType(), False),
+    ]
+)
+
+
+def raw_to_records(raw: DataFrame, source: SourceSpec, data_type: str) -> DataFrame:
+    """Map raw JSON payloads → DataRecord rows (the distributed half of
+    ``discover_datasets``, e.g. NYC mapping at ``ethical_crawler.py:
+    381-405``): JSON field extraction, dual-format date parsing, summary
+    building — all Catalyst expressions over the payload column."""
+    g = lambda p: F.get_json_object("payload", f"$.{p}")  # noqa: E731
+    return raw.filter(F.col("source_name") == source.name).select(
+        F.col("source_name"),
+        F.coalesce(g("id"), F.md5("payload")).alias("record_id"),
+        F.coalesce(g("name"), F.lit("(untitled)")).alias("title"),
+        g("description").alias("description"),
+        F.lit(data_type).alias("data_type"),
+        F.concat(F.lit(source.base_url + "/"), F.coalesce(g("id"), F.lit(""))).alias("url"),
+        F.col("payload").alias("metadata"),
+        generate_summary(
+            F.coalesce(g("name"), F.lit("(untitled)")),
+            g("category"),
+            F.get_json_object("payload", "$.columns_count"),
+            F.get_json_object("payload", "$.view_count"),
+        ).alias("content_summary"),
+        F.coalesce(
+            F.from_json(g("tags"), "array<string>"), F.array().cast("array<string>")
+        ).alias("tags"),
+        parse_date_dual(g("updated_at")).alias("last_updated"),
+        F.current_timestamp().alias("ingested_at"),
+        g("file_format").alias("file_format"),
+        g("size_bytes").try_cast("long").alias("size_bytes"),  # ANSI-safe
+        F.lit(source.data_license).alias("license_info"),
+    )
+
+
+def union_sources(frames: list[DataFrame]) -> DataFrame:
+    """Per-source fan-out union (``ethical_crawler.py:938-966`` accumulates
+    a dict of lists; SURVEY #32): one unionByName, parallel by partition
+    instead of sequential by source."""
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def make_raw_df(spark: SparkSession, items: list[tuple[str, str]]) -> DataFrame:
+    """Build the raw payload DataFrame from (source_name, json_str) pairs —
+    the seam where a real fetcher (or a test fixture) hands data to Spark."""
+    return spark.createDataFrame(items, RAW_SCHEMA)

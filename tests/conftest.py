@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from ethical_data_ingestion_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(warehouse),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,133 @@
+"""Operator unit tests: nulls/empty/edge cases the oracle can't isolate,
+plus LSH recall bounds vs exact baselines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ethical_data_ingestion_spark.io import load_table
+from ethical_data_ingestion_spark.operators import (
+    analytics,
+    dedup,
+    search,
+    similarity,
+    text,
+)
+
+
+def test_search_none_filters_are_skipped(spark):
+    df = spark.createDataFrame([("a", "x"), ("b", "y")], "k string, v string")
+    assert search.equality_filters(df, k=None, v=None).count() == 2
+    assert search.equality_filters(df, k="a").count() == 1
+
+
+def test_ilike_case_insensitive(spark):
+    df = spark.createDataFrame([("Hello World",), ("nope",)], "t string")
+    out = df.filter(search.ilike_any(df, "hello", ["t"]))
+    assert out.count() == 1
+
+
+def test_ilike_percent_is_wildcard_documented(spark):
+    # % in the query behaves as a wildcard (reference inherits the same
+    # semantics from ILIKE '%q%'); literal-search callers must escape.
+    df = spark.createDataFrame([("abc",), ("axc",)], "t string")
+    assert df.filter(search.ilike_any(df, "a%c", ["t"])).count() == 2
+
+
+def test_latest_per_group_tie_break(spark):
+    df = spark.createDataFrame(
+        [("u1", 10, 1, "lo"), ("u1", 10, 2, "hi")], "k string, ts int, id int, v string"
+    )
+    out = analytics.latest_per_group(df, "k", "ts", "id").collect()
+    assert len(out) == 1 and out[0].v == "hi"  # tie on ts → highest id wins
+
+
+def test_empty_input_aggregates(spark):
+    df = spark.createDataFrame([], "k string, v double, ts int")
+    assert analytics.frequency_table(df, "k").count() == 0
+    assert analytics.source_stats(df, "k", "v", "v", "ts").count() == 0
+
+
+def test_exact_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "same  text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    # whitespace-normalized: docs 1 and 2 are identical → keep doc_id 1
+    out = dedup.exact_dedup_keep_first(df, "text", "doc_id")
+    assert {r.doc_id for r in out.collect()} == {1, 3}
+
+
+def test_jaccard_pairs_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "z y x w v u")],
+        "doc_id long, text string",
+    )
+    out = dedup.jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.99).collect()
+    assert [(r.id1, r.id2, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
+def test_minhash_contains_exact_dupes(spark):
+    # identical docs have identical signatures → always LSH candidates
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "q r s t u v w x")],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.99).collect()
+    assert [(r.id1, r.id2) for r in out] == [(1, 2)]
+
+
+def test_simhash_identical_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    out = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=0).collect()
+    assert [(r.id1, r.id2, r.hamming) for r in out] == [(1, 2, 0)]
+
+
+def test_lang_guess_votes(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("der hund und die katze ist",),
+         ("xyzzy plugh",)],
+        "text string",
+    )
+    out = [r.g for r in df.select(text.lang_guess("text").alias("g")).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    out = df.select(text.shingles("text", 3).alias("s")).collect()[0].s
+    assert out == ["one two"]  # shorter than k → single truncated shingle
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id int, v array<double>")
+    out = df.select(
+        similarity.cosine(F.col("v"), F.col("v")).alias("c")
+    ).collect()[0].c
+    assert out == pytest.approx(1.0)
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.knn_bruteforce(emb, queries, k=10).collect()
+    approx = similarity.knn_lsh(emb, queries, k=10, n_tables=8, n_bits=4).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # deterministic planes ⇒ deterministic recall; bound is intentionally
+    # loose (multi-table hyperplane LSH at 8×4 bits on 64-dim data)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_knn_excludes_self(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.knn_bruteforce(emb, queries, k=5).collect()
+    assert all(r.query_id != r.vec_id for r in out)
