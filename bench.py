@@ -1,0 +1,84 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline query suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly
+ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ...}
+
+Timings are end-to-end per query: plan → execute → collect (results are
+small by construction; collect is the driver contract's own terminal step).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ethical_data_ingestion_spark.registry import QUERIES  # noqa: E402
+from ethical_data_ingestion_spark.session import get_spark  # noqa: E402
+
+#: Headline suite: every oracle-checked family, weighted toward the
+#: fact-table scans that dominate at scale.
+HEADLINE = [
+    "flagship_pricing_summary",
+    "revenue_by_filter",
+    "top_unshipped_orders",
+    "regional_revenue",
+    "search_ilike_topk",
+    "agg_source_stats",
+    "composite_stats",
+    "latest_event_per_user",
+    "upsert_dedupe",
+    "json_extract_stats",
+    "window_tumbling_daily",
+    "window_sliding_6h",
+    "session_windows_30m",
+    "text_quality_stats",
+    "token_count_bpe",
+    "word_frequency_topk",
+    "dedup_exact_stats",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_cosine_bruteforce",
+    "knn_cosine_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once with a trivial job so query timings
+    # measure the engine, not bootstrap.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_suite_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

