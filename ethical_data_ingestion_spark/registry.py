@@ -46,6 +46,7 @@ def _load_everything() -> None:
         parity,
         relational,
         dedup_q,
+        multimodal_q,
         similarity_q,
         text_q,
         windows_q,
