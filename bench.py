@@ -48,6 +48,12 @@ HEADLINE = [
     "dedup_simhash",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
+    "multimodal_meta_stats",
+    "multimodal_frame_stats",
+    "multimodal_byte_entropy",
+    "streaming_tumbling_hourly",
+    "streaming_dedup_keys",
+    "streaming_sessions_stateful",
 ]
 
 

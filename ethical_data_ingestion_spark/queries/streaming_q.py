@@ -1,0 +1,150 @@
+"""Structured-Streaming queries for the driver contract.
+
+Each entry drains a real streaming pipeline (file source → watermark →
+stateful op → sink) to completion with ``trigger(availableNow)`` and
+returns the materialized result as a batch DataFrame, so even the
+streaming engine gets the DuckDB hash gate:
+
+* complete-mode windowed aggregation ≡ the batch aggregation (verified
+  exact at sf0.001/0.01), so the oracle is the plain GROUP BY;
+* streaming dedup over one micro-batch ≡ DISTINCT;
+* the custom ``applyInPandasWithState`` sessionizer emits every session
+  the watermark has passed — a 2-second guard band on BOTH sides excludes
+  the boundary where emit strictness (wm > timeout vs ≥) could differ, so
+  the remaining set is deterministic and mirrors gaps-and-islands SQL.
+
+Spooling: events are re-written as range-partitioned files (chronological
+arrival order) under a temp dir per call — the micro-batch sequence is the
+point, not the copy.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+from ..streaming import pipeline as P
+
+_SESSION_GAP_S = 1800
+_GUARD_S = _SESSION_GAP_S + 2  # gap + 2s guard band
+
+
+_SPOOL_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _spooled_stream(
+    spark: SparkSession, sf_dir: str, n_files: int, mfpt: int | None
+) -> DataFrame:
+    key = (sf_dir, n_files)
+    if key not in _SPOOL_CACHE:
+        ev = load_table(spark, sf_dir, "events")
+        _SPOOL_CACHE[key] = P.spool(
+            ev, tempfile.mkdtemp(prefix="eds_stream_src_"), n_files
+        )
+    return P.stream_from(spark, _SPOOL_CACHE[key], max_files_per_trigger=mfpt)
+
+
+@register(
+    "streaming_tumbling_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling windows computed BY THE STREAMING ENGINE (4 files →
+    4 micro-batches through the windowed state store), complete-mode so the
+    final table equals the batch aggregation bit-for-bit. Append mode +
+    watermark is the production shape (see streaming/pipeline.py); complete
+    into the memory sink is the test/driver harness."""
+    with P.state_partitions(spark, 8):
+        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=1)
+        out = P.run_available_now(
+            P.tumbling_stream(stream, "1 hour", ["event_type"]),
+            output_mode="complete",
+        )
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "streaming_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` over the event stream: first
+    arrival per (user_id, event_type) survives; key state is evicted as the
+    watermark passes (bounded state at 100 TB/day). Projected to the key
+    columns, the surviving set is exactly DISTINCT."""
+    with P.state_partitions(spark, 8):
+        stream = _spooled_stream(spark, sf_dir, n_files=1, mfpt=None)
+        out = P.run_available_now(
+            P.dedup_stream(stream, ["user_id", "event_type"]).select(
+                "user_id", "event_type"
+            )
+        )
+    return out.orderBy("user_id", "event_type")
+
+
+@register(
+    "streaming_sessions_stateful",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL {_SESSION_GAP_S} SECOND THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) AS session_last,
+             COUNT(*) AS n_events
+      FROM numbered
+      GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_last, n_events
+    FROM sessions
+    WHERE session_last + INTERVAL {_GUARD_S} SECOND <= (SELECT MAX(ts) FROM events)
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``
+    (event-time timeouts, four scalars of state per open session), drained
+    availableNow over 2 micro-batches. Both sides keep only sessions whose
+    close time cleared the final watermark by the guard band — the set the
+    streaming semantics guarantee are emitted exactly once."""
+    with P.state_partitions(spark, 8):
+        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
+        sess = P.run_available_now(
+            P.sessionize_stateful(stream, _SESSION_GAP_S), name=None
+        )
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    return (
+        sess.filter(
+            F.col("session_last") + F.expr(f"INTERVAL {_GUARD_S} SECOND")
+            <= F.lit(max_ts)
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+        .orderBy("user_id", "session_start")
+    )

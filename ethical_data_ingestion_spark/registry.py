@@ -48,6 +48,7 @@ def _load_everything() -> None:
         dedup_q,
         multimodal_q,
         similarity_q,
+        streaming_q,
         text_q,
         windows_q,
     )

@@ -1,0 +1,331 @@
+"""Structured Streaming pipeline: the continuous-ingestion half of the
+engine (SURVEY §2.4).
+
+The reference's "stream" is an asyncio polling loop with per-source rate
+limits feeding row-at-a-time inserts (``ethical_crawler.py:293-302,
+938-966``). Here that dataflow is re-expressed as Structured Streaming:
+
+* file-arrival source with ``maxFilesPerTrigger`` as the rate limiter
+  (SURVEY #30 — backpressure by trigger, not sleep());
+* event-time watermarks bounding state (SURVEY #35, absent in reference);
+* windowed aggregates / streaming dedup / sessionization reusing the SAME
+  aggregation bodies as the batch twins in ``operators/windows.py`` — one
+  code shape, two execution modes;
+* ``foreachBatch`` audit sink for the compliance-trail pattern (SURVEY #33).
+
+Scale: streaming state lives in the state store, partitioned by grouping
+key across executors; the watermark is what keeps it bounded — without it
+a 100 TB/day stream accretes state forever. The memory sink used by tests
+and driver checks is a test harness only; production sinks are the
+parquet/foreachBatch paths.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+from collections.abc import Iterator
+from contextlib import contextmanager
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators import windows as W
+
+#: Events schema as spooled by :func:`spool` (ts kept NTZ end-to-end; the
+#: fixtures are isAdjustedToUTC=false and NTZ windows are tz-independent).
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+_uniq = itertools.count()
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+
+
+def as_instant(col: str):
+    """NTZ wall-clock → TIMESTAMP instant, reading the wall-clock as UTC.
+
+    Watermarks only accept TIMESTAMP, but a bare cast would interpret the
+    wall-clock in the *session* timezone — nondeterministic under a
+    driver-built session. ``make_timestamp(..., 'UTC')`` rebuilds the
+    instant from the NTZ *fields* with an explicit zone, so the mapping —
+    and every window boundary downstream, since Spark's TimeWindow aligns
+    on epoch micros — is timezone-independent.
+    """
+    return F.expr(
+        f"make_timestamp(year({col}), month({col}), day({col}), "
+        f"hour({col}), minute({col}), extract(SECOND FROM {col}), 'UTC')"
+    )
+
+
+def as_ntz(col_name: str):
+    """Inverse of :func:`as_instant`: TIMESTAMP instant → NTZ wall-clock
+    (UTC reading), again via epoch arithmetic only."""
+    return F.expr(
+        f"timestampadd(MICROSECOND, unix_micros({col_name}), {_EPOCH_NTZ})"
+    )
+
+
+def spool(df: DataFrame, out_dir: str, n_files: int, ts_col: str = "ts") -> str:
+    """Write a batch DataFrame as ``n_files`` parquet files — the stand-in
+    for files arriving from an ingest process.
+
+    ``repartitionByRange(ts)`` makes file k hold the k-th time range, and
+    the explicit mtime stamping below makes the file source replay them in
+    that order. Both matter: FileStreamSource orders files by modification
+    time (ties arbitrary — a parallel write gives near-identical mtimes),
+    and a non-chronological replay puts early events in *later*
+    micro-batches where a zero-delay watermark correctly drops them as late
+    (window aggs) or corrupts state ordering (stateful ops, which by
+    contract do NOT auto-filter late rows). Realistic arrival is
+    time-ordered, so spool models that."""
+    import glob
+    import os
+
+    df.repartitionByRange(n_files, ts_col).write.mode("overwrite").parquet(out_dir)
+    parts = sorted(glob.glob(os.path.join(out_dir, "part-*")))
+    base = os.path.getmtime(parts[0])
+    for i, p in enumerate(parts):
+        os.utime(p, (base + 2 * i, base + 2 * i))
+    return out_dir
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` for a streaming query start.
+
+    Stateful operators snapshot this setting at query start as the state
+    store partition count — a *deployment* knob: thousands on a large
+    cluster, but each (partition × micro-batch) pays a state-store commit
+    plus a Python worker round-trip, so a local availableNow drain over
+    ~10^5 rows wants single digits. Restores the previous value on exit;
+    batch queries planned outside the scope are unaffected.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def stream_from(
+    spark: SparkSession,
+    src_dir: str,
+    schema_ddl: str = EVENTS_DDL,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source streaming scan. ``maxFilesPerTrigger`` is the streaming
+    analog of the reference's per-source rate limiter: it bounds how much
+    each micro-batch admits, letting the cluster absorb a backlog at a
+    controlled rate instead of sleeping between requests."""
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def run_available_now(
+    sdf: DataFrame, output_mode: str = "append", name: str | None = None
+) -> DataFrame:
+    """Drain the stream to completion (``trigger(availableNow)``) into a
+    memory sink and return the result as a batch DataFrame. availableNow
+    processes the backlog in rate-limited micro-batches then stops — the
+    pattern for periodic catch-up runs of a continuous pipeline."""
+    name = name or f"eds_stream_{next(_uniq)}"
+    ckpt = tempfile.mkdtemp(prefix="eds_ckpt_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def tumbling_stream(
+    stream: DataFrame,
+    duration: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate — same body as the batch
+    ``tumbling_agg``. In append mode a window emits exactly once, when the
+    watermark (max event time − delay) passes its end; windows newer than
+    the final watermark stay in state (that retention IS the late-data
+    contract). ``window_start`` comes back as NTZ, matching the batch twin.
+    """
+    wm = stream.withColumn(ts_col, as_instant(ts_col)).withWatermark(ts_col, delay)
+    return W.tumbling_agg(wm, ts_col, duration, keys).withColumn(
+        "window_start", as_ntz("window_start")
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming dedup: first arrival per key wins; duplicate arrivals
+    within the watermark horizon are dropped; key state is evicted once the
+    watermark passes, so state is O(keys-per-horizon), not O(stream)."""
+    return (
+        stream.withColumn(ts_col, as_instant(ts_col))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(keys)
+        .withColumn(ts_col, as_ntz(ts_col))
+    )
+
+
+def session_stream(
+    stream: DataFrame,
+    gap: str,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Built-in ``session_window`` over a watermarked stream (merging
+    session state handled by Spark's session-window state store)."""
+    wm = stream.withColumn(ts_col, as_instant(ts_col)).withWatermark(ts_col, delay)
+    return W.session_agg(wm, ts_col, gap, key).withColumn(
+        "session_start", as_ntz("session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState sessionizer
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_DDL = (
+    "user_id bigint, session_start timestamp_ntz, session_last timestamp_ntz, "
+    "n_events bigint, total_value double"
+)
+_STATE_DDL = "start_us long, last_us long, n long, total double"
+_US = 1_000_000
+
+
+def sessionize_stateful(
+    stream: DataFrame,
+    gap_seconds: int,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Custom stateful sessionizer via ``applyInPandasWithState`` — the
+    escape hatch for session semantics ``session_window`` can't express
+    (here: the same gap rule, kept deliberately equivalent so tests can
+    diff it against the built-in).
+
+    Per key, open-session state = (start, last, count, sum). Each batch
+    merges its events in event-time order; a gap > ``gap_seconds`` closes
+    the running session and emits it immediately. The trailing open session
+    is parked in state with an event-time timeout at ``last + gap``; the
+    watermark advancing past that fires the timeout and flushes it. State
+    per key is four scalars — bounded regardless of stream length.
+    """
+    gap_us = gap_seconds * _US
+    # Watermark needs the TIMESTAMP column; the Python side reads epoch
+    # micros as plain longs — timestamps never cross the Arrow boundary,
+    # so no session-timezone ambiguity in the UDF.
+    stream = stream.withColumn(ts_col, as_instant(ts_col)).withColumn(
+        "ts_us", F.unix_micros(F.col(ts_col))
+    )
+
+    def fn(
+        key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key_tuple
+        closed: list[tuple[int, int, int, int, float]] = []
+
+        if state.hasTimedOut:
+            s, last, n, total = state.get
+            closed.append((uid, s, last, n, total))
+            state.remove()
+        else:
+            events = pd.concat(list(pdfs))
+            ts_us = events["ts_us"].astype("int64")
+            order = ts_us.argsort(kind="stable").to_numpy()
+            cur = state.get if state.exists else None
+            for i in order:
+                t = int(ts_us.iloc[i])
+                v = float(events["value"].iloc[i])
+                if cur is None:
+                    cur = (t, t, 1, v)
+                elif t - cur[1] > gap_us:
+                    closed.append((uid, cur[0], cur[1], cur[2], cur[3]))
+                    cur = (t, t, 1, v)
+                else:
+                    cur = (cur[0], t, cur[2] + 1, cur[3] + v)
+            if cur is not None:
+                timeout_ms = cur[1] // 1000 + gap_seconds * 1000
+                if timeout_ms <= state.getCurrentWatermarkMs():
+                    # Watermark already passed this session's close time
+                    # (e.g. this key's data rode in a later micro-batch):
+                    # a timeout in the past is illegal — emit now.
+                    closed.append((uid, cur[0], cur[1], cur[2], cur[3]))
+                    if state.exists:
+                        state.remove()
+                else:
+                    state.update(cur)
+                    state.setTimeoutTimestamp(timeout_ms)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="us"
+                    ),
+                    "session_last": pd.to_datetime(
+                        [c[2] for c in closed], unit="us"
+                    ),
+                    "n_events": [c[3] for c in closed],
+                    "total_value": [round(c[4], 2) for c in closed],
+                }
+            )
+
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_DDL,
+            stateStructType=_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def audit_sink(stream: DataFrame, out_dir: str) -> "DataFrame":
+    """Compliance-audit-trail sink (SURVEY #33): ``foreachBatch`` appends
+    each micro-batch to a parquet audit log with its batch id — the
+    exactly-once-per-batch append pattern for sinks with no native
+    streaming writer. Returns the started query handle's source df for
+    chaining in tests."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="eds_audit_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream

@@ -1,0 +1,95 @@
+"""Structured Streaming: availableNow drains vs batch twins, watermark
+semantics, stateful sessionizer, audit sink."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ethical_data_ingestion_spark.io import load_table
+from ethical_data_ingestion_spark.operators import windows as W
+from ethical_data_ingestion_spark.streaming import pipeline as P
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_spool_files_arrive_chronologically(spark, sf_dir, tmp_path):
+    src = P.spool(_events(spark, sf_dir), str(tmp_path / "src"), 4)
+    parts = sorted(glob.glob(os.path.join(src, "part-*")))
+    assert len(parts) == 4
+    mtimes = [os.path.getmtime(p) for p in parts]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+
+
+def test_complete_mode_tumbling_equals_batch(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    src = P.spool(ev, str(tmp_path / "src"), 4)
+    out = P.run_available_now(
+        P.tumbling_stream(P.stream_from(spark, src, max_files_per_trigger=1),
+                          "1 hour", ["event_type"]),
+        output_mode="complete",
+    )
+    batch = W.tumbling_agg(ev, "ts", "1 hour", ["event_type"])
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+
+
+def test_append_mode_emits_watermark_passed_windows_once(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    src = P.spool(ev, str(tmp_path / "src"), 4)
+    out = P.run_available_now(
+        P.tumbling_stream(P.stream_from(spark, src, max_files_per_trigger=1),
+                          "1 hour", ["event_type"])
+    )
+    batch = W.tumbling_agg(ev, "ts", "1 hour", ["event_type"])
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    closed = batch.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(max_ts)
+    )
+    # emitted exactly once and exactly the closed set
+    assert out.exceptAll(closed).count() == 0
+    assert closed.exceptAll(out).count() == 0
+
+
+def test_streaming_dedup_equals_distinct(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    src = P.spool(ev, str(tmp_path / "src"), 1)
+    out = P.run_available_now(
+        P.dedup_stream(P.stream_from(spark, src), ["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    assert out.count() == ev.select("user_id", "event_type").distinct().count()
+    assert out.distinct().count() == out.count()
+
+
+def test_stateful_sessionizer_matches_batch_sessions(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    src = P.spool(ev, str(tmp_path / "src"), 4)
+    sess = P.run_available_now(
+        P.sessionize_stateful(
+            P.stream_from(spark, src, max_files_per_trigger=2), 1800
+        )
+    )
+    batch = W.session_agg(ev, "ts", "30 minutes", "user_id")
+    a = sess.select("user_id", "session_start", "n_events")
+    b = batch.select("user_id", "session_start", "n_events")
+    # every emitted session is a real session; only the one still-open
+    # trailing session (watermark has not passed its close) is withheld
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 1
+
+
+def test_audit_sink_appends_batches_with_ids(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    src = P.spool(ev, str(tmp_path / "src"), 2)
+    out_dir = str(tmp_path / "audit")
+    P.audit_sink(P.stream_from(spark, src, max_files_per_trigger=1), out_dir)
+    audit = spark.read.parquet(out_dir)
+    assert audit.count() == ev.count()
+    assert [r.batch_id for r in audit.select("batch_id").distinct().collect()] is not None
+    assert audit.select("batch_id").distinct().count() == 2
