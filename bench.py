@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_simhash",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
+    "knn_cosine_ivf",
     "multimodal_meta_stats",
     "multimodal_frame_stats",
     "multimodal_byte_entropy",

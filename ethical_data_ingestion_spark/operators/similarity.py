@@ -200,6 +200,77 @@ def knn_lsh(
     )
 
 
+def knn_ivf(
+    base: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) coarse quantization.
+
+    The scale shape: every base vector is assigned to its nearest of
+    ``n_cells`` centroids once (a broadcast score + ``max_by`` argmax —
+    map-side partial agg, one |base|-row shuffle on the agg key); each query
+    probes its ``nprobe`` nearest cells and scores only those cells'
+    vectors. ``nprobe == n_cells`` degrades to exact search (asserted in
+    tests); smaller nprobe trades recall for a 1/(n_cells/nprobe) scan.
+
+    Centroids here are the first ``n_cells`` base vectors by id — a
+    deterministic stand-in for a k-means codebook (training is an offline
+    job; the serving dataflow above is identical either way) that keeps the
+    whole operator reproducible and DuckDB-oracle-checkable.
+    """
+    b = base.select(F.col(id_col), as_double(F.col(vec_col)).alias("_bv"))
+    cents = b.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_cid"), F.col("_bv").alias("_cv")
+    )
+    # cell assignment: argmax over centroids with (cos desc, cid asc)
+    # tie-break; max_by on (cos, -cid) keeps the agg a single pass
+    assign = (
+        b.join(F.broadcast(cents))
+        .withColumn("_ccos", F.round(cosine(F.col("_bv"), F.col("_cv")), 6))
+        .groupBy(id_col)
+        .agg(F.expr("max_by(_cid, struct(_ccos, -_cid))").alias("_cell"))
+    )
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv")
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_ccos"), F.col("_cid")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("_ccos", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= nprobe)
+        .select(query_id_col, F.col("_cid").alias("_cell"))
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "_cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
+    )
+    scored = (
+        cand.join(F.broadcast(q), query_id_col)
+        .join(b, id_col)
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_bv")), 6))
+        .select(query_id_col, id_col, "cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -77,6 +77,68 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs(emb, threshold=0.45)
 
 
+@register(
+    "knn_cosine_ivf",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings),
+    c AS (SELECT vec_id AS cid, bv AS cv FROM b WHERE vec_id < 16),
+    ascore AS (
+      SELECT b.vec_id, c.cid,
+             ROUND(list_dot_product(bv, cv) /
+                   (sqrt(list_dot_product(bv, bv)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+      FROM b, c
+    ),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        FROM ascore
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, bv AS qv FROM b WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND(list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC, cid) AS rn
+        FROM q, c
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, cells.vec_id
+      FROM probes p JOIN cells USING (cell)
+      WHERE cells.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id, {_COS} AS cos
+      FROM cand
+      JOIN q ON q.query_id = cand.query_id
+      JOIN b ON b.vec_id = cand.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10: 16 deterministic cells, 4 probed per query — the scan
+    touches ~1/4 of the base table instead of all of it. Unlike LSH, the
+    deterministic codebook makes the whole approximate path hash-checkable:
+    the oracle mirrors assignment, probing, and ranking step for step."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.knn_ivf(emb, queries, k=10, n_cells=16, nprobe=4)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 @register("knn_cosine_lsh")  # approximate → rows-only check; recall bounded in tests
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via 8-table × 4-bit random-hyperplane LSH.

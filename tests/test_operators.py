@@ -131,3 +131,31 @@ def test_knn_excludes_self(spark, sf_dir):
     )
     out = similarity.knn_bruteforce(emb, queries, k=5).collect()
     assert all(r.query_id != r.vec_id for r in out)
+
+
+def test_knn_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.knn_bruteforce(emb, queries, k=10).collect()
+    full = similarity.knn_ivf(emb, queries, k=10, n_cells=8, nprobe=8).collect()
+    # probing every cell degrades IVF to exact search, bit-for-bit
+    assert [(r.query_id, r.vec_id, r.cos) for r in exact] == [
+        (r.query_id, r.vec_id, r.cos) for r in full
+    ]
+
+
+def test_knn_ivf_partial_probe_is_subset_with_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id)
+             for r in similarity.knn_bruteforce(emb, queries, k=10).collect()}
+    approx = similarity.knn_ivf(emb, queries, k=10, n_cells=16, nprobe=4).collect()
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    assert len(approx_set) == len(approx)  # one rank list per query, no dups
+    recall = len(exact & approx_set) / len(exact)
+    # near-uniform fixture vectors: 4/16 cells ≈ 1/4 of the corpus scanned
+    assert recall >= 0.15, f"IVF recall collapsed: {recall}"
