@@ -1,0 +1,63 @@
+"""Physical-plan guardrails: pushdown, pruning, broadcast joins, top-k,
+shuffle counts — the properties that decide whether a plan survives 100 TB.
+
+Results-correctness is covered by the oracle gate; these tests fail when a
+change silently degrades the PLAN (filter stops reaching the scan, a
+dimension join falls back to shuffle, a top-k becomes a global sort) even
+though results stay right.
+"""
+
+from __future__ import annotations
+
+from ethical_data_ingestion_spark import plans, registry
+
+
+def _q(spark, sf_dir, name):
+    return registry.QUERIES[name](spark, sf_dir)
+
+
+def test_flagship_pushes_filter_and_prunes_columns(spark, sf_dir):
+    df = _q(spark, sf_dir, "flagship_pricing_summary")
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed  # date predicate reached the parquet scan
+    schemas = plans.read_schemas(df)
+    assert len(schemas) == 1
+    # 7 of lineitem's 16 columns — projection pruned the scan
+    assert schemas[0].count(":") == 7
+    assert "l_comment" not in schemas[0]
+
+
+def test_selective_filter_fully_pushed(spark, sf_dir):
+    df = _q(spark, sf_dir, "revenue_by_filter")
+    pushed = " ".join(plans.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    # single fact scan, zero joins: the only shuffle is the final 1-row agg
+    assert plans.shuffle_count(df) <= 1
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = _q(spark, sf_dir, "regional_revenue")
+    # all five dimension joins (orders/customer/supplier/nation/region)
+    # must broadcast — a shuffle join on region at 100 TB is the outage
+    assert plans.broadcast_join_count(df) >= 5
+    assert "r_name" in " ".join(plans.pushed_filters(df))
+
+
+def test_topk_queries_avoid_global_sort(spark, sf_dir):
+    for name in ("search_ilike_topk", "top_unshipped_orders", "word_frequency_topk"):
+        df = _q(spark, sf_dir, name)
+        assert plans.uses_take_ordered(df), f"{name} lost TakeOrderedAndProject"
+
+
+def test_wordcount_shuffles_vocabulary_not_corpus(spark, sf_dir):
+    df = _q(spark, sf_dir, "word_frequency_topk")
+    # explode → partial agg → single exchange on word → final agg → top-k
+    assert plans.shuffle_count(df) == 1
+    assert plans.read_schemas(df) == ["struct<text:string>"]
+
+
+def test_aggregates_run_inside_codegen(spark, sf_dir):
+    df = _q(spark, sf_dir, "flagship_pricing_summary")
+    df.collect()  # AQE stamps codegen ids only on the finalized plan
+    assert plans.wholestage_codegen_count(df) >= 1
