@@ -35,6 +35,13 @@ HEADLINE = [
     "composite_stats",
     "latest_event_per_user",
     "upsert_dedupe",
+    "rollup_revenue_priority",
+    "cube_status_priority",
+    "having_big_customers",
+    "set_ops_customer_cohorts",
+    "suppliers_without_recent_sales",
+    "pivot_status_by_priority",
+    "running_value_by_user",
     "json_extract_stats",
     "window_tumbling_daily",
     "window_sliding_6h",

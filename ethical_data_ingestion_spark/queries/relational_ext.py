@@ -1,0 +1,244 @@
+"""Extended relational surface: grouping sets, HAVING, set operations,
+semi/anti joins, pivot, analytic windows.
+
+The reference never issues these (SURVEY §2.3 "explicit absences"), but a
+user migrating real analytics onto this engine will — so they're covered
+first-class, each as one declarative Spark plan with a DuckDB hash mirror.
+Scale notes per query; the common theme: everything below is a single
+hash-aggregate or broadcast-join shape, no self-joins, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.analytics import davg, dsum
+from ..registry import register
+
+
+@register(
+    "rollup_revenue_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def rollup_revenue_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (status, priority): detail + per-status subtotal + grand
+    total in ONE aggregation pass — Spark expands grouping sets before the
+    shuffle, so partial aggregation still applies (vs 3 separate jobs).
+    Rollup NULLs are coalesced to a sentinel on both engines (fixture
+    columns are non-null, so the sentinel is unambiguous)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping sets in one pass (adds the per-priority
+    margin ROLLUP lacks)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "having_big_customers",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 8
+    ORDER BY total_spend DESC, custkey
+    LIMIT 50
+    """,
+)
+def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING + top-k: post-aggregation filter is just a filter
+    on the agg output — Catalyst keeps it after the partial/final agg, so
+    no extra pass. Unique custkey tie-break keeps the LIMIT set stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_spend"))
+        .filter(F.col("n_orders") >= 8)
+        .orderBy(F.desc("total_spend"), "custkey")
+        .limit(50)
+    )
+
+
+@register(
+    "set_ops_customer_cohorts",
+    oracle="""
+    WITH y96 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+         y97 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT 'both' AS cohort, custkey FROM (SELECT custkey FROM y96 INTERSECT SELECT custkey FROM y97)
+    UNION ALL
+    SELECT 'only_1996' AS cohort, custkey FROM (SELECT custkey FROM y96 EXCEPT SELECT custkey FROM y97)
+    UNION ALL
+    SELECT 'only_1997' AS cohort, custkey FROM (SELECT custkey FROM y97 EXCEPT SELECT custkey FROM y96)
+    ORDER BY cohort, custkey
+    """,
+)
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one cohort query (retention
+    shape). Spark plans set ops as aggregates/joins on the key — each leg
+    is one shuffle on custkey; the year filters ride down to the scans."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cohort(y: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
+            )
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    y96, y97 = cohort(1996), cohort(1997)
+    tagged = (
+        y96.intersect(y97).select(F.lit("both").alias("cohort"), "custkey")
+        .unionAll(y96.exceptAll(y97).select(F.lit("only_1996").alias("cohort"), "custkey"))
+        .unionAll(y97.exceptAll(y96).select(F.lit("only_1997").alias("cohort"), "custkey"))
+    )
+    return tagged.orderBy("cohort", "custkey")
+
+
+@register(
+    "suppliers_without_recent_sales",
+    oracle="""
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name
+    FROM supplier s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey
+        AND l.l_shipdate >= TIMESTAMP '2001-08-01' AND l.l_quantity >= 45
+    )
+    ORDER BY suppkey
+    """,
+)
+def suppliers_without_recent_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join: the fact-table side is pre-filtered
+    (predicates pushed to the lineitem scan) and only distinct suppkeys
+    shuffle — an anti join against a 100 TB fact table moves keys, not
+    rows. (Cutoff chosen so the fixture yields a non-trivial survivor
+    set — every supplier ships continuously, so a date alone excludes
+    nobody.)"""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2001-08-01").cast("timestamp_ntz"))
+        & (F.col("l_quantity") >= 45)
+    )
+    return (
+        sup.join(li, sup.s_suppkey == li.l_suppkey, "left_anti")
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name"))
+        .orderBy("suppkey")
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never the two-pass value-discovery
+    form at scale) — compiles to conditional aggregation, one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "priority",
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("P", F.lit(0)).alias("p_cnt"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "running_value_by_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, running_value
+    FROM ranked WHERE rn <= 5
+    ORDER BY user_id, event_id
+    """,
+)
+def running_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-user running total (decimal-accumulated for
+    cross-engine determinism), first 5 events each. One shuffle on user_id,
+    sort within partitions — the standard sessionless cumulative shape."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_value"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    )

@@ -45,6 +45,7 @@ def _load_everything() -> None:
     from .queries import (  # noqa: F401
         parity,
         relational,
+        relational_ext,
         dedup_q,
         multimodal_q,
         similarity_q,
