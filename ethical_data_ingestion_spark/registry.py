@@ -49,6 +49,7 @@ def _load_everything() -> None:
         dedup_q,
         multimodal_q,
         similarity_q,
+        skew_q,
         streaming_q,
         text_q,
         windows_q,
