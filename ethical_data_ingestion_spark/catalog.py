@@ -89,3 +89,26 @@ def latest_audit_state(audit: DataFrame, key: str, ts_col: str, tiebreak: str) -
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    Bucketing is the at-rest co-location strategy for 100 TB: two tables
+    bucketed identically on the join key join with ZERO shuffle (each task
+    zips bucket i with bucket i), and bucket-pruning serves point lookups.
+    This is what replaces the reference's secondary indexes
+    (``ethical_crawler.py:884-886``) — indexes accelerate seeks on one
+    node; bucketing removes the network from the distributed join.
+    tests/test_bucketing.py proves the shuffle-free plan.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(name)
