@@ -31,6 +31,9 @@ HEADLINE = [
     "top_unshipped_orders",
     "regional_revenue",
     "search_ilike_topk",
+    "search_bm25_topk",
+    "salted_join_priority_revenue",
+    "salted_agg_event_stats",
     "agg_source_stats",
     "composite_stats",
     "latest_event_per_user",

@@ -95,3 +95,67 @@ def top_k(df: DataFrame, order_col: str, tiebreak_col: str, k: int) -> DataFrame
     driver merges — O(n) scan, no shuffle of the full relation.
     """
     return df.orderBy(F.desc(order_col), F.desc(tiebreak_col)).limit(k)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25-ranked full-text search — the real engine behind the surface
+    the reference advertises but disables ("Full-text search: Built-in",
+    README.txt:235, vs FTS skipped at ethical_crawler.py:888; what actually
+    ships is ``ILIKE %q%``, :978-985).
+
+    Fully relational: term frequencies and document lengths from one
+    explode+groupBy over the corpus (shuffle keyed on doc — linear);
+    document frequencies, N, and avgdl are a handful of scalar aggregates
+    broadcast back via crossJoin (no driver collect in the plan). Per-term
+    partial scores round to 6 decimals and sum in DECIMAL so the final
+    score is independent of term-row order — the property that keeps the
+    ranking hash-stable across engines and partitionings.
+    """
+    from .text import tokens
+
+    corpus = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    doclen = corpus.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    globals_df = doclen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        corpus.filter(F.array_contains(terms, F.col("term")))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("dft"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(globals_df))
+        .withColumn(
+            "idf", F.log((F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5) + 1.0)
+        )
+        .withColumn(
+            "part",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("part").cast("double"), 4).alias("score"))
+    )
+    w_order = [F.desc("score"), F.col(id_col)]
+    return (
+        scored.orderBy(*w_order)
+        .limit(k)
+        .select(id_col, "score")
+    )

@@ -174,3 +174,45 @@ def word_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "word")
         .limit(25)
     )
+
+
+@register(
+    "search_bm25_topk",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM corpus GROUP BY doc_id),
+    globs AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl) AS avgdl FROM doclen),
+    tf AS (
+      SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+      FROM corpus WHERE term IN ('spark', 'vector', 'window')
+      GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, COUNT(*)::DOUBLE AS dft FROM tf GROUP BY term),
+    parts AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((g.n_docs - d.dft + 0.5) / (d.dft + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / g.avgdl)),
+               6) AS DECIMAL(18,6)) AS part
+      FROM tf JOIN dft d USING (term) JOIN doclen l USING (doc_id), globs g
+    ),
+    scored AS (
+      SELECT doc_id, ROUND(CAST(SUM(part) AS DOUBLE), 4) AS score
+      FROM parts GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query {spark, vector, window} — the ranked-FTS
+    upgrade of the reference's ILIKE search (SURVEY #15). Same relevance
+    math on both engines; per-term partials rounded then decimal-summed so
+    the ranking is partition-order-proof."""
+    from ..operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "vector", "window"], k=20)

@@ -90,3 +90,22 @@ def test_attribution(spark):
     assert srcs == {"a", "b"}
     srcs2 = {r.src for r in export.attribution(df, "src", where="x > 25").collect()}
     assert srcs2 == {"a"}
+
+
+def test_bm25_ranks_term_frequency_and_rarity(spark):
+    from ethical_data_ingestion_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark data", "en", "s", 22),
+            (2, "spark data data data", "en", "s", 20),
+            (3, "data data data data", "en", "s", 19),
+            (4, "filler filler filler filler", "en", "s", 27),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = bm25_topk(docs, ["spark"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1          # highest tf for the rare term wins
+    assert 3 not in ids and 4 not in ids  # docs without the term never rank
+    assert out[0].score > out[1].score
