@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "neardup_clusters",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
     "knn_cosine_ivf",

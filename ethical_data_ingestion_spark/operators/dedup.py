@@ -284,3 +284,64 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id1", "id2")
     )
+
+
+# --- duplicate-cluster resolution (connected components) ----------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id1", dst: str = "id2", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a pair list via min-label propagation:
+    every node ends up labeled with the smallest id reachable from it —
+    the canonical cluster id (and survivor choice) for dedup groups.
+
+    Iterative relaxation: each round takes min(own label, neighbors'
+    labels); converges in O(component diameter) rounds — near-dup clusters
+    are shallow (stars/chains of a few hops), so this terminates in a
+    handful of jobs even at corpus scale. Each round is one equi-join +
+    min-agg (shuffle keyed on node id); ``localCheckpoint`` cuts the plan
+    lineage so round N doesn't replay rounds 1..N-1. The driver only sees
+    a convergence counter, never row data.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            und.join(
+                labels.select(F.col("id").alias("b"), F.col("label").alias("bl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("bl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.id == neigh_min.a, "left")
+            .select(
+                labels.id,
+                F.least(
+                    labels.label, F.coalesce(F.col("nl"), labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

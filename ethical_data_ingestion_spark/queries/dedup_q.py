@@ -169,3 +169,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
     return pairs.select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES}),
+    {_EXACT_JACCARD},
+    edges AS (SELECT id1 AS src, id2 AS dst FROM jacc WHERE jaccard >= 0.8),
+    und AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+    nodes AS (SELECT DISTINCT src AS id FROM und),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT comp.id AS doc_id, comp.cluster_id,
+           sz.n AS cluster_size
+    FROM comp JOIN (SELECT cluster_id, COUNT(*) AS n
+                    FROM comp GROUP BY cluster_id) sz USING (cluster_id)
+    ORDER BY doc_id
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: Jaccard ≥0.8 pairs → connected
+    components via iterative min-label propagation → (doc, canonical
+    cluster id, cluster size). The step a real pipeline runs after pair
+    generation — keep one document per cluster, not per pair. Oracle:
+    the same transitive closure as a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    comp = D.connected_components(pairs, "id1", "id2")
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )

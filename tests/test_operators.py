@@ -159,3 +159,12 @@ def test_knn_ivf_partial_probe_is_subset_with_recall(spark, sf_dir):
     recall = len(exact & approx_set) / len(exact)
     # near-uniform fixture vectors: 4/16 cells ≈ 1/4 of the corpus scanned
     assert recall >= 0.15, f"IVF recall collapsed: {recall}"
+
+
+def test_connected_components_chain_and_islands(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id1 bigint, id2 bigint",
+    )
+    out = {r.id: r.cluster_id for r in dedup.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
