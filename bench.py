@@ -49,6 +49,8 @@ HEADLINE = [
     "window_tumbling_daily",
     "window_sliding_6h",
     "session_windows_30m",
+    "validation_gate_stats",
+    "approx_order_stats",
     "text_quality_stats",
     "token_count_bpe",
     "word_frequency_topk",

@@ -242,3 +242,21 @@ def running_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "running_value")
         .orderBy("user_id", "event_id")
     )
+
+
+@register("approx_order_stats")  # estimates are engine-specific → rows-only;
+                                 # error bounds vs exact asserted in tests
+def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for interactive scale: HLL++ distinct count and
+    quantile summaries compute in one pass with O(1) state per partition
+    and commutative merges — at 100 TB these replace exact COUNT(DISTINCT)
+    (a full shuffle of the key universe) and exact percentiles (a sort)
+    whenever ±2% is acceptable. DuckDB's estimators differ bit-wise, so
+    the driver applies its rows-only check; tests bound the relative error
+    against the exact answers."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -216,3 +216,57 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, ["spark", "vector", "window"], k=20)
+
+
+@register(
+    "validation_gate_stats",
+    oracle="""
+    WITH checked AS (
+      SELECT source,
+             (text IS NOT NULL AND length(text) > 0) AS r_nonempty,
+             (lang IN ('en','de','es','fr','zh','ja','pt','ru')) AS r_lang,
+             (n_chars = length(text)) AS r_chars,
+             (len(string_split(text, ' ')) >= 3) AS r_mintok
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE r_nonempty AND r_lang AND r_chars AND r_mintok)
+             AS n_pass,
+           COUNT(*) FILTER (WHERE NOT r_nonempty) AS v_empty,
+           COUNT(*) FILTER (WHERE NOT r_lang) AS v_lang,
+           COUNT(*) FILTER (WHERE NOT r_chars) AS v_chars,
+           COUNT(*) FILTER (WHERE NOT r_mintok) AS v_mintok
+    FROM checked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def validation_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compliance gate (SURVEY #31) applied to DATA, not just sources —
+    the training-pipeline shape: declarative per-row rules evaluated in one
+    projection, rows with any violation quarantined, per-rule violation
+    counts for the audit panel. Every rule is a codegen'd boolean fused
+    into the scan; the gate costs one pass at any scale."""
+    from ..sources.compliance import Rule, with_issues
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        Rule("nonempty", F.col("text").isNotNull() & (F.length("text") > 0), "empty text"),
+        Rule("lang", F.col("lang").isin("en", "de", "es", "fr", "zh", "ja", "pt", "ru"), "unknown lang"),
+        Rule("chars", F.col("n_chars") == F.length("text"), "n_chars mismatch"),
+        Rule("mintok", T.n_tokens("text") >= 3, "too few tokens"),
+    ]
+    checked = with_issues(docs, rules)
+    return (
+        checked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.size("issues") == 0).cast("long")).alias("n_pass"),
+            F.sum(F.array_contains("issues", "empty text").cast("long")).alias("v_empty"),
+            F.sum(F.array_contains("issues", "unknown lang").cast("long")).alias("v_lang"),
+            F.sum(F.array_contains("issues", "n_chars mismatch").cast("long")).alias("v_chars"),
+            F.sum(F.array_contains("issues", "too few tokens").cast("long")).alias("v_mintok"),
+        )
+        .orderBy("source")
+    )

@@ -168,3 +168,18 @@ def test_connected_components_chain_and_islands(spark):
     )
     out = {r.id: r.cluster_id for r in dedup.connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_approx_aggregates_error_bounds(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    row = (
+        orders.agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("apx"),
+            F.countDistinct("o_custkey").alias("exact"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_apx"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+        )
+        .collect()[0]
+    )
+    assert abs(row.apx - row.exact) / row.exact < 0.05
+    assert abs(row.p50_apx - row.p50_exact) / row.p50_exact < 0.01
