@@ -58,12 +58,24 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
 # --- n-gram Jaccard (exact near-dup) ------------------------------------
 
 
-def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingles array, size) — the verification-side representation."""
-    return df.select(
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int, materialize: bool = False
+) -> DataFrame:
+    """(id, shingles array, size) — the verification-side representation.
+
+    ``materialize=True`` localCheckpoints the result for callers whose
+    downstream genuinely re-executes the text pipeline. NOTE (measured at
+    sf0.1): the dedup queries do NOT benefit — their repeated consumers
+    are identical subtrees that Catalyst already dedupes via
+    ReusedExchange, and forcing materialization of the wide shingle
+    arrays was a net slowdown (6.3s → 8.2s). Kept as an explicit opt-in
+    for iterative callers (connected_components-style loops) where the
+    consumer plans differ per iteration and reuse can't apply."""
+    sets = df.select(
         F.col(id_col),
         shingles(text_col, k).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
+    return sets.localCheckpoint(eager=True) if materialize else sets
 
 
 def _verify_jaccard(
@@ -110,6 +122,9 @@ def jaccard_pairs(
     sh = sets.select(F.col(id_col), F.col("n_sh"), F.explode("sh").alias("s"))
     docfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "s")
+    # no checkpoint: the prefix feeds both sides of the candidate
+    # self-join, but Catalyst's ReusedExchange dedupes the identical
+    # subplans already — materializing measured slower at sf0.1
     prefix = (
         sh.join(docfreq, "s")
         .withColumn("pos", F.row_number().over(w))
@@ -176,6 +191,7 @@ def minhash_lsh_pairs(
     and verification touches only candidates — the standard scalable shape.
     """
     rows = num_hashes // bands
+    sets = _shingle_sets(df, id_col, text_col, k)
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
     band_cols = [
         F.md5(
@@ -200,7 +216,7 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
         .distinct()
     )
-    return _verify_jaccard(candidates, _shingle_sets(df, id_col, text_col, k), id_col, threshold)
+    return _verify_jaccard(candidates, sets, id_col, threshold)
 
 
 # --- SimHash ------------------------------------------------------------
