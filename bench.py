@@ -49,6 +49,7 @@ HEADLINE = [
     "window_tumbling_daily",
     "window_sliding_6h",
     "session_windows_30m",
+    "asof_last_purchase",
     "validation_gate_stats",
     "approx_order_stats",
     "text_quality_stats",

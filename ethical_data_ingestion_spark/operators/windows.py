@@ -15,7 +15,7 @@ per-key sorted runs. Both are linear, no self-joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .analytics import davg
@@ -71,3 +71,68 @@ def session_agg(df: DataFrame, ts_col: str, gap: str, key: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of (temporal) join: each left row picks up the most recent right
+    row with the same key at-or-before its timestamp — the operator behind
+    "state as of event time" queries (latest price before a trade, last
+    login before an action).
+
+    Spark has no native ASOF JOIN; the scalable form is the union trick:
+    tag both sides, union them, and run one ``last(..., ignorenulls=True)``
+    window per key ordered by (ts, side) — right rows sort before left at
+    equal timestamps, so "at-or-before" includes ties. ONE shuffle on the
+    key and a per-partition sort, regardless of how many right rows precede
+    each left row — strictly better than the range-join (inequality join)
+    formulation, which explodes to |left|·|right-per-key| intermediates.
+    DuckDB mirrors it natively (``ASOF LEFT JOIN ... ON a.key = b.key AND
+    a.ts >= b.ts``), which is the oracle bridge.
+    """
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    missing_in_left = [c for c in value_cols]
+    for c in missing_in_left:
+        l_tag = l_tag.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    left_cols = [c for c in left.columns]
+    u = l_tag.select(
+        *left_cols, "_side", "_ats", *[f"_r_{c}" for c in value_cols]
+    ).unionByName(
+        r_tag.select(
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                if c != key
+                else F.col(key)
+                for c in left_cols
+            ],
+            "_side",
+            "_ats",
+            *[f"_r_{c}" for c in value_cols],
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *left_cols,
+        "_side",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")

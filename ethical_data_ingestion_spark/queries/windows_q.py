@@ -129,3 +129,56 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session_agg(ev, "ts", "30 minutes", "user_id").orderBy(
         "user_id", "session_start"
     )
+
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    joined AS (
+      SELECT c.event_id, c.user_id,
+             ROUND(p.value, 4) AS asof_value
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    )
+    SELECT user_id,
+           COUNT(*) AS n_clicks,
+           COUNT(asof_value) AS n_with_prior_purchase,
+           ROUND(CAST(SUM(CAST(asof_value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(asof_value), 4) AS avg_asof_value
+    FROM joined
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click event joined to the user's most recent
+    purchase at-or-before it (union + one last-ignorenulls window — a
+    single shuffle on user_id; see operators/windows.asof_join), rolled up
+    per user. The oracle runs DuckDB's native ASOF LEFT JOIN — two
+    different algorithms, same temporal semantics, hash-equal results."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = W.asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    ).withColumn("asof_value", F.round("asof_value", 4))
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("asof_value").alias("n_with_prior_purchase"),
+            davg("asof_value", "avg_asof_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -183,3 +183,26 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
     )
     assert abs(row.apx - row.exact) / row.exact < 0.05
     assert abs(row.p50_apx - row.p50_exact) / row.p50_exact < 0.01
+
+
+def test_asof_join_semantics(spark):
+    from ethical_data_ingestion_spark.operators.windows import asof_join
+    import datetime as dt
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 1, T(10)), (2, 1, T(30)), (3, 2, T(5)), (4, 3, T(20))],
+        "event_id bigint, user_id bigint, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(1, T(10), 100.0), (1, T(25), 200.0), (2, T(6), 50.0)],
+        "user_id bigint, ts timestamp_ntz, value double",
+    )
+    out = {
+        r.event_id: r.asof_value
+        for r in asof_join(left, right, "user_id", "ts", "ts", ["value"]).collect()
+    }
+    assert out[1] == 100.0  # tie: at-or-before includes equal timestamps
+    assert out[2] == 200.0  # picks most recent, not first
+    assert out[3] is None   # right row is AFTER the left row -> no match
+    assert out[4] is None   # key with no right rows at all
