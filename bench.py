@@ -80,9 +80,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths once with a trivial job so query timings
-    # measure the engine, not bootstrap.
+    # Warm the JVM once so query timings measure the engine, not
+    # bootstrap: a scan+agg touches the vectorized parquet reader, codegen
+    # compilation, and the shuffle machinery. Deliberately NOT one of the
+    # benchmarked queries — steady-state timing without pre-running the
+    # workload itself.
     spark.range(1000).count()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy(
+        "n_regionkey"
+    ).count().collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -326,6 +326,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # size the iteration to the graph, not the session default: near-dup
+    # edge lists are typically tiny relative to the corpus, and each
+    # iteration pays per-partition task overhead × rounds. ~100k edges per
+    # partition; grows with the graph at scale.
+    n_edges = und.count()
+    n_parts = max(1, min(und.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    und = und.repartition(n_parts, "b").localCheckpoint(eager=True)
     labels = (
         und.select(F.col("a").alias("id"))
         .distinct()

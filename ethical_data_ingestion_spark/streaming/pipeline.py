@@ -147,7 +147,13 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    spark = sdf.sparkSession
+    # detach the result from the memory sink (checkpoint = one stable
+    # copy in block storage) and drop the sink view, so repeated drains
+    # in one session don't accumulate sink tables
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def tumbling_stream(
