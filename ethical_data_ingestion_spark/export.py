@@ -21,14 +21,23 @@ def export(
     path: str,
     where: str | None = None,
     mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> None:
     """``export_to_formats(query, fmt, path)`` equivalent.
 
     fmt ∈ {parquet, csv, json} (``ethical_crawler.py:1082-1096``); csv gets
     a header row to match ``FORMAT CSV, HEADER`` (``:1091``).
+
+    ``partition_by`` writes hive-style ``col=value/`` directories — the
+    at-rest layout that gives downstream readers partition PRUNING (a
+    filter on the partition column skips whole directories, the
+    distributed analogue of the reference's ``ingested_at``/``source_name``
+    indexes).
     """
     out = df.filter(F.expr(where)) if where else df
     writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     if fmt == "parquet":
         writer.parquet(path)
     elif fmt == "csv":
@@ -43,4 +52,6 @@ def attribution(df: DataFrame, source_col: str, where: str | None = None) -> Dat
     """Export attribution footer (``ethical_crawler.py:1383-1388``):
     distinct sources contributing to an (optionally filtered) export."""
     out = df.filter(F.expr(where)) if where else df
-    return out.select(source_col).distinct()
+    # sorted for deterministic display (the reference renders this footer
+    # in arbitrary SQL order, ``ethical_crawler.py:1389-1399``)
+    return out.select(source_col).distinct().orderBy(source_col)

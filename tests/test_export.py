@@ -1,0 +1,64 @@
+"""Export sinks: format round-trips, expr() predicate, partitioned layout
+with pruning visible in the scan plan."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from ethical_data_ingestion_spark import export as E
+from ethical_data_ingestion_spark import plans
+from ethical_data_ingestion_spark.io import load_table
+
+
+def test_export_roundtrip_all_formats(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    n_filtered = docs.filter("n_chars > 200").count()
+    assert 0 < n_filtered < docs.count()
+
+    for fmt in ("parquet", "csv", "json"):
+        path = str(tmp_path / fmt)
+        E.export(docs, fmt, path, where="n_chars > 200")
+        if fmt == "parquet":
+            back = spark.read.parquet(path)
+        elif fmt == "csv":
+            back = spark.read.option("header", True).csv(path)
+        else:
+            back = spark.read.json(path)
+        assert back.count() == n_filtered, fmt
+
+
+def test_export_rejects_unknown_format(spark, sf_dir, tmp_path):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="unsupported export format"):
+        E.export(docs, "xml", str(tmp_path / "x"))
+
+
+def test_partitioned_export_layout_and_pruning(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    path = str(tmp_path / "by_source")
+    E.export(docs, "parquet", path, partition_by=["source"])
+    # hive-style layout on disk
+    dirs = sorted(os.path.basename(p) for p in glob.glob(f"{path}/source=*"))
+    assert dirs and all(d.startswith("source=") for d in dirs)
+    # a filter on the partition column prunes to one directory: the scan's
+    # data filters are empty (partition filter handled before the scan)
+    back = spark.read.parquet(path).filter(F.col("source") == "src0")
+    plan = plans.formatted_plan(back)
+    assert "PartitionFilters" in plan and "source" in plan
+    assert back.count() == docs.filter("source = 'src0'").count()
+
+
+def test_attribution_footer(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = E.attribution(docs, "source", where="n_chars > 200")
+    srcs = [r.source for r in out.collect()]
+    assert sorted(srcs) == srcs and len(set(srcs)) == len(srcs)
