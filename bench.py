@@ -50,6 +50,7 @@ HEADLINE = [
     "window_sliding_6h",
     "session_windows_30m",
     "asof_last_purchase",
+    "range_join_session_overlap",
     "validation_gate_stats",
     "approx_order_stats",
     "text_quality_stats",

@@ -136,3 +136,45 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Range (interval) join: pair every point row with every interval row
+    satisfying ``start <= ts < end`` — without the O(|points|·|intervals|)
+    nested-loop a naive inequality join plans.
+
+    Scalable shape: quantize time into ``bucket``-sized cells; each
+    interval explodes to the cells it covers (``sequence()`` — interval
+    length / bucket rows each), each point maps to one cell, candidates
+    come from the (cell) equi-join, and the exact range predicate refines
+    them. Shuffle is keyed on the time cell, so cost tracks how much the
+    data actually overlaps, not the cross product. Pick ``bucket`` near
+    the median interval length: too small explodes intervals, too large
+    degrades candidate selectivity.
+    """
+    cell = F.window(F.col(ts_col), bucket).getField("start")
+    p = points.withColumn("_cell", cell)
+    i = intervals.withColumn(
+        "_cells",
+        F.sequence(
+            F.window(F.col(start_col), bucket).getField("start"),
+            # end is exclusive: an interval ending exactly on a cell
+            # boundary does not cover that cell
+            F.window(
+                F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND"), bucket
+            ).getField("start"),
+            F.expr(f"INTERVAL {bucket}"),
+        ),
+    ).withColumn("_cell", F.explode("_cells")).drop("_cells")
+    return (
+        p.join(i, "_cell")
+        .filter((F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("_cell")
+    )

@@ -182,3 +182,69 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "range_join_session_overlap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events WHERE user_id < 5
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id AS s_user,
+             MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM numbered GROUP BY user_id, sid
+    ),
+    pairs AS (
+      SELECT e.event_type, e.event_id
+      FROM events e JOIN sessions s
+        ON s.s_start <= e.ts AND e.ts < s.s_end
+    )
+    SELECT event_type,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT event_id) AS n_events_covered
+    FROM pairs
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def range_join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every event paired with every concurrently
+    open session of users 0-4 ([start, last+gap) from ``session_window``'s
+    own end bound), rolled up per event type. Spark runs the time-bucketed
+    candidate join (operators/windows.range_join — shuffle keyed on 1-hour
+    cells); the oracle brute-forces the inequality join. Different
+    algorithms, hash-equal answers."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.filter(F.col("user_id") < 5)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+        )
+    )
+    pairs = W.range_join(
+        ev.select("event_id", "event_type", "ts"), sess,
+        ts_col="ts", start_col="s_start", end_col="s_end", bucket="1 hour",
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_events_covered"),
+        )
+        .orderBy("event_type")
+    )

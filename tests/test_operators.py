@@ -206,3 +206,26 @@ def test_asof_join_semantics(spark):
     assert out[2] == 200.0  # picks most recent, not first
     assert out[3] is None   # right row is AFTER the left row -> no match
     assert out[4] is None   # key with no right rows at all
+
+
+def test_range_join_boundary_semantics(spark):
+    from ethical_data_ingestion_spark.operators.windows import range_join
+    import datetime as dt
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    points = spark.createDataFrame(
+        [(1, T(1, 0)), (2, T(2, 30)), (3, T(5, 0)), (4, T(0, 59))],
+        "pid bigint, ts timestamp_ntz",
+    )
+    intervals = spark.createDataFrame(
+        [(100, T(1, 0), T(5, 0)),   # spans 4 one-hour buckets
+         (200, T(2, 15), T(2, 45))],  # shorter than one bucket
+        "iid bigint, s timestamp_ntz, e timestamp_ntz",
+    )
+    out = {(r.pid, r.iid)
+           for r in range_join(points, intervals, "ts", "s", "e").collect()}
+    assert (1, 100) in out      # ts == start → included
+    assert (3, 100) not in out  # ts == end → excluded
+    assert (4, 100) not in out  # before start
+    assert (2, 100) in out and (2, 200) in out  # point in both intervals
+    assert len(out) == 3
