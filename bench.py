@@ -70,6 +70,7 @@ HEADLINE = [
     "streaming_tumbling_hourly",
     "streaming_dedup_keys",
     "streaming_sessions_stateful",
+    "continuous_rollup_daily",
 ]
 
 

@@ -148,3 +148,36 @@ def streaming_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_last", "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "continuous_rollup_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def continuous_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (hypertable-rollup shape): the day-partitioned
+    rollup TABLE maintained incrementally by foreachBatch merges across 4
+    micro-batches (each rewrites only the day partitions it touched via
+    dynamic partition overwrite), then read back. Hash-equality with the
+    one-shot GROUP BY proves the incremental maintenance converges to the
+    batch answer."""
+    import tempfile as _tf
+
+    with P.state_partitions(spark, 8):
+        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=1)
+        out_dir = P.incremental_rollup(
+            stream, _tf.mkdtemp(prefix="eds_rollup_")
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .select("day", "event_type", "n_events", "total_value")
+        .orderBy("day", "event_type")
+    )

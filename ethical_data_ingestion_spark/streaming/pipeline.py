@@ -335,3 +335,84 @@ def audit_sink(stream: DataFrame, out_dir: str) -> "DataFrame":
     )
     q.awaitTermination()
     return stream
+
+
+def sliding_stream(
+    stream: DataFrame,
+    duration: str,
+    slide: str,
+    ts_col: str = "ts",
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked sliding-window aggregate — same body as the batch
+    ``sliding_agg`` (each event expands to duration/slide windows inside
+    the TimeWindow generator; state is per open window)."""
+    wm = stream.withColumn(ts_col, as_instant(ts_col)).withWatermark(ts_col, delay)
+    return W.sliding_agg(wm, ts_col, duration, slide).withColumn(
+        "window_start", as_ntz("window_start")
+    )
+
+
+def incremental_rollup(
+    stream: DataFrame,
+    out_dir: str,
+    ts_col: str = "ts",
+    keys: list[str] = ("event_type",),
+) -> str:
+    """Continuous aggregate (hypertable-rollup shape): maintain a daily
+    rollup TABLE incrementally as the stream arrives.
+
+    Each micro-batch re-aggregates only the (day, keys) partial counts it
+    contains and merges them into a day-partitioned parquet table via
+    foreachBatch: read the affected days' current partials, combine, and
+    rewrite ONLY those day directories (dynamic partition overwrite).
+    Work per batch is O(batch + touched partitions), never a full-table
+    rewrite — the property that makes a rolling 100 TB rollup maintainable.
+    Readers aggregate the partials (sum of sums) for exact totals.
+    """
+    keys = list(keys)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = (
+            batch_df.withColumn("day", F.to_date(ts_col))
+            .groupBy("day", *keys)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        try:
+            current = spark.read.parquet(out_dir)
+            touched = delta.select("day").distinct()
+            merged = (
+                current.join(F.broadcast(touched), "day", "left_semi")
+                .unionByName(delta)
+                .groupBy("day", *keys)
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum(F.col("total_value").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("total_value"),
+                )
+            )
+        except Exception:  # first batch: nothing to merge yet
+            merged = delta
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("day").parquet(out_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    ckpt = tempfile.mkdtemp(prefix="eds_rollup_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir

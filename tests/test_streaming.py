@@ -93,3 +93,48 @@ def test_audit_sink_appends_batches_with_ids(spark, sf_dir, tmp_path):
     assert audit.count() == ev.count()
     assert [r.batch_id for r in audit.select("batch_id").distinct().collect()] is not None
     assert audit.select("batch_id").distinct().count() == 2
+
+
+def test_sliding_stream_complete_equals_batch(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    src = P.spool(ev, str(tmp_path / "src"), 4)
+    out = P.run_available_now(
+        P.sliding_stream(P.stream_from(spark, src, max_files_per_trigger=2),
+                         "6 hours", "1 hour"),
+        output_mode="complete",
+    )
+    batch = W.sliding_agg(ev, "ts", "6 hours", "1 hour")
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+
+
+def test_incremental_rollup_matches_batch_aggregate(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    src = P.spool(ev, str(tmp_path / "src"), 4)
+    out_dir = str(tmp_path / "rollup")
+    P.incremental_rollup(
+        P.stream_from(spark, src, max_files_per_trigger=1), out_dir
+    )
+    rolled = (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum(F.col("total_value").cast("decimal(18,2)"))
+            .cast("double").alias("total_value"),
+        )
+    )
+    batch = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("total_value"),
+        )
+    )
+    assert rolled.exceptAll(batch).count() == 0
+    assert batch.exceptAll(rolled).count() == 0
+    # day-partitioned layout on disk (incremental rewrites touch only days)
+    import glob, os
+    days = glob.glob(os.path.join(out_dir, "day=*"))
+    assert len(days) >= 25  # ~30 days of fixture events
