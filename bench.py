@@ -51,6 +51,7 @@ HEADLINE = [
     "session_windows_30m",
     "asof_last_purchase",
     "range_join_session_overlap",
+    "group_normalized_values",
     "validation_gate_stats",
     "approx_order_stats",
     "text_quality_stats",

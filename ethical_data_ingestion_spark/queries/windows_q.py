@@ -248,3 +248,49 @@ def range_join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "group_normalized_values",
+    oracle="""
+    WITH z AS (
+      SELECT event_type,
+             ROUND(abs((value - AVG(value) OVER (PARTITION BY event_type))
+                   / STDDEV_SAMP(value) OVER (PARTITION BY event_type)), 6) AS az
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(az AS DECIMAL(18,6))) AS DOUBLE) / COUNT(az), 4)
+             AS avg_abs_z
+    FROM z
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def group_normalized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization via grouped-map ``applyInPandas`` —
+    the fourth Pandas API surface (after pandas_udf / mapInPandas /
+    applyInPandasWithState): whole group in, whole group out, Arrow both
+    ways, one shuffle on the group key. The numpy body stands in for any
+    per-group model step (scaler, PCA, outlier filter). Oracle mirrors
+    with window functions — where the semantics ARE expressible
+    relationally, the UDF must agree with the relational answer."""
+    import pandas as pd
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame(
+            {"event_type": pdf["event_type"], "az": z.abs().round(6)}
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    zdf = ev.groupBy("event_type").applyInPandas(
+        normalize, schema="event_type string, az double"
+    )
+    return (
+        zdf.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), davg("az", "avg_abs_z"))
+        .orderBy("event_type")
+    )
