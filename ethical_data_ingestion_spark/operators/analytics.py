@@ -39,6 +39,15 @@ def davg(col, alias: str, scale: int = 6):
     The decimal sum makes the dividend exact, so both engines divide the
     same two numbers. DuckDB mirror:
     ``ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x), 4)``.
+
+    CAVEAT: if sum/count can land EXACTLY on a .xxxx5 half-point (inputs
+    are low-scale decimals like 2-decimal money and counts are small),
+    the final double round itself diverges: Spark rounds the double's
+    shortest decimal representation (…875 → up) while DuckDB rounds the
+    binary value (…87499… → down). Averages of full-precision ratios are
+    safe (half-points have measure ~0); for money-over-count metrics
+    prefer an exact decimal SUM instead (observed on asof_last_purchase
+    at sf0.1).
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(

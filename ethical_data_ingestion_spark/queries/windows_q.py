@@ -141,16 +141,15 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ),
     joined AS (
-      SELECT c.event_id, c.user_id,
-             ROUND(p.value, 4) AS asof_value
+      SELECT c.event_id, c.user_id, p.value AS asof_value
       FROM clicks c ASOF LEFT JOIN purchases p
         ON c.user_id = p.user_id AND c.ts >= p.ts
     )
     SELECT user_id,
            COUNT(*) AS n_clicks,
            COUNT(asof_value) AS n_with_prior_purchase,
-           ROUND(CAST(SUM(CAST(asof_value AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(asof_value), 4) AS avg_asof_value
+           CAST(SUM(CAST(asof_value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_asof_value
     FROM joined
     GROUP BY user_id
     ORDER BY user_id
@@ -169,16 +168,22 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )
+    # exact decimal SUM, not an average: at sf0.1 several users' averages
+    # land exactly on a .xxxx5 half-point, where Spark's round() (shortest
+    # decimal repr of the double, then HALF_UP) and DuckDB's (binary value)
+    # disagree by 1e-4. The 2-decimal money sum is boundary-free.
     joined = W.asof_join(
         clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
         value_cols=["value"],
-    ).withColumn("asof_value", F.round("asof_value", 4))
+    )
     return (
         joined.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_clicks"),
             F.count("asof_value").alias("n_with_prior_purchase"),
-            davg("asof_value", "avg_asof_value"),
+            F.sum(F.col("asof_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_asof_value"),
         )
         .orderBy("user_id")
     )

@@ -229,3 +229,30 @@ def test_range_join_boundary_semantics(spark):
     assert (4, 100) not in out  # before start
     assert (2, 100) in out and (2, 200) in out  # point in both intervals
     assert len(out) == 3
+
+
+def test_new_operators_empty_inputs(spark):
+    from ethical_data_ingestion_spark.operators.windows import asof_join, range_join
+    from ethical_data_ingestion_spark.operators.search import bm25_topk
+
+    empty_right = spark.createDataFrame(
+        [], "user_id bigint, ts timestamp_ntz, value double"
+    )
+    left = spark.createDataFrame(
+        [(1, 1, __import__("datetime").datetime(2024, 1, 1))],
+        "event_id bigint, user_id bigint, ts timestamp_ntz",
+    )
+    out = asof_join(left, empty_right, "user_id", "ts", "ts", ["value"]).collect()
+    assert len(out) == 1 and out[0].asof_value is None
+
+    empty_iv = spark.createDataFrame(
+        [], "iid bigint, s timestamp_ntz, e timestamp_ntz"
+    )
+    assert range_join(left, empty_iv, "ts", "s", "e").count() == 0
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s", 10)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    # query terms absent from the corpus -> empty ranking, not an error
+    assert bm25_topk(docs, ["zzz"], k=5).count() == 0
