@@ -122,13 +122,22 @@ def jaccard_pairs(
     sh = sets.select(F.col(id_col), F.col("n_sh"), F.explode("sh").alias("s"))
     docfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "s")
-    # no checkpoint: the prefix feeds both sides of the candidate
+    # Prefix length p = n − ⌈t·n⌉ + 1. NOT floor((1−t)·n)+1: in doubles,
+    # 1−0.8 = 0.19999999999999996, so floor((1−t)·10) = 1 instead of 2 —
+    # one prefix slot short, which silently DROPPED an exact-boundary
+    # J=0.8 pair at sf0.1 (the filter must over-approximate, never
+    # under). round(…,9) kills the remaining representation epsilon in
+    # t·n before the ceil.
+    # (No checkpoint: the prefix feeds both sides of the candidate
     # self-join, but Catalyst's ReusedExchange dedupes the identical
-    # subplans already — materializing measured slower at sf0.1
+    # subplans already — materializing measured slower at sf0.1.)
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9)) + 1
+    )
     prefix = (
         sh.join(docfreq, "s")
         .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= F.floor((1 - threshold) * F.col("n_sh")) + 1)
+        .filter(F.col("pos") <= prefix_len)
         .select(id_col, "s")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
