@@ -57,6 +57,7 @@ HEADLINE = [
     "text_quality_stats",
     "token_count_bpe",
     "word_frequency_topk",
+    "text_repetition_stats",
     "dedup_exact_stats",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",

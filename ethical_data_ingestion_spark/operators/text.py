@@ -131,3 +131,20 @@ def shingles(col: str | Column, k: int = 3) -> Column:
             lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(k)]),
         )
     )
+
+
+def shingles_raw(col: str | Column, k: int = 2) -> Column:
+    """Word k-gram array WITH duplicates over the raw (un-normalized)
+    token stream — the input for repetition/frequency analysis, where
+    multiplicity is the signal (contrast :func:`shingles`, which
+    deduplicates for set-similarity). Same zip construction, no
+    ``array_distinct``."""
+    toks = tokens(col)
+    n = F.size(toks)
+    length = F.greatest(n - (k - 1), F.lit(1))
+    parts = [F.slice(toks, i + 1, length) for i in range(k)]
+    zipped = F.arrays_zip(*parts)
+    return F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(k)]),
+    )

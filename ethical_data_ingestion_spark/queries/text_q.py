@@ -270,3 +270,66 @@ def validation_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, source,
+             list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')) AS bg
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, source, g, COUNT(*) AS c
+      FROM (SELECT doc_id, source, unnest(bg) AS g FROM grams)
+      GROUP BY doc_id, source, g
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             ROUND(MAX(c)::DOUBLE / SUM(c)::DOUBLE, 6) AS top_bigram_frac
+      FROM counts GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(top_bigram_frac AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(top_bigram_frac), 4) AS avg_top_bigram_frac,
+           CAST(SUM(CASE WHEN top_bigram_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality scoring (the Gopher-rule family): fraction
+    of a document occupied by its most frequent word bigram; documents
+    above 20% flag as repetitive. Explode → per-doc count → max/sum ratio:
+    two shuffles keyed on doc, both map-side combined — linear at corpus
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "source",
+        F.explode(T.shingles_raw("text", 2)).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "source", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id", "source").agg(
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            "top_bigram_frac"
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("top_bigram_frac", "avg_top_bigram_frac"),
+            F.sum((F.col("top_bigram_frac") > 0.2).cast("long")).alias(
+                "n_repetitive"
+            ),
+        )
+        .orderBy("source")
+    )
