@@ -199,6 +199,12 @@ def minhash_lsh_pairs(
     to candidates. At 100 TB the band join shuffles |docs|·bands small rows
     and verification touches only candidates — the standard scalable shape.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop hashes and weaken the banding "
+            "guarantee"
+        )
     rows = num_hashes // bands
     sets = _shingle_sets(df, id_col, text_col, k)
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k)

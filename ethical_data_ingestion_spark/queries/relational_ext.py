@@ -253,10 +253,14 @@ def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a full shuffle of the key universe) and exact percentiles (a sort)
     whenever ±2% is acceptable. DuckDB's estimators differ bit-wise, so
     the driver applies its rows-only check; tests bound the relative error
-    against the exact answers."""
+    against the exact answers. Quantiles are emitted as scalar columns
+    (price_p50, price_p95) — the driver's pandas canonicalizer cannot hash
+    array cells."""
     orders = load_table(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)
     return orders.agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("price_quantiles"),
+        F.element_at(q, 1).alias("price_p50"),
+        F.element_at(q, 2).alias("price_p95"),
         F.count(F.lit(1)).alias("n_orders"),
     )

@@ -21,7 +21,7 @@ from ..registry import register
     oracle="""
     SELECT o_orderpriority AS priority,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
              AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -50,7 +50,7 @@ def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,2)"
+                    "decimal(18,4)"
                 )
             )
             .cast("double")

@@ -32,7 +32,9 @@ def parse_robots(text: str, user_agent: str = "*") -> list[str]:
         lower = line.lower()
         if lower.startswith("user-agent:"):
             agent = line.split(":", 1)[1].strip()
-            applies = agent == "*" or agent.lower() in user_agent.lower()
+            # exact case-insensitive match, mirroring the reference
+            # (ethical_crawler.py: ua.lower() == user_agent.lower())
+            applies = agent == "*" or agent.lower() == user_agent.lower()
         elif lower.startswith("disallow:") and applies:
             path = line.split(":", 1)[1].strip()
             if path:
@@ -49,6 +51,7 @@ class RobotsCache:
 
     ttl_seconds: float = 24 * 3600
     fetcher: object = None  # callable url -> text; injected (no network in tests)
+    user_agent: str = "*"
     _cache: dict[str, tuple[float, list[str]]] = field(default_factory=dict)
 
     def disallows_for(self, domain: str) -> list[str]:
@@ -58,15 +61,27 @@ class RobotsCache:
             return hit[1]
         try:
             text = self.fetcher(f"https://{domain}/robots.txt") if self.fetcher else ""
-            rules = parse_robots(text or "")
+            rules = parse_robots(text or "", user_agent=self.user_agent)
         except Exception:
             rules = []  # fail-open, mirroring the reference
         self._cache[domain] = (now, rules)
         return rules
 
-    def can_fetch(self, url: str) -> bool:
+    def can_fetch(self, url: str, user_agent: str | None = None) -> bool:
         parsed = urlparse(url)
         path = parsed.path or "/"
+        if user_agent is not None and user_agent != self.user_agent:
+            # UA differs from the cached section: parse fresh for this UA
+            try:
+                text = (
+                    self.fetcher(f"https://{parsed.netloc}/robots.txt")
+                    if self.fetcher
+                    else ""
+                )
+                rules = parse_robots(text or "", user_agent=user_agent)
+            except Exception:
+                rules = []  # fail-open, mirroring the reference
+            return not any(path.startswith(p) for p in rules)
         return not any(path.startswith(p) for p in self.disallows_for(parsed.netloc))
 
 

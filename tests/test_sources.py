@@ -46,6 +46,21 @@ def test_robots_cache_blocks_prefix():
     assert rc.can_fetch("https://x.example/public/data.csv")
 
 
+def test_parse_robots_exact_agent_match():
+    # exact case-insensitive equality (reference: ua.lower() == user_agent.lower()),
+    # NOT substring: "bot" must not inherit evilbot's section
+    assert robots.parse_robots(ROBOTS_TXT, "bot") == ["/private", "/tmp/"]
+    assert robots.parse_robots(ROBOTS_TXT, "EvilBot") == ["/private", "/tmp/", "/"]
+
+
+def test_robots_cache_user_agent_sections():
+    rc = robots.RobotsCache(fetcher=lambda url: ROBOTS_TXT, user_agent="evilbot")
+    # evilbot's section disallows everything
+    assert not rc.can_fetch("https://x.example/public/data.csv")
+    # per-call UA override re-parses for that UA
+    assert rc.can_fetch("https://x.example/public/data.csv", user_agent="friendly")
+
+
 def test_allowed_urls_filter(spark):
     df = spark.createDataFrame(
         [("https://a.example/private/x",), ("https://a.example/ok",),

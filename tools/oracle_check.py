@@ -31,10 +31,11 @@ def _norm_cell(v: object) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # normalize -0.0 and represent with fixed precision
+        # normalize -0.0; full precision (repr) so divergences the driver's
+        # stricter gate would catch are not masked by %.6g truncation
         if v == 0:
             v = 0.0
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
