@@ -68,6 +68,19 @@ def upsert_ignore(
     if table_exists(spark, table):
         existing = spark.table(table).select(*keys)
         fresh = fresh.join(existing, keys, "left_anti")
+        # conform to the target schema — the reference's INSERT names its
+        # 14 columns explicitly (ethical_crawler.py:915-920) and lets the
+        # table default/null the rest (id sequence, embedding); the Spark
+        # equivalent of unnamed columns is a typed-null fill.
+        target = spark.table(table).schema
+        fresh = fresh.select(
+            [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in fresh.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        )
     n = fresh.count()
     if n:
         fresh.write.mode("append").format("parquet").saveAsTable(table)

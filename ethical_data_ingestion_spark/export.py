@@ -35,6 +35,18 @@ def export(
     indexes).
     """
     out = df.filter(F.expr(where)) if where else df
+    if fmt == "csv":
+        # CSV has no nested types; DuckDB's COPY stringifies lists
+        # (ethical_crawler.py:1087-1091 relies on that) — serialize
+        # complex columns as JSON text for the same round-trippable shape.
+        out = out.select(
+            [
+                F.to_json(F.col(f.name)).alias(f.name)
+                if f.dataType.typeName() in ("array", "map", "struct")
+                else F.col(f.name)
+                for f in out.schema.fields
+            ]
+        )
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

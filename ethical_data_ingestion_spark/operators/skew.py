@@ -56,6 +56,53 @@ def salted_join(
     return salted_big.join(replicated, on + ["_salt"], how).drop("_salt")
 
 
+def salted_join_hotkeys(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    big_unique_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    sample_fraction: float = 0.01,
+    hot_threshold: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Adaptive split join: salt ONLY the hot keys, plain-join the rest.
+
+    Uniform salting (``salted_join``) replicates the whole small side
+    ``n_salts``× even when one key in a million is hot. Production skew
+    handling splits instead: (1) estimate per-key frequency from a
+    deterministic sample of the big side, (2) broadcast the (tiny by
+    construction) hot-key list, (3) route hot rows through the salted
+    path and the rest through the normal shuffle join, (4) union. Cost of
+    replication is paid only for the keys that need it; with no hot keys
+    the plan degrades to exactly the plain join plus one sampled count.
+
+    ``hot_threshold`` is in SAMPLED rows: a key is hot if it shows up
+    ``hot_threshold`` times in the ``sample_fraction`` sample (i.e. ~
+    ``hot_threshold / sample_fraction`` rows overall). Sampling is seeded
+    so the plan — and result hashes — are reproducible.
+
+    Correct for inner and left joins: the hot/cold split is a partition of
+    the key space applied consistently to both sides, so no pair is lost
+    or duplicated across the two branches.
+    """
+    hot_keys = F.broadcast(
+        big.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= hot_threshold)
+        .select(*on)
+    )
+    big_hot = big.join(hot_keys, on, "left_semi")
+    big_cold = big.join(hot_keys, on, "left_anti")
+    small_hot = small.join(hot_keys, on, "left_semi")
+    small_cold = small.join(hot_keys, on, "left_anti")
+    hot_joined = salted_join(big_hot, small_hot, on, big_unique_col, n_salts, how)
+    cold_joined = big_cold.join(small_cold, on, how)
+    return hot_joined.unionByName(cold_joined)
+
+
 def salted_two_phase_agg(
     df: DataFrame,
     keys: list[str],

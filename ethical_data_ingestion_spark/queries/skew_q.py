@@ -29,11 +29,14 @@ from ..registry import register
     """,
 )
 def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem ⋈ orders via the salted strategy (16 salts, orders
-    replicated 16×), then revenue per priority. The oracle is the plain
+    """lineitem ⋈ orders via the salted strategy (8 salts, orders
+    replicated 8×), then revenue per priority. The oracle is the plain
     join — hash equality IS the proof the rewrite preserves semantics.
     The join is forced to shuffle (no broadcast hint) to exercise the
-    salted shuffle path it exists for."""
+    salted shuffle path it exists for. 8 salts spread a hot key across 8
+    reducers — enough to prove the mechanism; replication cost scales
+    linearly with the salt count, so production picks the smallest count
+    that levels the skew."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"),
         "l_linenumber",
@@ -42,7 +45,7 @@ def salted_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     joined = K.salted_join(
-        li, orders, on=["o_orderkey"], big_unique_col="l_linenumber", n_salts=16
+        li, orders, on=["o_orderkey"], big_unique_col="l_linenumber", n_salts=8
     )
     return (
         joined.groupBy(F.col("o_orderpriority").alias("priority"))

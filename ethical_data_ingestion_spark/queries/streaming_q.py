@@ -62,12 +62,14 @@ def _spooled_stream(
 )
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling windows computed BY THE STREAMING ENGINE (4 files →
-    4 micro-batches through the windowed state store), complete-mode so the
-    final table equals the batch aggregation bit-for-bit. Append mode +
-    watermark is the production shape (see streaming/pipeline.py); complete
-    into the memory sink is the test/driver harness."""
+    2 micro-batches through the windowed state store — state handed off
+    across batches, which is the property under test; more batches only
+    multiply fixed per-commit overhead), complete-mode so the final table
+    equals the batch aggregation bit-for-bit. Append mode + watermark is
+    the production shape (see streaming/pipeline.py); complete into the
+    memory sink is the test/driver harness."""
     with P.state_partitions(spark, 8):
-        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=1)
+        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
         out = P.run_available_now(
             P.tumbling_stream(stream, "1 hour", ["event_type"]),
             output_mode="complete",
@@ -164,7 +166,7 @@ def streaming_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def continuous_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate (hypertable-rollup shape): the day-partitioned
-    rollup TABLE maintained incrementally by foreachBatch merges across 4
+    rollup TABLE maintained incrementally by foreachBatch merges across 2
     micro-batches (each rewrites only the day partitions it touched via
     dynamic partition overwrite), then read back. Hash-equality with the
     one-shot GROUP BY proves the incremental maintenance converges to the
@@ -172,7 +174,7 @@ def continuous_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
 
     with P.state_partitions(spark, 8):
-        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=1)
+        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
         out_dir = P.incremental_rollup(
             stream, _tf.mkdtemp(prefix="eds_rollup_")
         )

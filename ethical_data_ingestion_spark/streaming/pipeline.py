@@ -249,6 +249,8 @@ def sessionize_stateful(
     def fn(
         key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (uid,) = key_tuple
         closed: list[tuple[int, int, int, int, float]] = []
 
@@ -258,19 +260,38 @@ def sessionize_stateful(
             state.remove()
         else:
             events = pd.concat(list(pdfs))
-            ts_us = events["ts_us"].astype("int64")
-            order = ts_us.argsort(kind="stable").to_numpy()
+            ts_arr = events["ts_us"].to_numpy(np.int64)
+            order = np.argsort(ts_arr, kind="stable")
+            ts = ts_arr[order]
+            vals = events["value"].to_numpy(np.float64)[order]
             cur = state.get if state.exists else None
-            for i in order:
-                t = int(ts_us.iloc[i])
-                v = float(events["value"].iloc[i])
-                if cur is None:
-                    cur = (t, t, 1, v)
-                elif t - cur[1] > gap_us:
+            # vectorized sessionization: segment boundaries where the
+            # event-time gap exceeds the session gap, per-segment stats via
+            # reduceat — no per-event Python loop (was ~10µs/event in iloc)
+            if len(ts):
+                seg_starts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(ts) > gap_us) + 1)
+                )
+                seg_ends = np.concatenate((seg_starts[1:], [len(ts)]))
+                seg_totals = np.add.reduceat(vals, seg_starts)
+                segs = [
+                    (
+                        int(ts[b]),
+                        int(ts[e - 1]),
+                        int(e - b),
+                        float(seg_totals[i]),
+                    )
+                    for i, (b, e) in enumerate(zip(seg_starts, seg_ends))
+                ]
+                if cur is not None and segs[0][0] - cur[1] <= gap_us:
+                    # first segment continues the open session from state
+                    s0 = segs[0]
+                    segs[0] = (cur[0], s0[1], cur[2] + s0[2], cur[3] + s0[3])
+                elif cur is not None:
                     closed.append((uid, cur[0], cur[1], cur[2], cur[3]))
-                    cur = (t, t, 1, v)
-                else:
-                    cur = (cur[0], t, cur[2] + 1, cur[3] + v)
+                for s in segs[:-1]:
+                    closed.append((uid, s[0], s[1], s[2], s[3]))
+                cur = segs[-1]
             if cur is not None:
                 timeout_ms = cur[1] // 1000 + gap_seconds * 1000
                 if timeout_ms <= state.getCurrentWatermarkMs():

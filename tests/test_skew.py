@@ -66,3 +66,43 @@ def test_salted_agg_equals_plain_agg(spark):
         .collect()
     )
     assert [(r.key, r.n, r.s) for r in plain] == [(r.key, r.n, r.s) for r in salted]
+
+
+def test_hotkey_split_join_equals_plain_join(spark):
+    # one pathological key ("hot": 2000 rows) among uniform cold keys
+    big = spark.createDataFrame(
+        [("hot", i, float(i % 5)) for i in range(2000)]
+        + [(f"k{i % 50}", 10_000 + i, 1.0) for i in range(500)],
+        "key string, rid int, v double",
+    )
+    small = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(50)] + [("absent", "X")],
+        "key string, label string",
+    )
+    plain = sorted(
+        (r.key, r.rid, r.label) for r in big.join(small, ["key"]).collect()
+    )
+    split = K.salted_join_hotkeys(
+        big, small, on=["key"], big_unique_col="rid",
+        n_salts=4, sample_fraction=0.5, hot_threshold=100,
+    )
+    assert sorted((r.key, r.rid, r.label) for r in split.collect()) == plain
+
+
+def test_hotkey_split_join_left_and_no_hot(spark):
+    big = spark.createDataFrame(
+        [(f"k{i % 10}", i, 1.0) for i in range(100)],
+        "key string, rid int, v double",
+    )
+    small = spark.createDataFrame(
+        [(f"k{i}", f"D{i}") for i in range(5)], "key string, label string"
+    )
+    plain = sorted(
+        (r.key, r.rid, r.label) for r in big.join(small, ["key"], "left").collect()
+    )
+    # no key reaches the hot threshold -> pure cold path, still identical
+    split = K.salted_join_hotkeys(
+        big, small, on=["key"], big_unique_col="rid", how="left",
+        sample_fraction=0.5, hot_threshold=1_000_000,
+    )
+    assert sorted((r.key, r.rid, r.label) for r in split.collect()) == plain
