@@ -42,6 +42,12 @@ HEADLINE = [
     "cube_status_priority",
     "having_big_customers",
     "set_ops_customer_cohorts",
+    "promo_revenue_ratio",
+    "customer_order_distribution",
+    "large_volume_orders",
+    "top_supplier_revenue",
+    "nation_market_share",
+    "rich_idle_customers",
     "suppliers_without_recent_sales",
     "pivot_status_by_priority",
     "running_value_by_user",
@@ -58,6 +64,8 @@ HEADLINE = [
     "token_count_bpe",
     "word_frequency_topk",
     "text_repetition_stats",
+    "stratified_sample_stats",
+    "contamination_overlap",
     "dedup_exact_stats",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
@@ -73,6 +81,7 @@ HEADLINE = [
     "streaming_dedup_keys",
     "streaming_sessions_stateful",
     "continuous_rollup_daily",
+    "streaming_purchase_click_join",
 ]
 
 

@@ -59,18 +59,24 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
 
 
 def _shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, k: int, materialize: bool = False
+    df: DataFrame, id_col: str, text_col: str, k: int, materialize: bool = True
 ) -> DataFrame:
     """(id, shingles array, size) — the verification-side representation.
 
-    ``materialize=True`` localCheckpoints the result for callers whose
-    downstream genuinely re-executes the text pipeline. NOTE (measured at
-    sf0.1): the dedup queries do NOT benefit — their repeated consumers
-    are identical subtrees that Catalyst already dedupes via
-    ReusedExchange, and forcing materialization of the wide shingle
-    arrays was a net slowdown (6.3s → 8.2s). Kept as an explicit opt-in
-    for iterative callers (connected_components-style loops) where the
-    consumer plans differ per iteration and reuse can't apply."""
+    ``materialize=True`` (default) localCheckpoints the result. Two
+    measured reasons (sf0.1, 5k docs):
+
+    * ``explode`` over the raw shingle *expression* falls off the fast
+      Generate path and re-evaluates the normalize/zip/distinct pipeline —
+      0.84s vs 0.16s exploding a stored array column (5×).
+    * every dedup pipeline consumes the sets from ≥3 structurally
+      *different* subplans (docfreq, prefix index, verification join), so
+      ReusedExchange cannot dedupe them; materializing once collapsed
+      jaccard_pairs 10.3s → 3.4s end-to-end.
+
+    At 100 TB the equivalent is persisting the shingle table (or
+    ``persist(DISK_ONLY)``) before the candidate join — one linear pass
+    over the corpus instead of three."""
     sets = df.select(
         F.col(id_col),
         shingles(text_col, k).alias("sh"),
@@ -134,9 +140,6 @@ def jaccard_pairs(
     # J=0.8 pair at sf0.1 (the filter must over-approximate, never
     # under). round(…,9) kills the remaining representation epsilon in
     # t·n before the ceil.
-    # (No checkpoint: the prefix feeds both sides of the candidate
-    # self-join, but Catalyst's ReusedExchange dedupes the identical
-    # subplans already — materializing measured slower at sf0.1.)
     prefix_len = (
         F.col("n_sh") - F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9)) + 1
     )
@@ -168,6 +171,23 @@ def jaccard_pairs(
 # --- MinHash + LSH ------------------------------------------------------
 
 
+def _minhash_from_sets(sets: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """Signatures from a (materialized) shingle-set table — shared by the
+    public entry point and :func:`minhash_lsh_pairs`, which already holds
+    the sets for verification and must not re-run the text pipeline."""
+    sh = sets.select(F.col(id_col), F.explode("sh").alias("s"))
+    hashed = sh.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
@@ -184,16 +204,8 @@ def minhash_signatures(
 
     Returns ``id_col, h0..h{n-1}`` (hex-string minima).
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
-    hashed = sh.select(
-        id_col,
-        *[
-            F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
-    )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    return _minhash_from_sets(
+        _shingle_sets(df, id_col, text_col, k), id_col, num_hashes
     )
 
 
@@ -223,7 +235,7 @@ def minhash_lsh_pairs(
         )
     rows = num_hashes // bands
     sets = _shingle_sets(df, id_col, text_col, k)
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    sig = _minhash_from_sets(sets, id_col, num_hashes)
     band_cols = [
         F.md5(
             F.concat_ws(",", *[F.col(f"h{j * rows + r}") for r in range(rows)])
@@ -269,7 +281,9 @@ def simhash_signatures(
     collapse inlines a signature subexpression into every per-bit use,
     re-running the md5 pipeline 32× (measured 60s → 2s at sf0.01).
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
+    sh = _shingle_sets(df, id_col, text_col, k).select(
+        F.col(id_col), F.explode("sh").alias("s")
+    )
     hashed = sh.select(
         id_col,
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h"),

@@ -1,0 +1,150 @@
+"""Training-data pipeline queries: deterministic sampling and cross-source
+contamination measurement over the documents corpus.
+
+Two operations every large-scale corpus pipeline runs that the round-1
+suite didn't cover:
+
+* **Deterministic stratified sampling** — selecting a reproducible p%%
+  of documents per stratum WITHOUT an engine RNG. ``rand()`` is
+  seed+partitioning dependent (unstable under repartition, and never
+  cross-engine comparable); hashing the primary key is the standard
+  production trick: ``md5`` is uniform, engine-independent, and makes the
+  sample a pure function of the data. Holdout/eval splits use exactly
+  this (hash-mod bucketing) so re-runs and backfills land rows in the
+  same split.
+
+* **Cross-source contamination** — shared shingle mass between sources,
+  the train/test-leak check (e.g. benchmark data leaking into a training
+  crawl). Per-source distinct shingle sets → self-equi-join on shingle →
+  overlap coefficient. The join key is the shingle, so the comparison
+  count is data-dependent (shared vocabulary), never all-pairs; a
+  shingle present in d sources contributes at most d·(d−1)/2 pair rows,
+  bounded by the source count squared — trivial next to the corpus scan
+  at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.text import shingles
+from ..registry import register
+
+#: 16-bit hash-bucket threshold for a ~20% sample: 13107/65536 ≈ 0.19999.
+_SAMPLE_BUCKETS = 13107
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "stratified_sample_stats",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT source, n_chars,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < {_SAMPLE_BUCKETS} AS sampled
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN sampled THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_sampled
+    FROM tagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20% deterministic sample per source: bucket = first 16 bits of
+    ``md5(doc_id)``, keep buckets below the threshold. One linear pass,
+    agg map-side combined; the sample membership of a row never changes
+    with partitioning, cluster size, or engine — the property that makes
+    hash-sampling the production standard over ``rand()``."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    sampled = bucket < _SAMPLE_BUCKETS
+    return (
+        docs.withColumn("_s", sampled)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_s").cast("long")).alias("n_sampled"),
+            F.sum(F.when(F.col("_s"), F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT source,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split({_NORM}, ' ')) - 2, 1) + 1),
+               i -> array_to_string(string_split({_NORM}, ' ')[i:i+2], ' ')))
+               AS shingles
+      FROM documents
+    ),
+    srcsh AS (SELECT DISTINCT source, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT source, COUNT(*) AS n FROM srcsh GROUP BY source),
+    shared AS (
+      SELECT a.source AS src1, b.source AS src2, COUNT(*) AS n_shared
+      FROM srcsh a JOIN srcsh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src1, src2, n_shared,
+           ROUND(n_shared::DOUBLE / LEAST(s1.n, s2.n), 6) AS overlap_coef
+    FROM shared
+    JOIN sizes s1 ON src1 = s1.source
+    JOIN sizes s2 ON src2 = s2.source
+    ORDER BY src1, src2
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source contamination: |shared 3-gram shingles| and the
+    overlap coefficient shared/min(|A|,|B|) for every source pair that
+    shares at least one shingle. The per-source distinct shingle table is
+    materialized once (same rationale as the dedup pipelines: three
+    structurally different consumers), sized |vocab|·|sources| — vocab
+    scale, not corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcsh = (
+        docs.select(F.col("source"), F.explode(shingles("text", 3)).alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = srcsh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = srcsh.alias("a"), srcsh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src1"), F.col("b.source").alias("src2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    s1 = sizes.select(F.col("source").alias("src1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("source").alias("src2"), F.col("n").alias("n2"))
+    return (
+        shared.join(F.broadcast(s1), "src1")
+        .join(F.broadcast(s2), "src2")
+        .select(
+            "src1",
+            "src2",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("n1", "n2"), 6
+            ).alias("overlap_coef"),
+        )
+        .orderBy("src1", "src2")
+    )

@@ -183,3 +183,41 @@ def continuous_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "event_type", "n_events", "total_value")
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "streaming_purchase_click_join",
+    oracle="""
+    WITH pairs AS (
+      SELECT p.user_id
+      FROM events p
+      JOIN events c
+        ON c.user_id = p.user_id
+       AND c.ts > p.ts
+       AND c.ts <= p.ts + INTERVAL 3600 SECOND
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    )
+    SELECT user_id, COUNT(*) AS n_pairs
+    FROM pairs
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase → click within an hour by
+    the same user) drained over 2 micro-batches, then rolled up per user.
+    The files replay chronologically and the watermark delay exceeds the
+    join gap, so the inner join emits every qualifying pair exactly once —
+    which is why the batch SQL join is an exact oracle."""
+    with P.state_partitions(spark, 8):
+        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
+        pairs = P.run_available_now(
+            P.interval_join_stream(
+                stream, "purchase", "click", max_gap_seconds=3600
+            )
+        )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )

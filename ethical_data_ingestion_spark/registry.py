@@ -46,8 +46,10 @@ def _load_everything() -> None:
         parity,
         relational,
         relational_ext,
+        relational_tpch,
         dedup_q,
         multimodal_q,
+        pipeline_q,
         similarity_q,
         skew_q,
         streaming_q,

@@ -132,3 +132,25 @@ def make_raw_df(spark: SparkSession, items: list[tuple[str, str]]) -> DataFrame:
     """Build the raw payload DataFrame from (source_name, json_str) pairs —
     the seam where a real fetcher (or a test fixture) hands data to Spark."""
     return spark.createDataFrame(items, RAW_SCHEMA)
+
+
+def read_spool_xml(
+    spark: SparkSession, path: str, source_name: str, row_tag: str = "record"
+) -> DataFrame:
+    """XML spool → the same raw (source_name, payload) shape as the JSON
+    path, via Spark 4's native XML source.
+
+    The reference declares XML as an input format but never parses it
+    (``xml.etree``/``BeautifulSoup`` imported unused,
+    ``ethical_crawler.py:20-30``; Accept header at ``:282-285``) — here
+    it's a first-class distributed scan: each ``<record>`` element becomes
+    a row, re-serialized to a JSON payload string so everything downstream
+    (``raw_to_records`` → compliance gate → upsert) is format-agnostic.
+    """
+    parsed = (
+        spark.read.format("xml").option("rowTag", row_tag).load(path)
+    )
+    return parsed.select(
+        F.lit(source_name).alias("source_name"),
+        F.to_json(F.struct(*[F.col(c) for c in parsed.columns])).alias("payload"),
+    )

@@ -333,6 +333,56 @@ def sessionize_stateful(
     )
 
 
+def interval_join_stream(
+    stream: DataFrame,
+    left_type: str,
+    right_type: str,
+    max_gap_seconds: int,
+    delay_seconds: int | None = None,
+) -> DataFrame:
+    """Stream-stream inner join: events of ``right_type`` following an
+    event of ``left_type`` by the same user within ``max_gap_seconds``.
+
+    The canonical funnel/attribution shape (purchase → follow-up click).
+    Both sides carry a watermark; the equi-join key is ``user_id`` (so
+    the state shuffles on user) and the time bound is the range predicate
+    Spark uses to EVICT state: a left row can be dropped once the right
+    watermark passes ``l_ts + max_gap`` — state is O(events per gap
+    horizon), not O(stream). The watermark delay defaults to the join gap
+    plus a one-minute reorder buffer: any smaller and a cross-batch match
+    whose left side aged past the delay would be silently lost (the same
+    over-approximation rule as the dedup prefix filters — correctness
+    bounds the delay from below, state size bounds it from above).
+    """
+    if delay_seconds is None:
+        delay_seconds = max_gap_seconds + 60
+    base = stream.withColumn("ts", as_instant("ts"))
+    left = (
+        base.filter(F.col("event_type") == left_type)
+        .select("user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id"))
+        .withWatermark("l_ts", f"{delay_seconds} seconds")
+    )
+    right = (
+        base.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+        .withWatermark("r_ts", f"{delay_seconds} seconds")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (
+            F.col("r_ts")
+            <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap_seconds} SECOND")
+        ),
+    )
+    return joined.select("user_id", "l_id", "r_id")
+
+
 def audit_sink(stream: DataFrame, out_dir: str) -> "DataFrame":
     """Compliance-audit-trail sink (SURVEY #33): ``foreachBatch`` appends
     each micro-batch to a parquet audit log with its batch id — the

@@ -31,7 +31,8 @@ def test_oracle_sql_mentions_only_fixture_tables():
         "lineitem", "events", "documents", "embeddings",
     }
     for name, sql in registry.ORACLE_SQL.items():
-        for m in re.finditer(r"\bFROM\s+([a-z_][a-z0-9_]*)\b", sql, re.I):
+        # (?!\.) skips EXTRACT(year FROM x.col)-style qualified columns
+        for m in re.finditer(r"\bFROM\s+([a-z_][a-z0-9_]*)\b(?!\.)", sql, re.I):
             t = m.group(1).lower()
             # CTE names and derived tables are fine; raw identifiers that
             # look like tables must be fixture tables or CTEs defined above

@@ -136,3 +136,19 @@ def test_union_sources(spark):
     a = spark.createDataFrame([(1, "a")], "id int, v string")
     b = spark.createDataFrame([(2, "b")], "id int, v string")
     assert adapters.union_sources([a, b]).count() == 2
+
+
+def test_xml_spool_roundtrip(spark, tmp_path):
+    xml = """<?xml version="1.0"?>
+<catalog>
+  <record><id>xml-1</id><name>Air Quality</name><description>PM2.5 readings</description><size_bytes>2048</size_bytes></record>
+  <record><id>xml-2</id><name>Water Use</name><description>Hydrant data</description><size_bytes>4096</size_bytes></record>
+</catalog>"""
+    p = tmp_path / "spool.xml"
+    p.write_text(xml)
+    raw = adapters.read_spool_xml(spark, str(p), "NYC Open Data")
+    recs = adapters.raw_to_records(raw, adapters.NYC_OPEN_DATA, "dataset")
+    rows = {r.record_id: r for r in recs.collect()}
+    assert set(rows) == {"xml-1", "xml-2"}
+    assert rows["xml-1"].title == "Air Quality"
+    assert rows["xml-2"].size_bytes == 4096
