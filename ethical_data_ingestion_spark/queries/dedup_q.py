@@ -99,15 +99,26 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS ({_SHINGLES}),
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS h1s,
+             list_transform(shingles,
+               s -> ('0x' || substring(md5(s), 9, 8))::BIGINT) AS h2s
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
              list_transform(range(0, 16),
-               i -> list_min(list_transform(shingles, s -> md5(s || '#' || i)))) AS sig
-      FROM sh
+               i -> list_min(list_transform(range(1, len(h1s) + 1),
+                 x -> (h1s[x] + i * h2s[x]) % 4294967296))) AS sig
+      FROM hs
     ),
     bands AS (
       SELECT doc_id, j AS band_idx,
-             md5(array_to_string(sig[j*4+1:j*4+4], ',')) AS band_key
+             md5(array_to_string(
+               list_transform(sig[j*4+1:j*4+4], v -> CAST(v AS VARCHAR)),
+               ',')) AS band_key
       FROM sig, range(0, 4) r(j)
     ),
     cand AS (
