@@ -25,8 +25,10 @@ def export(
 ) -> None:
     """``export_to_formats(query, fmt, path)`` equivalent.
 
-    fmt ∈ {parquet, csv, json} (``ethical_crawler.py:1082-1096``); csv gets
-    a header row to match ``FORMAT CSV, HEADER`` (``:1091``).
+    fmt ∈ {parquet, csv, json, orc} (``ethical_crawler.py:1082-1096``
+    defines the first three; orc is the extra columnar sink Spark ships
+    natively — same writer contract); csv gets a header row to match
+    ``FORMAT CSV, HEADER`` (``:1091``).
 
     ``partition_by`` writes hive-style ``col=value/`` directories — the
     at-rest layout that gives downstream readers partition PRUNING (a
@@ -56,6 +58,8 @@ def export(
         writer.option("header", True).csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         raise ValueError(f"unsupported export format: {fmt}")
 

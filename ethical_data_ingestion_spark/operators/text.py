@@ -133,6 +133,47 @@ def shingles(col: str | Column, k: int = 3) -> Column:
     )
 
 
+#: PII patterns, applied in order. Deliberately conservative/high-precision
+#: shapes (a training-data pipeline prefers false negatives it can catch
+#: with a second model-based pass over mangling ordinary numbers): emails,
+#: North-American-style phone numbers with separators, SSN-style triples,
+#: and 13-19-digit card-like runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"(?:\+?\d{1,2}[\s.-])?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b(?:\d[ -]?){13,19}\b", "<CARD>"),
+]
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Redact PII spans with typed placeholders — the scrubbing pass every
+    LLM-training-data pipeline runs before text leaves the quarantine zone.
+
+    A chain of ``regexp_replace`` Catalyst expressions (one per pattern,
+    applied in PII_PATTERNS order, so e.g. an email is consumed before the
+    phone pattern can see its digits): JVM-side regex over the whole
+    corpus, no Python in the row path. The fixture corpus contains no PII
+    by construction, so this operator is verified by unit tests on
+    adversarial literals rather than a fixture query (same policy as the
+    gated multimodal decode)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_counts(col: str | Column) -> list[Column]:
+    """Per-pattern match counts (pre-redaction) for the audit panel:
+    ``regexp_count`` per PII class, aliased ``n_<class>``. Run on the SAME
+    pass as :func:`redact_pii` so auditing costs no extra scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pattern)).alias(f"n_{name}")
+        for name, pattern, _token in PII_PATTERNS
+    ]
+
+
 def shingles_raw(col: str | Column, k: int = 2) -> Column:
     """Word k-gram array WITH duplicates over the raw (un-normalized)
     token stream — the input for repetition/frequency analysis, where

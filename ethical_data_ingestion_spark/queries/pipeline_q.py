@@ -148,3 +148,153 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src1", "src2")
     )
+
+
+@register(
+    "train_test_split_stats",
+    oracle="""
+    WITH tagged AS (
+      SELECT source,
+             CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 20 = 0
+                  THEN 'test' ELSE 'train' END AS split,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT source, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM tagged
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split (~5% test): bucket 16 md5 bits of
+    the document key mod 20. The split is a pure function of ``doc_id`` —
+    stable under repartitioning, backfills, and engine changes, which is
+    what makes hash-splitting the production standard for holdout sets
+    (an RNG split re-deals the corpus every run and silently contaminates
+    the eval set). One linear pass; token totals per (source, split) are
+    the sanity panel a pipeline checks before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    split = F.when(bucket % 20 == 0, F.lit("test")).otherwise(F.lit("train"))
+    return (
+        docs.select(
+            "source", split.alias("split"), F.split("text", " ").alias("t")
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("t")).cast("long").alias("total_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@register(
+    "chunk_dedup_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT source,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(t) / 16.0) AS BIGINT)),
+               i -> md5(array_to_string(t[i * 16 + 1 : i * 16 + 16], ' '))
+             )) AS ch
+      FROM toks
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT ch) AS n_unique,
+           ROUND(1.0 - COUNT(DISTINCT ch)::DOUBLE / COUNT(*), 6) AS dup_frac
+    FROM chunks
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level (16-token-chunk) exact dedup stats per source — the
+    sub-document granularity C4/RefinedWeb-style pipelines dedup at,
+    catching boilerplate repeated across documents that document-level
+    fingerprints miss. Documents are flat word soup, so the "paragraph"
+    is a fixed 16-token window; chunk identity is the md5 of the joined
+    window. Explode is |tokens|/16 rows — corpus-linear with a small
+    constant; the distinct-count shuffles only (source, chunk-hash)
+    pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size("t") / F.lit(16.0)).cast("int") - 1
+                ),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i * 16 + 1, 16))),
+            )
+        ).alias("ch"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("ch").alias("n_unique"),
+            F.round(
+                1.0 - F.countDistinct("ch").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "lexical_diversity_stats",
+    oracle="""
+    WITH words AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counts AS (
+      SELECT source, w, COUNT(*) AS c FROM words GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_types,
+           COUNT(*) FILTER (WHERE c = 1) AS n_hapax,
+           ROUND(COUNT(*)::DOUBLE / SUM(c), 6) AS type_token_ratio
+    FROM counts
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def lexical_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals per source: vocabulary size
+    (type count), hapax legomena count, and type/token ratio — the
+    cheap statistical screens for TEMPLATED text (low diversity) and
+    GIBBERISH (diversity ≈ 1). Two-level aggregation: word counts
+    combine map-side so the first shuffle carries |vocab|·|sources|
+    rows, the second |sources| — both vocabulary-bounded, never
+    corpus-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+            F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("source")
+    )

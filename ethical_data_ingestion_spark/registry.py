@@ -47,6 +47,7 @@ def _load_everything() -> None:
         relational,
         relational_ext,
         relational_tpch,
+        relational_tpch2,
         dedup_q,
         multimodal_q,
         pipeline_q,

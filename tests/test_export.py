@@ -20,13 +20,15 @@ def test_export_roundtrip_all_formats(spark, sf_dir, tmp_path):
     n_filtered = docs.filter("n_chars > 200").count()
     assert 0 < n_filtered < docs.count()
 
-    for fmt in ("parquet", "csv", "json"):
+    for fmt in ("parquet", "csv", "json", "orc"):
         path = str(tmp_path / fmt)
         E.export(docs, fmt, path, where="n_chars > 200")
         if fmt == "parquet":
             back = spark.read.parquet(path)
         elif fmt == "csv":
             back = spark.read.option("header", True).csv(path)
+        elif fmt == "orc":
+            back = spark.read.orc(path)
         else:
             back = spark.read.json(path)
         assert back.count() == n_filtered, fmt

@@ -16,6 +16,35 @@ from ethical_data_ingestion_spark.operators import (
 )
 
 
+def test_redact_pii_patterns(spark):
+    rows = [
+        ("mail me at jane.doe+x@example.co.uk today",),
+        ("call 212-555-0187 or +1 (415) 555.2671",),
+        ("ssn 123-45-6789 inline",),
+        ("card 4111 1111 1111 1111 ok",),
+        ("just words, the number 42 and year 2024 stay",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    out = [r[0] for r in df.select(text.redact_pii("t")).collect()]
+    assert out[0] == "mail me at <EMAIL> today"
+    assert out[1] == "call <PHONE> or <PHONE>"
+    assert out[2] == "ssn <SSN> inline"
+    assert out[3] == "card <CARD>ok" or "<CARD>" in out[3]
+    # non-PII digits survive untouched
+    assert out[4] == rows[4][0]
+    assert out[5] is None
+
+
+def test_pii_counts_align_with_redaction(spark):
+    df = spark.createDataFrame(
+        [("a@b.io and c@d.org, ssn 123-45-6789",), ("clean",)], "t string"
+    )
+    got = df.select(*text.pii_counts("t")).collect()
+    assert got[0].n_email == 2 and got[0].n_ssn == 1 and got[0].n_phone == 0
+    assert got[1].n_email == 0 and got[1].n_ssn == 0
+
+
 def test_search_none_filters_are_skipped(spark):
     df = spark.createDataFrame([("a", "x"), ("b", "y")], "k string, v string")
     assert search.equality_filters(df, k=None, v=None).count() == 2
