@@ -20,13 +20,12 @@ point, not the copy.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
+from ..session import scratch_dir
 from ..streaming import pipeline as P
 
 _SESSION_GAP_S = 1800
@@ -43,7 +42,7 @@ def _spooled_stream(
     if key not in _SPOOL_CACHE:
         ev = load_table(spark, sf_dir, "events")
         _SPOOL_CACHE[key] = P.spool(
-            ev, tempfile.mkdtemp(prefix="eds_stream_src_"), n_files
+            ev, scratch_dir("eds_stream_src_"), n_files
         )
     return P.stream_from(spark, _SPOOL_CACHE[key], max_files_per_trigger=mfpt)
 
@@ -183,12 +182,10 @@ def continuous_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     dynamic partition overwrite), then read back. Hash-equality with the
     one-shot GROUP BY proves the incremental maintenance converges to the
     batch answer."""
-    import tempfile as _tf
-
     with P.state_partitions(spark, 4):
         stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
         out_dir = P.incremental_rollup(
-            stream, _tf.mkdtemp(prefix="eds_rollup_")
+            stream, scratch_dir("eds_rollup_")
         )
     return (
         spark.read.parquet(out_dir)

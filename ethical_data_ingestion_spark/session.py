@@ -16,8 +16,27 @@ scale-ready execution:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def scratch_dir(prefix: str) -> str:
+    """Create a scratch directory for ephemeral engine state (streaming
+    checkpoints, spooled stream sources, shuffle spill).
+
+    Prefers RAM-backed ``/dev/shm`` over ``/tmp``: on this harness /tmp is
+    on the root virtio disk, and streaming state-store commits are
+    fsync-heavy enough that disk latency dominates (and jitters) their
+    wall-clock. On a real cluster these locations are HDFS/S3 (checkpoints)
+    and local SSD (spill) — RAM-tmpfs is the single-box analog, not a
+    semantic change. Override with ``$SPARK_GRAFT_SCRATCH``."""
+    base = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if base is None and os.path.isdir("/dev/shm"):
+        base = "/dev/shm/eds_scratch"
+    if base is not None:
+        os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
 def get_spark(
@@ -50,6 +69,10 @@ def get_spark(
         # microsecond timestamp (same floor-truncation DuckDB applies).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # shuffle/spill scratch on the RAM-backed dir (see scratch_dir);
+        # local[,] mode has no external shuffle service, so this is purely
+        # the temp-file location — cluster deployments point it at SSD.
+        .config("spark.local.dir", scratch_dir("eds_local_"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -23,7 +23,7 @@ parquet/foreachBatch paths.
 from __future__ import annotations
 
 import itertools
-import tempfile
+from ..session import scratch_dir
 from collections.abc import Iterator
 from contextlib import contextmanager
 
@@ -137,7 +137,7 @@ def run_available_now(
     processes the backlog in rate-limited micro-batches then stops — the
     pattern for periodic catch-up runs of a continuous pipeline."""
     name = name or f"eds_stream_{next(_uniq)}"
-    ckpt = tempfile.mkdtemp(prefix="eds_ckpt_")
+    ckpt = scratch_dir("eds_ckpt_")
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -397,7 +397,7 @@ def audit_sink(stream: DataFrame, out_dir: str) -> "DataFrame":
             .parquet(out_dir)
         )
 
-    ckpt = tempfile.mkdtemp(prefix="eds_audit_ckpt_")
+    ckpt = scratch_dir("eds_audit_ckpt_")
     q = (
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", ckpt)
@@ -478,7 +478,7 @@ def incremental_rollup(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
 
-    ckpt = tempfile.mkdtemp(prefix="eds_rollup_ckpt_")
+    ckpt = scratch_dir("eds_rollup_ckpt_")
     q = (
         stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", ckpt)
