@@ -75,6 +75,7 @@ HEADLINE = [
     "train_test_split_stats",
     "chunk_dedup_stats",
     "lexical_diversity_stats",
+    "corpus_funnel_stats",
     "dedup_exact_stats",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",

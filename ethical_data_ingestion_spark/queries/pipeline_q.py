@@ -25,7 +25,7 @@ suite didn't cover:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -248,6 +248,109 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 1.0 - F.countDistinct("ch").cast("double") / F.count(F.lit(1)), 6
             ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_funnel_stats",
+    oracle=f"""
+    WITH staged AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tok,
+             (text IS NOT NULL AND length(text) > 0
+              AND lang IN ('en','de','es','fr','zh','ja','pt','ru')
+              AND n_chars = length(text)
+              AND len(string_split(text, ' ')) >= 3) AS valid,
+             doc_id,
+             md5({_NORM}) AS fp,
+             ROUND(length(replace(text, ' ', ''))::DOUBLE
+                   / len(string_split(text, ' ')), 6) AS alen
+      FROM documents
+    ),
+    flagged AS (
+      SELECT *,
+             (valid AND doc_id = MIN(CASE WHEN valid THEN doc_id END)
+                          OVER (PARTITION BY fp)) AS uniq
+      FROM staged
+    ),
+    final AS (
+      SELECT *,
+             (uniq AND n_tok BETWEEN 8 AND 2000 AND alen <= 10) AS quality
+      FROM flagged
+    )
+    SELECT source,
+           COUNT(*) AS n_raw,
+           COUNT(*) FILTER (WHERE valid) AS n_valid,
+           COUNT(*) FILTER (WHERE uniq) AS n_unique,
+           COUNT(*) FILTER (WHERE quality) AS n_quality,
+           CAST(COALESCE(SUM(CASE WHEN quality THEN n_tok END), 0) AS BIGINT)
+             AS tokens_final
+    FROM final
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-cleaning funnel in ONE pass: validation gate →
+    exact-dedup survivor selection (keep-lowest-id per content
+    fingerprint, counted among valid docs only) → quality screen
+    (token-count band + mean-token-length cap), with per-source attrition
+    counts at every stage — the panel a training-data pipeline reviews
+    before a corpus ships.
+
+    Plan shape: every stage is a boolean COLUMN, not a materialized
+    intermediate — one window over the content fingerprint (the dedup
+    survivor choice) and one aggregation. Two shuffles total at any
+    corpus size, versus the naive four-materializations-and-four-scans
+    pipeline; nothing leaves the JVM."""
+    from ..operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    valid = (
+        F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & F.col("lang").isin("en", "de", "es", "fr", "zh", "ja", "pt", "ru")
+        & (F.col("n_chars") == F.length("text"))
+        & (n_tok >= 3)
+    )
+    alen = F.round(
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tok, 6
+    )
+    staged = docs.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tok"),
+        valid.alias("valid"),
+        F.md5(normalize_text("text")).alias("fp"),
+        alen.alias("alen"),
+    )
+    w = Window.partitionBy("fp")
+    flagged = staged.withColumn(
+        "uniq",
+        F.col("valid")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("valid"), F.col("doc_id"))).over(w)
+        ),
+    ).withColumn(
+        "quality",
+        F.col("uniq") & F.col("n_tok").between(8, 2000) & (F.col("alen") <= 10),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.col("valid").cast("long")).alias("n_valid"),
+            F.sum(F.col("uniq").cast("long")).alias("n_unique"),
+            F.sum(F.col("quality").cast("long")).alias("n_quality"),
+            F.coalesce(
+                F.sum(F.when(F.col("quality"), F.col("n_tok"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("tokens_final"),
         )
         .orderBy("source")
     )

@@ -62,6 +62,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Partition sizing for the harness SFs: fixture files are ~10 MB,
+        # so the 128 MB default reads each table as 1-3 partitions and
+        # CPU-heavy stages (decimal aggs, array intersects) run on a
+        # handful of cores. 2 MB splits give the local[32] box real
+        # parallelism; AQE's advisory size is lowered to match so
+        # coalescing doesn't undo it after shuffles. Cluster deployments
+        # at real scale should raise both back toward defaults — that's
+        # the documented meaning of these envs.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2097152"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "1048576"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet stores TIMESTAMP(NANOS); Spark's vectorized reader

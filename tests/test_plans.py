@@ -57,6 +57,35 @@ def test_wordcount_shuffles_vocabulary_not_corpus(spark, sf_dir):
     assert plans.read_schemas(df) == ["struct<text:string>"]
 
 
+def test_tpch2_semi_join_stays_semi(spark, sf_dir):
+    # Q4 shape: the EXISTS must plan as a LEFT SEMI join (each order
+    # emitted at most once, no post-join distinct), with the orderdate
+    # window pushed to the orders scan.
+    df = _q(spark, sf_dir, "order_priority_wait")
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "o_orderdate" in " ".join(plans.pushed_filters(df))
+
+
+def test_tpch2_dimensions_broadcast(spark, sf_dir):
+    # Q7/Q10 shapes: every dimension path must broadcast — supplier,
+    # customer, and both nation lookups on Q7; customer+nation on Q10.
+    assert plans.broadcast_join_count(_q(spark, sf_dir, "bilateral_trade_volume")) >= 4
+    df10 = _q(spark, sf_dir, "returned_items_customers")
+    assert plans.broadcast_join_count(df10) >= 2
+    assert plans.uses_take_ordered(df10)  # top-20, never a global sort
+    # returnflag filter reaches the lineitem scan
+    assert "l_returnflag" in " ".join(plans.pushed_filters(df10))
+
+
+def test_tpch2_disjunction_prunes_both_scans(spark, sf_dir):
+    # Q19 shape: the OR-of-conjunctions can't push per-branch, but the
+    # derived hulls must reach both scans.
+    df = _q(spark, sf_dir, "disjunctive_part_revenue")
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_quantity" in pushed and "p_brand" in pushed
+
+
 def test_aggregates_run_inside_codegen(spark, sf_dir):
     df = _q(spark, sf_dir, "flagship_pricing_summary")
     df.collect()  # AQE stamps codegen ids only on the finalized plan
