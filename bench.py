@@ -84,6 +84,7 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
     "knn_cosine_ivf",
+    "embedding_quantization_stats",
     "multimodal_meta_stats",
     "multimodal_frame_stats",
     "multimodal_byte_entropy",

@@ -139,6 +139,78 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register(
+    "embedding_quantization_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, MIN(v) AS dmin, MAX(v) AS dmax FROM ex GROUP BY dim
+    ),
+    quant AS (
+      SELECT label,
+             v,
+             CASE WHEN dmax = dmin THEN dmin
+                  ELSE dmin + floor((v - dmin) / (dmax - dmin) * 255 + 0.5)
+                       * (dmax - dmin) / 255
+             END AS deq
+      FROM ex JOIN stats USING (dim)
+    )
+    SELECT label,
+           COUNT(*) AS n_values,
+           ROUND(CAST(SUM(CAST(ROUND(abs(v - deq), 9) AS DECIMAL(18,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_abs_err,
+           ROUND(MAX(abs(v - deq)), 6) AS max_abs_err
+    FROM quant
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with per-label
+    reconstruction-error stats — the compression every 100 TB embedding
+    store runs (4× over float32) before ANN indexing.
+
+    Two linear passes: per-DIMENSION min/max (64 rows — a broadcastable
+    stats table at any corpus size), then quantize/dequantize inline and
+    aggregate the error. ``floor(x + 0.5)`` instead of ``round`` because
+    both engines floor doubles identically, while their half-point round
+    modes differ; the error sum accumulates in DECIMAL after a 9-digit
+    round, making the average order-insensitive."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "vf")
+    ).select("label", "dim", F.col("vf").cast("double").alias("v"))
+    stats = ex.groupBy("dim").agg(
+        F.min("v").alias("dmin"), F.max("v").alias("dmax")
+    )
+    rng = F.col("dmax") - F.col("dmin")
+    deq = F.when(rng == 0, F.col("dmin")).otherwise(
+        F.col("dmin")
+        + F.floor((F.col("v") - F.col("dmin")) / rng * 255 + 0.5) * rng / 255
+    )
+    quant = ex.join(F.broadcast(stats), "dim").withColumn(
+        "abs_err", F.abs(F.col("v") - deq)
+    )
+    return (
+        quant.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(
+                F.sum(F.round("abs_err", 9).cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_abs_err"),
+            F.round(F.max("abs_err"), 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
+
+
 @register("knn_cosine_lsh")  # approximate → rows-only check; recall bounded in tests
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via 8-table × 4-bit random-hyperplane LSH.
