@@ -66,6 +66,13 @@ HEADLINE = [
     "group_normalized_values",
     "validation_gate_stats",
     "approx_order_stats",
+    "gap_fill_daily",
+    "funnel_conversion",
+    "retention_cohorts",
+    "event_type_runs",
+    "column_profile_orders",
+    "exact_order_percentiles",
+    "fk_integrity_audit",
     "text_quality_stats",
     "token_count_bpe",
     "word_frequency_topk",

@@ -1,0 +1,286 @@
+"""Data-quality / profiling queries over the star schema.
+
+The reference's only data-quality machinery is the compliance gate and the
+``pd.notna`` null guards (`ethical_crawler.py:1010-1029`); a production
+catalog additionally profiles what it stores. Three first-class ops:
+column-level profiling (the `DESCRIBE`-on-steroids every catalog UI shows),
+exact percentiles via distributed rank-selection, and a referential-
+integrity audit across the star schema's foreign keys.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+#: orders columns profiled, with a per-type min/max string normalization so
+#: Spark and DuckDB render identical text (double -> DECIMAL(18,2) first;
+#: timestamp -> explicit strftime; integers/strings verbatim).
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _minmax_str_spark(col: str, kind: str, agg) -> F.Column:
+    c = agg(F.col(col))
+    if kind == "money":
+        return c.cast("decimal(18,2)").cast("string")
+    if kind == "ts":
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return c.cast("string")
+
+
+def _minmax_str_sql(col: str, kind: str, agg: str) -> str:
+    c = f"{agg}({col})"
+    if kind == "money":
+        return f"CAST(CAST({c} AS DECIMAL(18,2)) AS VARCHAR)"
+    if kind == "ts":
+        return f"strftime({c}, '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({c} AS VARCHAR)"
+
+
+@register(
+    "column_profile_orders",
+    oracle="""
+    SELECT * FROM (
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+      SELECT '{col}' AS column_name,
+             COUNT(*) AS n_rows,
+             COUNT(*) - COUNT({col}) AS n_nulls,
+             COUNT(DISTINCT {col}) AS n_distinct,
+             {_minmax_str_sql(col, kind, 'MIN')} AS min_str,
+             {_minmax_str_sql(col, kind, 'MAX')} AS max_str
+      FROM orders
+        """
+        for col, kind in _PROFILE_COLS
+    )
+    + """
+    ) ORDER BY column_name
+    """,
+)
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of ``orders``: row/null/distinct counts and
+    min/max (as normalized strings) per column — the stats panel a data
+    catalog computes on every ingested table.
+
+    ONE aggregation computes all 6 columns' stats in a single scan (the
+    oracle's 6-way UNION ALL re-scans per column — exactly the naive plan
+    this op avoids); the wide 1-row result is then unpivoted with
+    ``stack``, which is a zero-shuffle generator on a single row. The
+    multi-countDistinct expands to grouping-set form under one exchange;
+    all counts combine map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in _PROFILE_COLS:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls")
+        )
+        aggs.append(F.countDistinct(col).alias(f"{col}__distinct"))
+        aggs.append(_minmax_str_spark(col, kind, F.min).alias(f"{col}__min"))
+        aggs.append(_minmax_str_spark(col, kind, F.max).alias(f"{col}__max"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col, _ in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+                "(column_name, n_nulls, n_distinct, min_str, max_str)"
+            ),
+        )
+        .select(
+            "column_name", "n_rows", "n_nulls", "n_distinct",
+            "min_str", "max_str",
+        )
+        .orderBy("column_name")
+    )
+
+
+_QS = [0.25, 0.5, 0.75, 0.95]
+
+
+@register(
+    "exact_order_percentiles",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_totalprice AS v,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice) - 1 AS rn
+      FROM orders
+    ),
+    n AS (SELECT COUNT(*) AS n FROM orders),
+    pos AS (
+      SELECT CAST(q AS DOUBLE) AS q,
+             CAST(floor((n - 1) * CAST(q AS DOUBLE)) AS BIGINT) AS lo_rn,
+             CAST(ceil((n - 1) * CAST(q AS DOUBLE)) AS BIGINT) AS hi_rn,
+             (n - 1) * CAST(q AS DOUBLE) AS p
+      FROM (VALUES {", ".join(f"({q})" for q in _QS)}) qs(q), n
+    )
+    SELECT pos.q AS q,
+           lo.v + (pos.p - pos.lo_rn) * (hi.v - lo.v) AS pct
+    FROM pos
+    JOIN ranked lo ON lo.rn = pos.lo_rn
+    JOIN ranked hi ON hi.rn = pos.hi_rn
+    ORDER BY q
+    """,
+)
+def exact_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles of ``o_totalprice`` by distributed rank-selection
+    — the complement of the sketch-based ``approx_order_stats``.
+
+    A global ``row_number`` over a single unbounded window would funnel
+    every row through one partition; instead this runs the TeraSort-style
+    ranking: range-repartition on the value, count rows per range
+    partition (a tiny per-partition histogram, collected to the driver —
+    |partitions| rows, never data rows), broadcast the cumulative offsets
+    back, and add within-partition row_numbers. Each rank is then globally
+    correct while every sort stays partition-local. The requested quantile
+    ranks join against the ranked values (broadcast — 2|Q| rows), and both
+    engines interpolate with the identical ``lo + f*(hi-lo)`` expression,
+    so the doubles agree bit-for-bit with no rounding step at all.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(F.col("o_totalprice").alias("v"))
+    nparts = max(vals.rdd.getNumPartitions() // 2, 8)
+    # localCheckpoint pins the range partitioning: the histogram job and
+    # the ranking job below must see the SAME partition boundaries, and
+    # repartitionByRange's reservoir sampling is not guaranteed stable
+    # across re-executions of the exchange.
+    parts = (
+        vals.repartitionByRange(nparts, "v")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # per-partition counts: |nparts| rows to the driver (an AQE-sized
+    # statistic, not data), turned into cumulative offsets.
+    hist = {
+        r["pid"]: r["cnt"]
+        for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(hist):
+        offsets[pid] = acc
+        acc += hist[pid]
+    n = acc
+    off_df = F.broadcast(
+        parts.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, off long"
+        )
+    )
+    w = Window.partitionBy("pid").orderBy("v")
+    ranked = (
+        parts.join(off_df, "pid")
+        .withColumn("rn", F.row_number().over(w) - 1 + F.col("off"))
+        .select("v", "rn")
+    )
+    import math
+
+    pos_rows = [
+        (q, math.floor((n - 1) * q), math.ceil((n - 1) * q), (n - 1) * q)
+        for q in _QS
+    ]
+    pos = F.broadcast(
+        parts.sparkSession.createDataFrame(
+            pos_rows, "q double, lo_rn long, hi_rn long, p double"
+        )
+    )
+    lo = ranked.withColumnRenamed("rn", "lo_rn").withColumnRenamed("v", "lo_v")
+    hi = ranked.withColumnRenamed("rn", "hi_rn").withColumnRenamed("v", "hi_v")
+    return (
+        pos.join(lo, "lo_rn")
+        .join(hi, "hi_rn")
+        .select(
+            "q",
+            (
+                F.col("lo_v")
+                + (F.col("p") - F.col("lo_rn")) * (F.col("hi_v") - F.col("lo_v"))
+            ).alias("pct"),
+        )
+        .orderBy("q")
+    )
+
+
+#: (name, child table, child key, parent table, parent key) for every
+#: foreign-key edge in the star schema.
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT * FROM (
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+      SELECT '{name}' AS relationship,
+             (SELECT COUNT(*) FROM {child}) AS n_child,
+             (SELECT COUNT(*) FROM {child} c
+              WHERE c.{ckey} IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                WHERE p.{pkey} = c.{ckey})) AS n_orphans
+        """
+        for name, child, ckey, parent, pkey in _FK_EDGES
+    )
+    + """
+    ) ORDER BY relationship
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for every FK edge of the star schema,
+    the child row count and the number of orphaned children (non-null key
+    with no parent). Spark has no FOREIGN KEY enforcement — this op IS the
+    enforcement, run as a batch audit (the same role the reference's
+    UNIQUE constraint + INSERT OR IGNORE plays for its catalog,
+    `ethical_crawler.py:843,916`).
+
+    Each edge is a left-anti join aggregated to one row. Dimension parents
+    (region/nation/supplier/part/customer) broadcast; only
+    lineitem->orders is a real shuffle join at scale, on the same key the
+    fact table is naturally bucketed by. The per-edge single-row results
+    union into one audit panel."""
+    dfs = {}
+    for _, child, _, parent, _ in _FK_EDGES:
+        for t in (child, parent):
+            if t not in dfs:
+                dfs[t] = load_table(spark, sf_dir, t)
+
+    panels = []
+    for name, child, ckey, parent, pkey in _FK_EDGES:
+        parent_keys = dfs[parent].select(F.col(pkey).alias(ckey)).distinct()
+        if parent != "orders":
+            parent_keys = F.broadcast(parent_keys)
+        orphans = (
+            dfs[child]
+            .filter(F.col(ckey).isNotNull())
+            .join(parent_keys, ckey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        total = dfs[child].agg(F.count(F.lit(1)).alias("n_child"))
+        panels.append(
+            total.crossJoin(orphans).select(
+                F.lit(name).alias("relationship"), "n_child", "n_orphans"
+            )
+        )
+    return reduce(DataFrame.unionByName, panels).orderBy("relationship")

@@ -1,0 +1,292 @@
+"""Time-series / product-analytics queries over the events table.
+
+The hypertable-style operations a timeseries-aware engine ships and the
+reference's roadmap gestures at ("data feeds", `README.txt:24`; the
+`ingested_at` temporal index, `ethical_crawler.py:886`) but never builds:
+gap-filled resampling, funnel conversion, cohort retention, and
+gaps-and-islands run analysis. All pure DataFrame ops — one shuffle on the
+entity key each, no UDFs, so every plan survives a 100× scale-up unchanged
+(the shuffle key is `user_id`; state per key is bounded by that user's
+activity, never by corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "gap_fill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    ),
+    spanned AS (
+      SELECT *,
+             LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM daily
+    )
+    SELECT s.user_id,
+           CAST(gs.d AS DATE) AS day,
+           CAST(gs.d AS DATE) = s.day AS is_observed,
+           s.day_value AS filled_value,
+           CASE WHEN CAST(gs.d AS DATE) = s.day THEN s.n_events ELSE 0 END
+             AS n_events
+    FROM spanned s,
+         unnest(generate_series(
+           CAST(s.day AS TIMESTAMP),
+           CAST(COALESCE(s.next_day - 1, s.day) AS TIMESTAMP),
+           INTERVAL 1 DAY)) gs(d)
+    ORDER BY user_id, day
+    """,
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resample with forward fill (the hypertable
+    ``time_bucket_gapfill`` + ``locf`` shape): one row per user per
+    calendar day between that user's first and last active day, carrying
+    the last observed day's total on silent days.
+
+    Plan: aggregate to user-days first (corpus-linear scan, map-side
+    combined), THEN generate gap rows from each observed day up to its
+    successor (``lead`` + ``sequence`` + ``explode``). The explode runs on
+    the already-aggregated table, so the fill never touches raw-event
+    volume — output is |users| x |span days| regardless of event count,
+    and the only shuffle is the user_id window. The forward-fill value
+    rides along with the generating row: no second join, no
+    last-ignorenulls pass over the spine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("day_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    spanned = daily.withColumn("next_day", F.lead("day").over(w))
+    return (
+        spanned.select(
+            "user_id",
+            "day_value",
+            "n_events",
+            F.col("day").alias("d0"),
+            F.explode(
+                F.sequence(
+                    "day",
+                    F.coalesce(F.date_sub("next_day", 1), F.col("day")),
+                )
+            ).alias("day"),
+        )
+        .select(
+            "user_id",
+            "day",
+            (F.col("day") == F.col("d0")).alias("is_observed"),
+            F.col("day_value").alias("filled_value"),
+            F.when(F.col("day") == F.col("d0"), F.col("n_events"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_events"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    with_click AS (
+      SELECT e.user_id, p.t_view,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts >= p.t_view
+                      THEN e.ts END) AS t_click
+      FROM events e JOIN per_user p USING (user_id)
+      GROUP BY e.user_id, p.t_view
+    ),
+    with_purchase AS (
+      SELECT e.user_id, c.t_view, c.t_click,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t_click
+                      THEN e.ts END) AS t_purchase
+      FROM events e JOIN with_click c USING (user_id)
+      GROUP BY e.user_id, c.t_view, c.t_click
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_viewed,
+           COUNT(t_click) AS n_clicked_after_view,
+           COUNT(t_purchase) AS n_purchased_after_click,
+           ROUND(COUNT(t_purchase)::DOUBLE / NULLIF(COUNT(t_view), 0), 6)
+             AS view_to_purchase_rate
+    FROM with_purchase
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user converts a stage
+    only with an event at-or-after their previous stage's first event.
+
+    The staged minima are windows over ``user_id`` that each reference the
+    previous stage's column — all on one partitioning, so Catalyst plans a
+    single exchange and evaluates the three passes on the sorted runs
+    in-place (vs. the oracle's three self-join aggregations). Final rollup
+    is a singleton reduce of one row per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+        F.round(
+            F.count("t_purchase").cast("double")
+            / F.nullif(F.count("t_view"), F.lit(0)),
+            6,
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+           CAST(floor(date_diff('day',
+                CAST(date_trunc('day', f.first_ts) AS DATE),
+                CAST(date_trunc('day', e.ts) AS DATE)) / 7.0) AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active_users,
+           COUNT(*) AS n_events
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the ISO week of their
+    first event; activity counted per whole-week offset since that first
+    day. One window (min ts per user) on the same user_id exchange the
+    activity rows already need, then a cohort x offset aggregate whose
+    output is |weeks|^2 — constant-sized, never data-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    tagged = ev.withColumn("first_ts", F.min("ts").over(w))
+    return (
+        tagged.groupBy(
+            F.date_trunc("week", "first_ts").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7.0
+            ).alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "event_type_runs",
+    oracle="""
+    WITH numbered AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS island,
+             user_id
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, island, COUNT(*) AS run_len
+      FROM numbered GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           COUNT(*) AS n_runs,
+           MAX(run_len) AS max_run_len,
+           ROUND(CAST(SUM(run_len) AS DOUBLE) / COUNT(*), 4) AS avg_run_len
+    FROM runs
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive same-type runs inside each user's
+    event stream (the classic rownum-difference trick), rolled up to run
+    statistics per type — the shape behind streak detection, bot
+    flagging (impossibly long runs), and repeated-failure alerts.
+
+    Both row_numbers sort the same ``user_id`` runs, so Catalyst plans ONE
+    exchange + sort and evaluates the two windows on it back-to-back; the
+    island group-by then combines map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ut = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(w_u) - F.row_number().over(w_ut)).alias(
+                "island"
+            ),
+        )
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("max_run_len"),
+            F.round(
+                F.sum("run_len").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_run_len"),
+        )
+        .orderBy("event_type")
+    )

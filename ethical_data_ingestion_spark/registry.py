@@ -51,7 +51,9 @@ def _load_everything() -> None:
         dedup_q,
         multimodal_q,
         pipeline_q,
+        quality_q,
         similarity_q,
+        timeseries_q,
         skew_q,
         streaming_q,
         text_q,

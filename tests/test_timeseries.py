@@ -1,0 +1,140 @@
+"""Edge cases for the time-series and data-quality query families that the
+sf0.01 oracle run can't isolate: gap semantics on sparse users, funnel
+ordering constraints, rank-selection correctness against a known sort, and
+orphan detection on synthetic violations."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ethical_data_ingestion_spark.queries import quality_q, timeseries_q
+from ethical_data_ingestion_spark.registry import QUERIES
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+@pytest.fixture()
+def sparse_events(spark, tmp_path):
+    """User 1 active on day 1 and day 4 (2-day gap); user 2 one day only."""
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t, 1, "view", 10.0),
+        (2, t + dt.timedelta(days=3), 1, "click", 5.0),
+        (3, t, 2, "view", 7.0),
+    ]
+    p = str(tmp_path / "events.parquet")
+    _events(spark, rows).write.parquet(p)
+    return str(tmp_path)
+
+
+def test_gap_fill_fills_interior_days_with_last_value(spark, sparse_events):
+    out = QUERIES["gap_fill_daily"](spark, sparse_events).collect()
+    u1 = [r for r in out if r.user_id == 1]
+    assert [str(r.day) for r in u1] == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+    ]
+    assert [r.is_observed for r in u1] == [True, False, False, True]
+    # forward fill carries day-1's value across the gap
+    assert [r.filled_value for r in u1] == [10.0, 10.0, 10.0, 5.0]
+    assert [r.n_events for r in u1] == [1, 0, 0, 1]
+    # single-day user emits exactly one row, no fabricated span
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_observed
+
+
+def test_funnel_requires_stage_order(spark, tmp_path):
+    """A purchase BEFORE the first click must not count as converted."""
+    t = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: view -> click -> purchase (converts)
+        (1, t, 1, "view", 0.0), (2, t + h, 1, "click", 0.0),
+        (3, t + 2 * h, 1, "purchase", 0.0),
+        # user 2: purchase -> view -> click (purchase too early)
+        (4, t, 2, "purchase", 0.0), (5, t + h, 2, "view", 0.0),
+        (6, t + 2 * h, 2, "click", 0.0),
+        # user 3: click only (never viewed)
+        (7, t, 3, "click", 0.0),
+    ]
+    p = str(tmp_path / "events.parquet")
+    _events(spark, rows).write.parquet(p)
+    row = QUERIES["funnel_conversion"](spark, str(tmp_path)).collect()[0]
+    assert row.n_users == 3
+    assert row.n_viewed == 2
+    assert row.n_clicked_after_view == 2
+    assert row.n_purchased_after_click == 1
+    assert row.view_to_purchase_rate == 0.5
+
+
+def test_event_type_runs_counts_islands(spark, tmp_path):
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    # user 1: A A B A  -> runs: A(2), B(1), A(1)
+    rows = [
+        (1, t, 1, "A", 0.0), (2, t + s, 1, "A", 0.0),
+        (3, t + 2 * s, 1, "B", 0.0), (4, t + 3 * s, 1, "A", 0.0),
+    ]
+    p = str(tmp_path / "events.parquet")
+    _events(spark, rows).write.parquet(p)
+    out = {r.event_type: r for r in QUERIES["event_type_runs"](spark, str(tmp_path)).collect()}
+    assert out["A"].n_runs == 2 and out["A"].max_run_len == 2
+    assert out["B"].n_runs == 1 and out["B"].max_run_len == 1
+    assert out["A"].avg_run_len == 1.5
+
+
+def test_exact_percentiles_match_sorted_reference(spark, sf_dir):
+    import numpy as np
+
+    out = {r.q: r.pct for r in QUERIES["exact_order_percentiles"](spark, sf_dir).collect()}
+    vals = np.sort(
+        np.array(
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_totalprice")
+            .toPandas()["o_totalprice"]
+        )
+    )
+    n = len(vals)
+    for q in (0.25, 0.5, 0.75, 0.95):
+        pos = (n - 1) * q
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        expect = vals[lo] + (pos - lo) * (vals[hi] - vals[lo])
+        assert out[q] == pytest.approx(expect, rel=0, abs=1e-9)
+
+
+def test_fk_audit_detects_planted_orphans(spark, tmp_path):
+    """Copy the star schema, plant one orphaned lineitem, audit flags it."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        shutil.copy(f"{src}/{t}.parquet", f"{tmp_path}/{t}.parquet")
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    bad = li.limit(1).withColumn("l_orderkey", F.lit(999_999_999))
+    li.unionByName(bad).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = {
+        r.relationship: r
+        for r in QUERIES["fk_integrity_audit"](spark, str(tmp_path)).collect()
+    }
+    assert out["lineitem.l_orderkey->orders"].n_orphans == 1
+    assert out["orders.o_custkey->customer"].n_orphans == 0
+
+
+def test_retention_cohort_offsets_start_at_zero(spark, sf_dir):
+    rows = QUERIES["retention_cohorts"](spark, sf_dir).collect()
+    assert rows, "retention output empty"
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for cohort, rs in by_cohort.items():
+        offsets = sorted(r.week_offset for r in rs)
+        assert offsets[0] == 0, f"cohort {cohort} missing week-0 row"
+        # week-0 active users is the cohort size ceiling for later weeks
+        w0 = next(r.n_active_users for r in rs if r.week_offset == 0)
+        assert all(r.n_active_users <= w0 for r in rs)
