@@ -67,6 +67,8 @@ HEADLINE = [
     "validation_gate_stats",
     "approx_order_stats",
     "gap_fill_daily",
+    "moving_avg_7d",
+    "activity_bitmap_stats",
     "funnel_conversion",
     "retention_cohorts",
     "event_type_runs",

@@ -190,6 +190,71 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "activity_bitmap_stats",
+    oracle="""
+    WITH masks AS (
+      SELECT user_id,
+             bit_or(1::BIGINT << CAST(date_diff('day', DATE '2024-01-01',
+                    CAST(date_trunc('day', ts) AS DATE)) AS INTEGER)) AS mask
+      FROM events
+      GROUP BY user_id
+    ),
+    counted AS (
+      SELECT user_id, bit_count(mask) AS n_active_days,
+             CAST(mask & 127 AS BIGINT) AS first_week_mask
+      FROM masks
+    )
+    SELECT n_active_days,
+           COUNT(*) AS n_users,
+           COUNT(*) FILTER (WHERE first_week_mask = 127) AS n_full_first_week
+    FROM counted
+    GROUP BY n_active_days
+    ORDER BY n_active_days
+    """,
+)
+def activity_bitmap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity as a bit-packed day mask (bit i = active on day
+    i), aggregated to the active-day distribution — the bitmap-index
+    trick behind engagement/retention systems at scale: a month of
+    presence collapses to ONE int64 per user, set operations (streaks,
+    'active all of week 1') become bitwise ANDs, and the shuffle carries
+    8 bytes per user instead of per-event rows. ``bit_or`` combines
+    map-side like any commutative aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.datediff(
+        F.to_date("ts"), F.lit("2024-01-01").cast("date")
+    ).cast("int")
+    masks = (
+        ev.withColumn("day_idx", day_idx)
+        .groupBy("user_id")
+        .agg(
+            # python-API shiftleft only takes a literal shift; the SQL
+            # function accepts a column
+            F.bit_or(F.expr("shiftleft(cast(1 as bigint), day_idx)")).alias(
+                "mask"
+            )
+        )
+    )
+    counted = masks.select(
+        "user_id",
+        F.bit_count("mask").alias("n_active_days"),
+        (F.col("mask").bitwiseAND(F.lit(127))).cast("long").alias(
+            "first_week_mask"
+        ),
+    )
+    return (
+        counted.groupBy("n_active_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                (F.col("first_week_mask") == 127).cast("long")
+            ).alias("n_full_first_week"),
+        )
+        .orderBy("n_active_days")
+    )
+
+
+@register(
     "retention_cohorts",
     oracle="""
     WITH firsts AS (
@@ -229,6 +294,60 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "moving_avg_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT user_id, day,
+           CAST(SUM(CAST(day_value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS sum_7d,
+           COUNT(*) OVER w AS n_days_active_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, day
+    """,
+)
+def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling aggregate per user over the daily series —
+    the RANGE-frame window (value-based, not row-based: silent days
+    genuinely fall out of the frame, which a ROWS frame gets wrong).
+
+    Spark's rangeBetween needs a numeric ordering key, so the frame runs
+    over ``datediff`` from the epoch — day-granular integers, with the
+    trailing week as ``rangeBetween(-6, 0)``. Same single user_id
+    exchange as the daily pre-aggregate; the frame scan is linear per
+    partition (running frame, not re-scan-per-row)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("day_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.datediff("day", F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.sum(F.col("day_value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_7d"),
+        F.count(F.lit(1)).over(w).alias("n_days_active_7d"),
+    ).orderBy("user_id", "day")
 
 
 @register(

@@ -138,3 +138,41 @@ def test_retention_cohort_offsets_start_at_zero(spark, sf_dir):
         # week-0 active users is the cohort size ceiling for later weeks
         w0 = next(r.n_active_users for r in rs if r.week_offset == 0)
         assert all(r.n_active_users <= w0 for r in rs)
+
+
+def test_moving_avg_range_frame_excludes_stale_days(spark, tmp_path):
+    """RANGE frame: a day 10 days before must NOT be in the trailing-7d
+    window even when it's the adjacent row (silent gap between)."""
+    t = dt.datetime(2024, 1, 1, 6, 0, 0)
+    rows = [
+        (1, t, 1, "view", 10.0),
+        (2, t + dt.timedelta(days=10), 1, "view", 5.0),
+        (3, t + dt.timedelta(days=12), 1, "view", 2.0),
+    ]
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    out = {str(r.day): r for r in QUERIES["moving_avg_7d"](spark, str(tmp_path)).collect()}
+    assert out["2024-01-01"].sum_7d == 10.0
+    assert out["2024-01-11"].sum_7d == 5.0  # day 1 fell out of the frame
+    assert out["2024-01-13"].sum_7d == 7.0  # days 11+13 both inside
+    assert out["2024-01-13"].n_days_active_7d == 2
+
+
+def test_activity_bitmap_counts_distinct_days(spark, tmp_path):
+    """Multiple events on one day set one bit; first_week streak needs
+    all of days 0-6."""
+    base = dt.datetime(2024, 1, 1, 1, 0, 0)
+    rows = []
+    eid = 0
+    # user 1: active days 0-6 (full first week)
+    for d in range(7):
+        for _ in range(2):  # two events per day -> still one bit
+            eid += 1
+            rows.append((eid, base + dt.timedelta(days=d), 1, "view", 1.0))
+    # user 2: days 0 and 2 only
+    for d in (0, 2):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(days=d), 2, "view", 1.0))
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.n_active_days: r for r in QUERIES["activity_bitmap_stats"](spark, str(tmp_path)).collect()}
+    assert out[7].n_users == 1 and out[7].n_full_first_week == 1
+    assert out[2].n_users == 1 and out[2].n_full_first_week == 0

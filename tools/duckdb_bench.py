@@ -1,0 +1,66 @@
+"""DuckDB comparator bench.
+
+The reference publishes no performance numbers (BASELINE.md), but it
+delegates every query to DuckDB — so DuckDB executing the oracle SQL over
+the same parquet at the same scale factor IS the reference's de-facto
+single-node throughput. This tool times exactly that, producing the
+comparator the "BENCH within 2x of BASELINE" target needs.
+
+Usage:
+    python tools/duckdb_bench.py [sf_dir]      # default /root/testdata/sf0.1
+
+Prints one JSON line: {"metric": "duckdb_oracle_suite_total_wall",
+"value": sec, "queries": {...}, "sf": ...}. Queries without an oracle
+(rows-only ops) are skipped — the comparison is apples-to-apples on the
+oracle-checked surface.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from ethical_data_ingestion_spark.registry import ORACLE_SQL, QUERIES  # noqa: E402
+from ethical_data_ingestion_spark.schemas import FIXTURE_TABLES  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    # warm the OS page cache the same way the Spark bench's warmup scan does
+    for t in FIXTURE_TABLES:
+        con.execute(f"SELECT COUNT(*) FROM {t}").fetchall()
+
+    timings: dict[str, float] = {}
+    for name in QUERIES:
+        if name not in ORACLE_SQL:
+            continue
+        t0 = time.time()
+        con.execute(ORACLE_SQL[name]).fetchall()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_oracle_suite_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
