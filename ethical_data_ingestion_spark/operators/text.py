@@ -189,3 +189,49 @@ def shingles_raw(col: str | Column, k: int = 2) -> Column:
         zipped,
         lambda s: F.concat_ws(" ", *[s.getField(str(i)) for i in range(k)]),
     )
+
+
+#: HTML entities worth decoding without a parser dependency — the handful
+#: that dominate real crawl text. Applied after tag stripping.
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+]
+
+
+def strip_html(col: str | Column) -> Column:
+    """Boilerplate-strip an HTML column to text: drop <script>/<style>
+    subtrees wholesale (their text is never prose), strip remaining tags
+    and comments, decode the common entities, and collapse whitespace.
+
+    The reference imports BeautifulSoup but never calls it
+    (ethical_crawler.py:30 — the vestigial HTML-parse surface); crawl
+    pipelines need this as a bulk operator, so it is built from chained
+    ``regexp_replace`` Catalyst expressions — JVM-side regex, no Python
+    worker, stays inside whole-stage codegen. A regex pass is the
+    C4/CommonCrawl-style 80% answer; a DOM-accurate extraction would be a
+    Pandas-UDF escape hatch on the same column."""
+    c = F.col(col) if isinstance(col, str) else col
+    # (?is): case-insensitive, dot matches newline. Lazy body up to the
+    # matching close tag.
+    c = F.regexp_replace(c, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for entity, repl in _HTML_ENTITIES:
+        c = F.regexp_replace(c, entity, repl)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def extract_links(col: str | Column) -> Column:
+    """All href targets of an HTML column as an array<string> — the
+    link-graph edge extractor of a crawl pipeline (feeds the frontier and
+    PageRank-ish scoring). ``regexp_extract_all`` with a capture group,
+    JVM-side; handles single/double/unquoted attribute values."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(
+        c, F.lit(r"""(?i)href\s*=\s*["']?([^"'\s>]+)"""), F.lit(1)
+    )

@@ -285,3 +285,40 @@ def test_new_operators_empty_inputs(spark):
     )
     # query terms absent from the corpus -> empty ranking, not an error
     assert bm25_topk(docs, ["zzz"], k=5).count() == 0
+
+
+class TestStripHtml:
+    def test_strips_tags_scripts_entities(self, spark):
+        from ethical_data_ingestion_spark.operators.text import (
+            extract_links,
+            strip_html,
+        )
+
+        html = (
+            "<html><head><style>p{color:red}</style>"
+            "<script>var x = '<p>not text</p>';</script></head>"
+            "<body><!-- comment --><h1>Title</h1>"
+            "<p>A &amp; B &lt;3 &nbsp; C</p>"
+            '<a href="https://x.test/a">a</a> '
+            "<a href='/rel'>r</a> <a href=bare>b</a></body></html>"
+        )
+        df = spark.createDataFrame([(html,), (None,)], "html string")
+        out = df.select(
+            strip_html("html").alias("text"),
+            extract_links("html").alias("links"),
+        ).collect()
+        assert out[0].text == 'Title A & B <3 C a r b'
+        assert out[0].links == ["https://x.test/a", "/rel", "bare"]
+        assert out[1].text is None and out[1].links is None
+
+    def test_unclosed_script_does_not_eat_document(self, spark):
+        from ethical_data_ingestion_spark.operators.text import strip_html
+
+        df = spark.createDataFrame(
+            [("<p>keep</p><script>orphan", )], "html string"
+        )
+        # lazy subtree match requires a close tag; an unclosed script
+        # leaves its residue to the generic tag strip instead of
+        # swallowing the rest of the document
+        out = df.select(strip_html("html").alias("t")).collect()[0].t
+        assert "keep" in out
