@@ -255,32 +255,58 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNIQUE constraint + INSERT OR IGNORE plays for its catalog,
     `ethical_crawler.py:843,916`).
 
-    Each edge is a left-anti join aggregated to one row. Dimension parents
-    (region/nation/supplier/part/customer) broadcast; only
-    lineitem->orders is a real shuffle join at scale, on the same key the
-    fact table is naturally bucketed by. The per-edge single-row results
-    union into one audit panel."""
-    dfs = {}
-    for _, child, _, parent, _ in _FK_EDGES:
-        for t in (child, parent):
-            if t not in dfs:
-                dfs[t] = load_table(spark, sf_dir, t)
+    Edges are grouped by child table: each child is scanned ONCE, with a
+    left-joined presence marker per parent and a single aggregate emitting
+    every edge's totals (lineitem's three edges cost one scan, not six).
+    Dimension parents (region/nation/supplier/part/customer) broadcast;
+    only lineitem->orders is a real shuffle join at scale, on the same key
+    the fact table is naturally bucketed by. Each child's one-row result
+    unpivots with stack into the audit panel."""
+    from collections import defaultdict
+
+    edges_by_child: dict[str, list[tuple[str, str, str, str]]] = defaultdict(list)
+    for name, child, ckey, parent, pkey in _FK_EDGES:
+        edges_by_child[child].append((name, ckey, parent, pkey))
 
     panels = []
-    for name, child, ckey, parent, pkey in _FK_EDGES:
-        parent_keys = dfs[parent].select(F.col(pkey).alias(ckey)).distinct()
-        if parent != "orders":
-            parent_keys = F.broadcast(parent_keys)
-        orphans = (
-            dfs[child]
-            .filter(F.col(ckey).isNotNull())
-            .join(parent_keys, ckey, "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
+    for child, edges in edges_by_child.items():
+        # ONE pass over the child: left-join a presence marker per parent,
+        # then a single aggregate emits every edge's (total, orphans).
+        # The naive shape — one anti-join + one count PER edge — scans
+        # lineitem six times; this scans it once.
+        df = load_table(spark, sf_dir, child)
+        for name, ckey, parent, pkey in edges:
+            marker = f"_has_{parent}_{ckey}"
+            parent_keys = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pkey).alias(ckey))
+                .distinct()
+                .withColumn(marker, F.lit(1))
+            )
+            if parent != "orders":
+                parent_keys = F.broadcast(parent_keys)
+            df = df.join(parent_keys, ckey, "left")
+        aggs = [F.count(F.lit(1)).alias("n_child")]
+        for name, ckey, parent, pkey in edges:
+            marker = f"_has_{parent}_{ckey}"
+            aggs.append(
+                F.sum(
+                    (
+                        F.col(ckey).isNotNull() & F.col(marker).isNull()
+                    ).cast("long")
+                ).alias(f"_orph_{marker}")
+            )
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{name}', n_child, _orph__has_{parent}_{ckey}"
+            for name, ckey, parent, pkey in edges
         )
-        total = dfs[child].agg(F.count(F.lit(1)).alias("n_child"))
         panels.append(
-            total.crossJoin(orphans).select(
-                F.lit(name).alias("relationship"), "n_child", "n_orphans"
+            wide.select(
+                F.expr(
+                    f"stack({len(edges)}, {stack_args}) AS "
+                    "(relationship, n_child, n_orphans)"
+                )
             )
         )
     return reduce(DataFrame.unionByName, panels).orderBy("relationship")
