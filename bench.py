@@ -74,12 +74,14 @@ HEADLINE = [
     "event_type_runs",
     "column_profile_orders",
     "exact_order_percentiles",
+    "order_price_deciles",
     "fk_integrity_audit",
     "text_quality_stats",
     "token_count_bpe",
     "word_frequency_topk",
     "text_repetition_stats",
     "stratified_sample_stats",
+    "weighted_sample_stats",
     "contamination_overlap",
     "train_test_split_stats",
     "chunk_dedup_stats",
@@ -102,6 +104,7 @@ HEADLINE = [
     "streaming_sessions_stateful",
     "continuous_rollup_daily",
     "streaming_purchase_click_join",
+    "streaming_enriched_segments",
 ]
 
 

@@ -195,6 +195,81 @@ def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: systematic-sampling stride: one sampled doc per ~2,000 chars of
+#: cumulative weight within each source.
+_SAMPLE_STRIDE = 2000
+
+
+@register(
+    "weighted_sample_stats",
+    oracle=f"""
+    WITH cum AS (
+      SELECT source, doc_id, n_chars,
+             SUM(CAST(n_chars AS DECIMAL(18,0))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS c
+      FROM documents
+    ),
+    tagged AS (
+      SELECT source, n_chars,
+             floor(c / {_SAMPLE_STRIDE}) > floor((c - n_chars) / {_SAMPLE_STRIDE})
+               AS sampled
+      FROM cum
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE sampled) AS n_sampled,
+           CAST(COALESCE(SUM(CASE WHEN sampled THEN n_chars END), 0) AS BIGINT)
+             AS chars_sampled
+    FROM tagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted systematic sampling: walk each source's documents
+    in key order accumulating n_chars, and take the document that crosses
+    each ``stride``-char boundary — long documents are proportionally more
+    likely to straddle a boundary, giving weight-proportional inclusion
+    with NO random numbers at all (the complement of the md5-uniform
+    sampler in ``stratified_sample_stats``: that one is unweighted).
+
+    The cumulative weight runs in DECIMAL, so it is EXACT and the
+    boundary test is pure integer logic — bit-identical across engines
+    and partitionings, where a double running sum would be
+    order-dependent. The window partitions by source, so the scan stays
+    parallel across sources; for a single giant stratum the two-phase
+    offset trick from exact_order_percentiles applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.select(
+        "source",
+        "n_chars",
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).over(w).alias("c"),
+    )
+    sampled = F.floor(F.col("c") / _SAMPLE_STRIDE) > F.floor(
+        (F.col("c") - F.col("n_chars")) / _SAMPLE_STRIDE
+    )
+    return (
+        cum.withColumn("_s", sampled)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_s").cast("long")).alias("n_sampled"),
+            F.coalesce(
+                F.sum(F.when(F.col("_s"), F.col("n_chars"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("chars_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "chunk_dedup_stats",
     oracle="""

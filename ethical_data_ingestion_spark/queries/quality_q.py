@@ -214,6 +214,55 @@ def exact_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_price_deciles",
+    oracle="""
+    WITH tiled AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           COUNT(*) AS n_orders,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM tiled
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile histogram of order value: NTILE over the price
+    order (o_orderkey tie-break makes bucket membership total-order
+    deterministic), then per-bucket count/bounds/mass — the optimizer-
+    statistics histogram shape, and the revenue-concentration panel
+    ("the top decile carries X% of spend").
+
+    NTILE needs a global order; at sf scale Spark plans the single
+    ordered window. The scale path is the same rank-selection machinery
+    as exact_order_percentiles (assign buckets by joining against the 9
+    rank cut-points); here the built-in expresses the semantics for the
+    oracle pair."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tiled = orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(money).cast("double").alias("lo"),
+            F.max(money).cast("double").alias("hi"),
+            F.sum(money).cast("double").alias("total_price"),
+        )
+        .orderBy("decile")
+    )
+
+
 #: (name, child table, child key, parent table, parent key) for every
 #: foreign-key edge in the star schema.
 _FK_EDGES = [

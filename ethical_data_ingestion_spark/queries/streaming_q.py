@@ -235,3 +235,47 @@ def streaming_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_enriched_segments",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the customer
+    dimension (user_id keys into the 1-based custkey space) inside the
+    streaming engine — broadcast per micro-batch, no join state — then a
+    complete-mode aggregate per market segment. The final table equals
+    the batch join+aggregate, which is the oracle.
+
+    This is the remaining Structured-Streaming join mode after the
+    stream-stream interval join (streaming_purchase_click_join): facts
+    stream, reference data doesn't."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    with P.state_partitions(spark, 4):
+        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
+        enriched = P.enrich_stream(
+            stream.withColumn("c_custkey", F.col("user_id") + 1),
+            cust,
+            ["c_custkey"],
+        )
+        out = P.run_available_now(
+            enriched.groupBy("segment").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            ),
+            output_mode="complete",
+        )
+    return out.orderBy("segment")

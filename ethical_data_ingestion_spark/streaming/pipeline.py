@@ -487,3 +487,17 @@ def incremental_rollup(
     )
     q.awaitTermination()
     return out_dir
+
+
+def enrich_stream(
+    stream: DataFrame, static_dim: DataFrame, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Stream-static join: every micro-batch joins against a batch
+    dimension table — the enrichment pattern (stream of facts, slowly
+    changing reference data). Stateless on the stream side: no watermark,
+    no join state, because the static side is re-resolved per micro-batch;
+    broadcast keeps it shuffle-free so arbitrarily large stream volume
+    never re-partitions on the dimension key."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return stream.join(F.broadcast(static_dim), on, how)

@@ -176,3 +176,31 @@ def test_activity_bitmap_counts_distinct_days(spark, tmp_path):
     out = {r.n_active_days: r for r in QUERIES["activity_bitmap_stats"](spark, str(tmp_path)).collect()}
     assert out[7].n_users == 1 and out[7].n_full_first_week == 1
     assert out[2].n_users == 1 and out[2].n_full_first_week == 0
+
+
+def test_weighted_sample_partition_invariant(spark, sf_dir):
+    """Systematic sampling by exact decimal cumsum must be a pure
+    function of the data — identical under different partitionings."""
+    from ethical_data_ingestion_spark.io import load_table
+
+    base = QUERIES["weighted_sample_stats"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.repartition(7).write.parquet(f"{d}/documents.parquet")
+        re = QUERIES["weighted_sample_stats"](spark, d).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, re))
+    # weighting sanity: every source sampled at roughly chars/stride rate
+    for r in base:
+        assert r.n_sampled >= 1
+
+
+def test_deciles_partition_rows_evenly(spark, sf_dir):
+    rows = QUERIES["order_price_deciles"](spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    sizes = [r.n_orders for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # NTILE's equi-depth guarantee
+    # buckets tile the value range in order
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
