@@ -9,6 +9,14 @@ ONE JSON line:
 
 Timings are end-to-end per query: plan → execute → collect (results are
 small by construction; collect is the driver contract's own terminal step).
+
+Output discipline (round-2 verdict: BENCH_r02 had ``parsed: null`` because
+warning spew shared stdout with the JSON line): every write to fd 1 during
+the run — pandas FutureWarnings, py4j/JVM chatter, stray prints — is
+redirected to stderr at the *file-descriptor* level before the JVM is
+launched, so the JSON line emitted on the saved real stdout at the end is
+the ONLY stdout content. The same payload is also written to
+``BENCH.json`` next to this script as a belt-and-braces artifact.
 """
 
 from __future__ import annotations
@@ -17,6 +25,11 @@ import json
 import os
 import sys
 import time
+import warnings
+
+# Silence Python-side warnings here and in forked pyspark workers.
+warnings.filterwarnings("ignore")
+os.environ["PYTHONWARNINGS"] = "ignore"
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -109,6 +122,14 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Reserve the real stdout for the final JSON line, then point fd 1 at
+    # stderr for the whole run. The JVM gateway is launched after this, so
+    # its inherited stdout is stderr too — nothing can interleave with the
+    # result line.
+    real_stdout_fd = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(
@@ -202,7 +223,14 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    payload = json.dumps(out)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
+        "w",
+    ) as fh:
+        fh.write(payload + "\n")
+    os.write(real_stdout_fd, (payload + "\n").encode())
+    os.close(real_stdout_fd)
 
 
 if __name__ == "__main__":

@@ -114,6 +114,50 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QS = [0.25, 0.5, 0.75, 0.95]
 
 
+def _global_ranks(vals: DataFrame, *cols: str) -> tuple[DataFrame, int]:
+    """TeraSort-style distributed global ranking over ``cols``: returns
+    (``vals`` + a 0-based ``rn`` global rank column, total row count).
+
+    A global ``row_number`` over one unbounded window would funnel every
+    row through a single partition; instead: range-repartition on the sort
+    key, count rows per range partition (a tiny per-partition histogram
+    collected to the driver — |partitions| rows, never data rows),
+    broadcast the cumulative offsets back, and add within-partition
+    row_numbers. Every rank is globally correct while every sort stays
+    partition-local. Shared by ``exact_order_percentiles`` and
+    ``order_price_deciles``."""
+    nparts = max(vals.rdd.getNumPartitions() // 2, 8)
+    # localCheckpoint pins the range partitioning: the histogram job and
+    # the ranking job below must see the SAME partition boundaries, and
+    # repartitionByRange's reservoir sampling is not guaranteed stable
+    # across re-executions of the exchange.
+    parts = (
+        vals.repartitionByRange(nparts, *cols)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    hist = {
+        r["pid"]: r["cnt"]
+        for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(hist):
+        offsets[pid] = acc
+        acc += hist[pid]
+    off_df = F.broadcast(
+        parts.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, off long"
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(*cols)
+    ranked = (
+        parts.join(off_df, "pid")
+        .withColumn("rn", F.row_number().over(w) - 1 + F.col("off"))
+        .drop("pid", "off")
+    )
+    return ranked, acc
+
+
 @register(
     "exact_order_percentiles",
     oracle=f"""
@@ -142,51 +186,16 @@ def exact_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentiles of ``o_totalprice`` by distributed rank-selection
     — the complement of the sketch-based ``approx_order_stats``.
 
-    A global ``row_number`` over a single unbounded window would funnel
-    every row through one partition; instead this runs the TeraSort-style
-    ranking: range-repartition on the value, count rows per range
-    partition (a tiny per-partition histogram, collected to the driver —
-    |partitions| rows, never data rows), broadcast the cumulative offsets
-    back, and add within-partition row_numbers. Each rank is then globally
-    correct while every sort stays partition-local. The requested quantile
-    ranks join against the ranked values (broadcast — 2|Q| rows), and both
-    engines interpolate with the identical ``lo + f*(hi-lo)`` expression,
-    so the doubles agree bit-for-bit with no rounding step at all.
+    Ranks come from the shared ``_global_ranks`` rank-selection machinery
+    (range-repartition + broadcast per-partition offsets — no global
+    window). The requested quantile ranks join against the ranked values
+    (broadcast — 2|Q| rows), and both engines interpolate with the
+    identical ``lo + f*(hi-lo)`` expression, so the doubles agree
+    bit-for-bit with no rounding step at all.
     """
     orders = load_table(spark, sf_dir, "orders")
     vals = orders.select(F.col("o_totalprice").alias("v"))
-    nparts = max(vals.rdd.getNumPartitions() // 2, 8)
-    # localCheckpoint pins the range partitioning: the histogram job and
-    # the ranking job below must see the SAME partition boundaries, and
-    # repartitionByRange's reservoir sampling is not guaranteed stable
-    # across re-executions of the exchange.
-    parts = (
-        vals.repartitionByRange(nparts, "v")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    # per-partition counts: |nparts| rows to the driver (an AQE-sized
-    # statistic, not data), turned into cumulative offsets.
-    hist = {
-        r["pid"]: r["cnt"]
-        for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(hist):
-        offsets[pid] = acc
-        acc += hist[pid]
-    n = acc
-    off_df = F.broadcast(
-        parts.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "pid int, off long"
-        )
-    )
-    w = Window.partitionBy("pid").orderBy("v")
-    ranked = (
-        parts.join(off_df, "pid")
-        .withColumn("rn", F.row_number().over(w) - 1 + F.col("off"))
-        .select("v", "rn")
-    )
+    ranked, n = _global_ranks(vals, "v")
     import math
 
     pos_rows = [
@@ -194,7 +203,7 @@ def exact_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in _QS
     ]
     pos = F.broadcast(
-        parts.sparkSession.createDataFrame(
+        spark.createDataFrame(
             pos_rows, "q double, lo_rn long, hi_rn long, p double"
         )
     )
@@ -240,16 +249,32 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics histogram shape, and the revenue-concentration panel
     ("the top decile carries X% of spend").
 
-    NTILE needs a global order; at sf scale Spark plans the single
-    ordered window. The scale path is the same rank-selection machinery
-    as exact_order_percentiles (assign buckets by joining against the 9
-    rank cut-points); here the built-in expresses the semantics for the
-    oracle pair."""
+    A literal ``F.ntile(10).over(Window.orderBy(...))`` plans a global
+    single-partition window — every order row through one task. Instead:
+    global ranks via the shared ``_global_ranks`` rank-selection machinery
+    (range-repartition + broadcast offsets, all sorts partition-local),
+    then NTILE's bucket assignment in closed form — with n rows and k=10
+    buckets, the first ``n % k`` buckets hold ``n//k + 1`` rows and the
+    rest ``n//k``, so the bucket of 0-based rank rn is a pure expression
+    in (rn, n). Exactly matches the oracle's NTILE semantics with zero
+    global sort and no extra join."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    tiled = orders.select(
-        "o_totalprice", F.ntile(10).over(w).alias("decile")
-    )
+    vals = orders.select("o_totalprice", "o_orderkey")
+    ranked, n = _global_ranks(vals, "o_totalprice", "o_orderkey")
+    base, rem = divmod(n, 10)
+    big = base + 1
+    cut = rem * big
+    rn = F.col("rn")
+    if base == 0:
+        # fewer rows than buckets: NTILE gives one row per bucket 1..n
+        decile = (rn + 1).cast("int")
+    else:
+        decile = (
+            F.when(rn < cut, F.floor(rn / big))
+            .otherwise(rem + F.floor((rn - cut) / base))
+            + 1
+        ).cast("int")
+    tiled = ranked.select("o_totalprice", decile.alias("decile"))
     money = F.col("o_totalprice").cast("decimal(18,2)")
     return (
         tiled.groupBy("decile")

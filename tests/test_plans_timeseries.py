@@ -65,6 +65,18 @@ def test_percentiles_avoid_single_partition_window(spark, sf_dir):
     assert not window_feeds, "global single-partition window in percentile plan"
 
 
+def test_deciles_avoid_single_partition_window(spark, sf_dir):
+    # NTILE semantics must come from the rank-selection machinery, never a
+    # global ordered window: no Exchange SinglePartition may feed a Window.
+    df = _q(spark, sf_dir, "order_price_deciles")
+    plan = plans.formatted_plan(df)
+    window_feeds = [
+        seg for seg in plan.split("Window")[:-1]
+        if "Exchange SinglePartition" in seg[-600:]
+    ]
+    assert not window_feeds, "global single-partition window in decile plan"
+
+
 def test_fk_audit_broadcasts_dimension_parents(spark, sf_dir):
     # six of seven FK edges have dimension parents — every one must be a
     # broadcast join; only lineitem->orders may shuffle at scale.
