@@ -71,8 +71,11 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (≥0.45 — chosen from the
-    fixture's cosine distribution, max ≈ 0.51). Exact baseline; the LSH
-    candidate generator replaces the pair join at scale."""
+    fixture's cosine distribution, max ≈ 0.51). EXACT, executed as a
+    blocked-GEMM tile grid (see `similarity.cosine_pairs`): the only join
+    over vector data is keyed on block ids; each tile is one numpy matmul;
+    candidates are re-scored with the strict-fold cosine so the rounded
+    values stay bit-identical to the oracle's all-pairs SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_pairs(emb, threshold=0.45)
 

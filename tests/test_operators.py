@@ -153,6 +153,30 @@ def test_knn_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"LSH recall collapsed: {recall}"
 
 
+def test_cosine_pairs_blocked_gemm_equals_naive(spark, sf_dir):
+    # the blocked-GEMM grid must reproduce the naive all-pairs nested loop
+    # exactly — ids, pair set, and rounded scores (the loose GEMM
+    # pre-filter may not drop any true pair, the diagonal-tile dedup may
+    # not double-emit).
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = similarity.cosine_pairs(emb, threshold=0.45, n_blocks=4).collect()
+    a = emb.select(F.col("vec_id").alias("id1"),
+                   similarity.as_double(F.col("embedding")).alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id2"),
+                   similarity.as_double(F.col("embedding")).alias("v2"))
+    naive = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("cos", F.round(similarity.cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cos") >= 0.45)
+        .select("id1", "id2", "cos")
+        .orderBy("id1", "id2")
+        .collect()
+    )
+    assert [(r.id1, r.id2, r.cos) for r in blocked] == [
+        (r.id1, r.id2, r.cos) for r in naive
+    ]
+
+
 def test_knn_excludes_self(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 2).select(
