@@ -107,6 +107,7 @@ HEADLINE = [
     "neardup_clusters",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
+    "knn_lsh_recall_stats",
     "knn_cosine_ivf",
     "embedding_quantization_stats",
     "multimodal_meta_stats",

@@ -126,12 +126,53 @@ def lsh_bucket_udf(planes: list[list[list[float]]]):
     @pandas_udf("array<int>")
     def buckets(emb: pd.Series) -> pd.Series:
         v = np.vstack(emb.to_numpy())  # n × dim
-        signs = (v @ flat) > 0
-        signs = signs.reshape(len(v), n_tables, n_bits)
+        # strict left-fold accumulation in dimension order (vectorized
+        # across rows and planes): bit-matches the sequential fold the
+        # DuckDB oracle mirror performs, so bucket ids agree across
+        # engines — a plain matmul's pairwise/SIMD summation differs in
+        # the last ulp, which flips signs of near-orthogonal projections.
+        acc = np.zeros((len(v), flat.shape[1]))
+        for d in range(v.shape[1]):
+            acc += v[:, d : d + 1] * flat[d]
+        signs = (acc > 0).reshape(len(v), n_tables, n_bits)
         out = (signs * weights).sum(axis=2).astype("int32")
         return pd.Series(list(out))
 
     return buckets
+
+
+def lsh_candidates(
+    b: DataFrame,
+    q: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    planes: list[list[list[float]]],
+    base_vec: str = "_bv",
+    query_vec: str = "_qv",
+) -> DataFrame:
+    """(query_id, id) candidate pairs colliding in ANY table's bucket —
+    the equi-join on (table, bucket) that replaces the O(|base|) scan per
+    query at scale. Shared by `knn_lsh` and the recall-stats query."""
+    buckets = lsh_bucket_udf(planes)
+    b_buckets = b.select(
+        id_col, F.posexplode(buckets(base_vec)).alias("t", "bucket")
+    )
+    q_buckets = q.select(
+        query_id_col, F.posexplode(buckets(query_vec)).alias("t", "bucket")
+    )
+    # distinct over bare id pairs, NOT over rows carrying the vectors —
+    # hashing 64-float arrays through the dedup shuffle doubled runtime;
+    # vectors are re-attached to the (small) candidate set afterwards.
+    return (
+        b_buckets.join(
+            F.broadcast(q_buckets),
+            (b_buckets.t == q_buckets.t)
+            & (b_buckets.bucket == q_buckets.bucket)
+            & (F.col(id_col) != F.col(query_id_col)),
+        )
+        .select(query_id_col, id_col)
+        .distinct()
+    )
 
 
 def knn_lsh(
@@ -154,33 +195,10 @@ def knn_lsh(
     against knn_bruteforce.
     """
     planes = hyperplanes(dim, n_tables, n_bits)
-    buckets = lsh_bucket_udf(planes)
     b = base.select(F.col(id_col), as_double(F.col(vec_col)).alias("_bv"))
     q = queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv"))
-
-    b_buckets = b.select(
-        id_col,
-        "_bv",
-        F.posexplode(buckets("_bv")).alias("t", "bucket"),
-    )
-    q_buckets = q.select(
-        query_id_col,
-        "_qv",
-        F.posexplode(buckets("_qv")).alias("t", "bucket"),
-    )
-    # distinct over bare id pairs, NOT over rows carrying the vectors —
-    # hashing 64-float arrays through the dedup shuffle doubled runtime;
-    # vectors are re-attached to the (small) candidate set afterwards.
-    cand_ids = (
-        b_buckets.drop("_bv")
-        .join(
-            F.broadcast(q_buckets.drop("_qv")),
-            (b_buckets.t == q_buckets.t)
-            & (b_buckets.bucket == q_buckets.bucket)
-            & (F.col(id_col) != F.col(query_id_col)),
-        )
-        .select(query_id_col, id_col)
-        .distinct()
+    cand_ids = lsh_candidates(
+        b, q, id_col, query_id_col, planes, base_vec="_bv", query_vec="_qv"
     )
     scored = (
         cand_ids.join(F.broadcast(q), query_id_col)

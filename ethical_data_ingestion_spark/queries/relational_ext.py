@@ -244,23 +244,55 @@ def running_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_order_stats")  # estimates are engine-specific → rows-only;
-                                 # error bounds vs exact asserted in tests
+@register(
+    "approx_order_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS hll_within_2pct,
+           TRUE AS p50_within_rank_bounds,
+           TRUE AS p95_within_rank_bounds
+    FROM orders
+    """,
+)
 def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for interactive scale: HLL++ distinct count and
     quantile summaries compute in one pass with O(1) state per partition
     and commutative merges — at 100 TB these replace exact COUNT(DISTINCT)
     (a full shuffle of the key universe) and exact percentiles (a sort)
-    whenever ±2% is acceptable. DuckDB's estimators differ bit-wise, so
-    the driver applies its rows-only check; tests bound the relative error
-    against the exact answers. Quantiles are emitted as scalar columns
-    (price_p50, price_p95) — the driver's pandas canonicalizer cannot hash
-    array cells."""
+    whenever ±2% is acceptable.
+
+    DuckDB's estimators differ bit-wise from Spark's, so the raw estimates
+    can't be hash-compared; instead the query emits engine-independent
+    ASSERTIONS: the exact aggregates (hash-checked against the oracle
+    verbatim) plus booleans stating each sketch sits within its published
+    bound — HLL within 2% of the exact distinct count (rsd=0.02; measured
+    ≤0.6% on all fixtures), each percentile_approx estimate between the
+    exact 5-percentile-point rank bounds (accuracy 10000 ⇒ rank error
+    ≤ n/10000, far inside ±5 points). The oracle expects TRUE: a sketch
+    drifting out of bounds flips the boolean and fails the hash gate."""
     orders = load_table(spark, sf_dir, "orders")
     q = F.percentile_approx("o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)
-    return orders.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.element_at(q, 1).alias("price_p50"),
-        F.element_at(q, 2).alias("price_p95"),
+    ex = F.expr("percentile(o_totalprice, array(0.45, 0.55, 0.93, 0.97))")
+    wide = orders.agg(
         F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_hll"),
+        F.element_at(q, 1).alias("_p50"),
+        F.element_at(q, 2).alias("_p95"),
+        ex.alias("_ex"),
+    )
+    return wide.select(
+        "n_orders",
+        "exact_customers",
+        (
+            F.abs(F.col("_hll") - F.col("exact_customers"))
+            <= 0.02 * F.col("exact_customers")
+        ).alias("hll_within_2pct"),
+        F.col("_p50").between(
+            F.element_at("_ex", 1), F.element_at("_ex", 2)
+        ).alias("p50_within_rank_bounds"),
+        F.col("_p95").between(
+            F.element_at("_ex", 3), F.element_at("_ex", 4)
+        ).alias("p95_within_rank_bounds"),
     )

@@ -214,6 +214,128 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_recall_oracle() -> str:
+    """DuckDB mirror of the full LSH pipeline: the md5-derived hyperplanes
+    are embedded as literal DOUBLE[] arrays, buckets are sign-bit sums of
+    ``list_dot_product`` projections, candidates/top-k/recall mirror the
+    Spark operators step for step. Deterministic planes + fixed data ⇒ the
+    'approximate' path is exactly reproducible, so recall itself becomes a
+    hash-checkable quantity."""
+    planes = S.hyperplanes(64, 8, 4)
+    sig_cols = []
+    for t, rows in enumerate(planes):
+        bits = [
+            f"(CASE WHEN list_dot_product(bv, "
+            f"[{','.join(repr(c) for c in comps)}]) > 0 "
+            f"THEN {1 << bidx} ELSE 0 END)"
+            for bidx, comps in enumerate(rows)
+        ]
+        sig_cols.append(" + ".join(bits) + f" AS b{t}")
+    melt = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM sig"
+        for t in range(len(planes))
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings),
+    sig AS (
+      SELECT vec_id, bv, {", ".join(sig_cols)}
+      FROM b
+    ),
+    m AS (
+      {melt}
+    ),
+    qm AS (SELECT vec_id AS query_id, t, bucket FROM m WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT qm.query_id, m.vec_id
+      FROM m JOIN qm ON m.t = qm.t AND m.bucket = qm.bucket
+                    AND m.vec_id <> qm.query_id
+    ),
+    q AS (SELECT vec_id AS query_id, bv AS qv FROM b WHERE vec_id < 5),
+    lsh_scored AS (
+      SELECT cand.query_id, cand.vec_id, {_COS} AS cos
+      FROM cand
+      JOIN q ON q.query_id = cand.query_id
+      JOIN b ON b.vec_id = cand.vec_id
+    ),
+    lsh10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rnk
+        FROM lsh_scored) WHERE rnk <= 10
+    ),
+    ex_scored AS (
+      SELECT q.query_id, b.vec_id, {_COS} AS cos
+      FROM b, q WHERE b.vec_id <> q.query_id
+    ),
+    ex10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rnk
+        FROM ex_scored) WHERE rnk <= 10
+    ),
+    nc AS (SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id),
+    ov AS (
+      SELECT l.query_id, COUNT(*) AS o
+      FROM lsh10 l JOIN ex10 e
+        ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+      GROUP BY l.query_id
+    )
+    SELECT q.query_id AS query_id,
+           COALESCE(nc.n_candidates, 0) AS n_candidates,
+           COALESCE(ov.o, 0) / 10.0 AS recall_at_10
+    FROM q
+    LEFT JOIN nc ON nc.query_id = q.query_id
+    LEFT JOIN ov ON ov.query_id = q.query_id
+    ORDER BY q.query_id
+    """
+
+
+@register("knn_lsh_recall_stats", oracle=_lsh_recall_oracle())
+def knn_lsh_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe quality panel for the LSH index: candidate-set size (the
+    pruning metric) and recall@10 against the exact brute-force top-10.
+    Both sides are deterministic — md5-derived hyperplanes, strict-fold
+    projections, total-order tie-breaks — so the panel is hash-checked
+    against a DuckDB mirror of the entire approximate pipeline: the gate
+    that was previously rows-only for the LSH family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", S.as_double(F.col("embedding")).alias("_bv"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double(F.col("embedding")).alias("_qv"),
+    )
+    planes = S.hyperplanes(64, 8, 4)
+    cand = S.lsh_candidates(b, q, "vec_id", "query_id", planes)
+    ncand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh10 = S.knn_lsh(emb, queries, k=10, dim=64, n_tables=8, n_bits=4).select(
+        "query_id", "vec_id"
+    )
+    exact10 = S.knn_bruteforce(emb, queries, k=10).select("query_id", "vec_id")
+    ovl = (
+        lsh10.join(exact10, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    return (
+        q.select("query_id")
+        .join(ncand, "query_id", "left")
+        .join(ovl, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            (F.coalesce("_o", F.lit(0)) / F.lit(10.0)).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
 @register("knn_cosine_lsh")  # approximate → rows-only check; recall bounded in tests
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via 8-table × 4-bit random-hyperplane LSH.
