@@ -195,11 +195,13 @@ def shingles_raw(col: str | Column, k: int = 2) -> Column:
 #: that dominate real crawl text. Applied after tag stripping.
 _HTML_ENTITIES: list[tuple[str, str]] = [
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
+    # standard entity-decode ordering: '&amp;' LAST, so double-encoded
+    # text ('&amp;lt;') decodes to the literal '&lt;', not '<'
+    ("&amp;", "&"),
 ]
 
 

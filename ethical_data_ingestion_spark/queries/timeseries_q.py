@@ -189,6 +189,21 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _guarded_day_mask() -> F.Column:
+    """``1 << day_idx`` with a loud range guard: Spark's shiftleft silently
+    wraps the shift amount mod 64 (and mangles negatives), so a day
+    outside the [0, 63] window would corrupt masks with no signal — while
+    the DuckDB oracle raises Out of Range for the same input. Match the
+    oracle's behavior: raise_error instead of silent wrap."""
+    return F.expr(
+        "CASE WHEN day_idx BETWEEN 0 AND 63 "
+        "THEN shiftleft(cast(1 as bigint), day_idx) "
+        "ELSE CAST(raise_error(concat('activity_bitmap_stats: day_idx ', "
+        "cast(day_idx as string), "
+        "' outside the 64-day window from the epoch')) AS BIGINT) END"
+    )
+
+
 @register(
     "activity_bitmap_stats",
     oracle="""
@@ -219,7 +234,12 @@ def activity_bitmap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     presence collapses to ONE int64 per user, set operations (streaks,
     'active all of week 1') become bitwise ANDs, and the shuffle carries
     8 bytes per user instead of per-event rows. ``bit_or`` combines
-    map-side like any commutative aggregate."""
+    map-side like any commutative aggregate.
+
+    The single-word mask covers 64 days from the 2024-01-01 epoch
+    (fixtures span 30); an event outside that window raises (matching the
+    oracle's Out of Range) rather than silently wrapping — longer horizons
+    take an (epoch_word, mask) pair, i.e. one extra group-by key."""
     ev = load_table(spark, sf_dir, "events")
     day_idx = F.datediff(
         F.to_date("ts"), F.lit("2024-01-01").cast("date")
@@ -227,13 +247,7 @@ def activity_bitmap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     masks = (
         ev.withColumn("day_idx", day_idx)
         .groupBy("user_id")
-        .agg(
-            # python-API shiftleft only takes a literal shift; the SQL
-            # function accepts a column
-            F.bit_or(F.expr("shiftleft(cast(1 as bigint), day_idx)")).alias(
-                "mask"
-            )
-        )
+        .agg(F.bit_or(_guarded_day_mask()).alias("mask"))
     )
     counted = masks.select(
         "user_id",

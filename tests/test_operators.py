@@ -322,7 +322,7 @@ class TestStripHtml:
             "<html><head><style>p{color:red}</style>"
             "<script>var x = '<p>not text</p>';</script></head>"
             "<body><!-- comment --><h1>Title</h1>"
-            "<p>A &amp; B &lt;3 &nbsp; C</p>"
+            "<p>A &amp; B &lt;3 &nbsp; C &amp;lt;notatag&amp;gt;</p>"
             '<a href="https://x.test/a">a</a> '
             "<a href='/rel'>r</a> <a href=bare>b</a></body></html>"
         )
@@ -331,7 +331,9 @@ class TestStripHtml:
             strip_html("html").alias("text"),
             extract_links("html").alias("links"),
         ).collect()
-        assert out[0].text == 'Title A & B <3 C a r b'
+        # double-encoded '&amp;lt;' must decode to the literal '&lt;'
+        # (amp decoded LAST), never double-decode to '<'
+        assert out[0].text == 'Title A & B <3 C &lt;notatag&gt; a r b'
         assert out[0].links == ["https://x.test/a", "/rel", "bare"]
         assert out[1].text is None and out[1].links is None
 

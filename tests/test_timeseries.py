@@ -204,3 +204,19 @@ def test_deciles_partition_rows_evenly(spark, sf_dir):
     # buckets tile the value range in order
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo
+
+
+def test_day_mask_guard_raises_outside_window(spark):
+    # shiftleft silently wraps mod 64; the guard must raise instead —
+    # matching the DuckDB oracle's Out of Range — for day_idx ∉ [0, 63]
+    ok = spark.createDataFrame([(0,), (63,)], "day_idx int")
+    out = sorted(
+        r.m for r in ok.select(
+            timeseries_q._guarded_day_mask().alias("m")
+        ).collect()
+    )
+    assert out == [-(1 << 63), 1]  # bit 63 is the sign bit of int64
+    for bad in (64, -1):
+        df = spark.createDataFrame([(bad,)], "day_idx int")
+        with pytest.raises(Exception, match="64-day window"):
+            df.select(timeseries_q._guarded_day_mask().alias("m")).collect()
