@@ -116,6 +116,7 @@ HEADLINE = [
     "streaming_tumbling_hourly",
     "streaming_dedup_keys",
     "streaming_sessions_stateful",
+    "streaming_sessions_jvm",
     "continuous_rollup_daily",
     "streaming_purchase_click_join",
     "streaming_enriched_segments",
