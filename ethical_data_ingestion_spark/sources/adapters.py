@@ -119,6 +119,24 @@ def raw_to_records(raw: DataFrame, source: SourceSpec, data_type: str) -> DataFr
     )
 
 
+def fetch_one(
+    raw: DataFrame, source: SourceSpec, record_id: str, data_type: str = "dataset"
+) -> DataFrame:
+    """Point lookup: detailed metadata for ONE dataset id — the parity
+    helper for the reference's ``fetch_dataset_metadata``
+    (``ethical_crawler.py:416-451``, surfaced per-CLI-call at
+    ``:565-569``). Same mapping as the bulk discovery path (the reference
+    duplicates the field mapping between discover and fetch; here it is
+    one code path), restricted to the requested id. Returns a 0- or 1-row
+    DataFrame — the Optional[DataRecord] of the reference. Catalyst
+    collapses the filter into the projection over the raw scan, so a
+    spool-scale lookup evaluates the cheap id expression per row and
+    maps only the matches."""
+    return raw_to_records(raw, source, data_type).filter(
+        F.col("record_id") == record_id
+    ).limit(1)
+
+
 def union_sources(frames: list[DataFrame]) -> DataFrame:
     """Per-source fan-out union (``ethical_crawler.py:938-966`` accumulates
     a dict of lists; SURVEY #32): one unionByName, parallel by partition

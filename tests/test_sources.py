@@ -132,6 +132,29 @@ def test_adapter_mapping(spark):
     assert rows["def-456"].last_updated.year == 2023
 
 
+def test_fetch_one_point_lookup(spark):
+    # fetch_dataset_metadata parity (ethical_crawler.py:416-451): one id
+    # in -> at most one DataRecord row out, same mapping as discovery
+    payload = {
+        "id": "abc-123",
+        "name": "Taxi Trips",
+        "description": "All trips",
+        "tags": ["taxi"],
+        "updated_at": "2024-03-01T12:00:00Z",
+    }
+    raw = adapters.make_raw_df(
+        spark,
+        [("NYC Open Data", json.dumps(payload)),
+         ("NYC Open Data", json.dumps(dict(payload, id="other")))],
+    )
+    hit = adapters.fetch_one(raw, adapters.NYC_OPEN_DATA, "abc-123").collect()
+    assert len(hit) == 1
+    assert hit[0].title == "Taxi Trips"
+    assert hit[0].url.endswith("/abc-123")
+    # miss -> empty, the Optional[None] of the reference
+    assert adapters.fetch_one(raw, adapters.NYC_OPEN_DATA, "nope").count() == 0
+
+
 def test_union_sources(spark):
     a = spark.createDataFrame([(1, "a")], "id int, v string")
     b = spark.createDataFrame([(2, "b")], "id int, v string")
