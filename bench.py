@@ -110,6 +110,8 @@ HEADLINE = [
     "knn_lsh_recall_stats",
     "knn_cosine_ivf",
     "embedding_quantization_stats",
+    "product_quantization_stats",
+    "sequence_packing_stats",
     "multimodal_meta_stats",
     "multimodal_frame_stats",
     "multimodal_byte_entropy",

@@ -346,3 +346,115 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.knn_lsh(emb, queries, k=10, dim=64, n_tables=8, n_bits=4)
+
+
+_PQ_M = 8        # subspaces
+_PQ_D = 8        # dims per subspace
+_PQ_K = 16       # codewords per subspace (deterministic: vec_id < 16)
+
+
+@register(
+    "product_quantization_stats",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+      FROM embeddings
+    ),
+    js AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j),
+    sub AS (
+      SELECT vec_id, label, j,
+             vec[(j*{_PQ_D}+1):(j*{_PQ_D}+{_PQ_D})] AS sv
+      FROM v, js
+    ),
+    cb AS (
+      SELECT vec_id AS cid, j,
+             vec[(j*{_PQ_D}+1):(j*{_PQ_D}+{_PQ_D})] AS cv
+      FROM v, js WHERE vec_id < {_PQ_K}
+    ),
+    dists AS (
+      SELECT s.vec_id, s.label, s.j,
+             ROUND(list_sum(list_transform(generate_series(1, {_PQ_D}),
+                   i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), 6) AS d
+      FROM sub s JOIN cb c USING (j)
+    ),
+    per_sub AS (
+      SELECT vec_id, label, j, MIN(d) AS d
+      FROM dists GROUP BY vec_id, label, j
+    ),
+    per_vec AS (
+      SELECT vec_id, label,
+             CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS distortion
+      FROM per_sub GROUP BY vec_id, label
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(CAST(distortion AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_distortion,
+           ROUND(MAX(distortion), 6) AS max_distortion
+    FROM per_vec
+    GROUP BY label ORDER BY label
+    """,
+)
+def product_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization distortion panel: each 64-dim vector splits
+    into {_PQ_M} subvectors of {_PQ_D} dims, each assigned to its nearest
+    of {_PQ_K} per-subspace codewords (L2) — the compression behind
+    IVF-PQ indexes (64 floats -> {_PQ_M} byte codes, 32x). Reported per
+    label: mean/max total reconstruction distortion.
+
+    Codebooks are the subvectors of the first {_PQ_K} vectors — the same
+    deterministic stand-in for an offline k-means codebook as `knn_ivf`,
+    keeping the whole operator DuckDB-checkable. The dataflow is the
+    production shape: codebooks broadcast ({_PQ_M}x{_PQ_K} rows), one
+    narrow pass over (vector x subspace) rows, map-side-combined argmin +
+    aggregates; per-subspace distances round to 6 before the decimal
+    accumulation so both engines agree bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", S.as_double(F.col("embedding")).alias("v"))
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice("v", j * _PQ_D + 1, _PQ_D).alias("sv"),
+            )
+            for j in range(_PQ_M)
+        ]
+    )
+    subs = v.select(
+        "vec_id", "label", F.explode(sub_structs).alias("s")
+    ).select("vec_id", "label", "s.j", "s.sv")
+    cbs = (
+        v.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.explode(sub_structs).alias("s"))
+        .select("cid", "s.j", F.col("s.sv").alias("cv"))
+    )
+    d = F.round(
+        F.aggregate(
+            F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    per_sub = (
+        subs.join(F.broadcast(cbs), "j")
+        .withColumn("d", d)
+        .groupBy("vec_id", "label", "j")
+        .agg(F.min("d").alias("d"))
+    )
+    per_vec = per_sub.groupBy("vec_id", "label").agg(
+        F.sum(F.col("d").cast("decimal(18,6)")).cast("double").alias("distortion")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("distortion").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_distortion"),
+            F.round(F.max("distortion"), 6).alias("max_distortion"),
+        )
+        .orderBy("label")
+    )

@@ -333,3 +333,67 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SEQ_LEN = 2048
+
+
+@register(
+    "sequence_packing_stats",
+    oracle=f"""
+    WITH counted AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{T.TOKEN_RE}')) AS n_tok
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN n_tok > {_SEQ_LEN} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_docs_over_seq
+      FROM counted
+      GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens, n_docs_over_seq,
+           CAST(floor((total_tokens + {_SEQ_LEN - 1}) / {_SEQ_LEN}.0)
+                AS BIGINT) AS n_sequences,
+           ROUND(total_tokens / (floor((total_tokens + {_SEQ_LEN - 1})
+                 / {_SEQ_LEN}.0) * {_SEQ_LEN}.0), 4) AS utilization
+    FROM per_source
+    ORDER BY source
+    """,
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch construction panel: concat-and-chunk sequence packing
+    (the GPT-style pretraining layout — documents concatenated per source,
+    split into fixed {_SEQ_LEN}-token sequences) summarized per source:
+    total BPE-ish tokens, resulting sequence count, packing utilization
+    (1.0 minus tail waste), and how many documents exceed one sequence.
+
+    One scan + one map-side-combined aggregate — packing a 100 TB corpus
+    is metadata arithmetic over token counts, not a data movement: the
+    counts pushed here are the same cumulative offsets a packer job would
+    write, so the panel costs one aggregation regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.n_tokens_bpe("text")).cast("long").alias("total_tokens"),
+        F.sum((T.n_tokens_bpe("text") > _SEQ_LEN).cast("long")).alias(
+            "n_docs_over_seq"
+        ),
+    )
+    n_seq = F.floor(
+        (F.col("total_tokens") + (_SEQ_LEN - 1)) / float(_SEQ_LEN)
+    ).cast("long")
+    return per.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_docs_over_seq",
+        n_seq.alias("n_sequences"),
+        F.round(
+            F.col("total_tokens") / (n_seq * float(_SEQ_LEN)), 4
+        ).alias("utilization"),
+    ).orderBy("source")
