@@ -90,3 +90,29 @@ def test_aggregates_run_inside_codegen(spark, sf_dir):
     df = _q(spark, sf_dir, "flagship_pricing_summary")
     df.collect()  # AQE stamps codegen ids only on the finalized plan
     assert plans.wholestage_codegen_count(df) >= 1
+
+
+def test_neardup_pairs_join_is_block_keyed(spark, sf_dir):
+    # the embedding pair join must never be a row-level nested loop over
+    # the full vector table: the only BroadcastNestedLoopJoin allowed is
+    # the B-row block-grid pairing; vector data reaches Python once, via
+    # the blocked-GEMM mapInPandas, and candidates re-join by id (hash).
+    df = _q(spark, sf_dir, "embedding_neardup_pairs")
+    plan = plans.formatted_plan(df)
+    assert "MapInPandas" in plan  # GEMM tiles
+    # candidate verify joins are equi-joins on id1/id2
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 2
+
+
+def test_product_quantization_broadcasts_codebook(spark, sf_dir):
+    # the codebook side (M x K rows) must broadcast; the vector side must
+    # stay un-shuffled until the per-subspace argmin aggregate
+    df = _q(spark, sf_dir, "product_quantization_stats")
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_sequence_packing_is_single_scan_single_agg(spark, sf_dir):
+    df = _q(spark, sf_dir, "sequence_packing_stats")
+    assert len(plans.read_schemas(df)) == 1
+    # partial agg combines map-side; one exchange on source + final sort
+    assert plans.shuffle_count(df) <= 2
