@@ -11,17 +11,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, StructType
 
 from .schemas import FIXTURE_TABLES
+
+#: (path) -> inferred StructType. The first scan of a path infers from the
+#: parquet footers; every later scan reuses the result — the same role a
+#: metastore catalog plays in production, where schemas are catalog rows
+#: and per-query footer reads don't exist. The cached schema IS the
+#: inferred one (never a hand-declared shape), so the mismatch-nulls
+#: hazard of .schema() overrides doesn't apply; fixture files are
+#: immutable within a process.
+_SCHEMA_CACHE: dict[str, StructType] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (``{sf_dir}/{name}.parquet``).
 
-    No ``.schema(...)`` override: parquet carries its own schema and an
-    explicit mismatch would silently null columns out. ``schemas.py``
-    documents the expected shapes; tests assert them.
+    ``schemas.py`` documents the expected shapes; tests assert them.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
     only as epoch-nanos long (``spark.sql.legacy.parquet.nanosAsLong`` —
@@ -33,7 +40,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(cached).parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer `div`, NOT `/`: float division loses precision at 1e18
         df = df.withColumn(

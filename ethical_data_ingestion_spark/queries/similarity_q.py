@@ -2,9 +2,11 @@
 
 The exact paths (brute-force kNN, threshold pairs) carry full DuckDB
 oracles via ``list_dot_product`` — both engines do the same sequential
-double fold, so scores match to the rounded digit. The LSH path is
-approximate by design → registered rows-only; its recall against the exact
-baseline is bounded in tests/test_similarity.py.
+double fold, so scores match to the rounded digit. The LSH top-k stays
+rows-only (recall bounded in tests), but its quality panel
+(`knn_lsh_recall_stats`) is hash-checked against a DuckDB mirror of the
+whole deterministic pipeline; IVF and PQ use deterministic codebooks and
+are mirrored step for step.
 """
 
 from __future__ import annotations
