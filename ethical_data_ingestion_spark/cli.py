@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import catalog
+from . import render
 from .export import attribution, export
 from .operators.analytics import composite_stats, frequency_table, source_stats
 from .operators.search import equality_filters, ilike_any
@@ -264,18 +265,28 @@ def main(argv: Sequence[str] | None = None) -> int:
     elif args.cmd == "collect":
         print(json.dumps(cmd_collect(spark, args.raw, set(args.api_key))))
     elif args.cmd == "search":
-        cmd_search(spark, args.query, args.source, args.data_type, args.limit).show(
-            truncate=60
+        print(
+            render.render_df(
+                cmd_search(spark, args.query, args.source, args.data_type, args.limit),
+                title=f"Search Results: '{args.query}'",
+            )
         )
     elif args.cmd == "analytics":
-        panels = cmd_analytics(spark)
-        for panel in panels:
-            panel.show(truncate=False)
+        for title, panel in zip(
+            ("Data Sources Performance", "Data Types Distribution"),
+            cmd_analytics(spark),
+        ):
+            print(render.render_df(panel, title=title))
     elif args.cmd == "export":
-        cmd_export(spark, args.format, args.output, args.where).show(truncate=False)
+        footer = cmd_export(spark, args.format, args.output, args.where)
+        srcs = [r[0] for r in footer.collect()]
+        print(render.format_table(footer.columns, [[s] for s in srcs]))
+        print(render.attribution_footer(srcs))
         print(f"exported to {args.output}")
     elif args.cmd == "status":
-        cmd_status(spark).show(truncate=False)
+        df = cmd_status(spark)
+        print(render.render_df(df, title="Collection Results"))
+        print(render.attribution_footer([r[0] for r in df.select(df.columns[0]).collect()]))
     return 0
 
 

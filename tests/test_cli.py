@@ -121,3 +121,42 @@ def test_status_joins_compliance(spark, warehouse):
     assert rows["NYC Open Data"].compliant
     # latest check (with the API key run) shows Comtrade compliant too
     assert "UN Comtrade" in rows
+
+
+def test_render_table_and_attribution():
+    from ethical_data_ingestion_spark import render
+
+    out = render.format_table(
+        ["Source", "Records"],
+        [["NYC Open Data", 12345], ["SEC EDGAR", None]],
+        title="Collection Results",
+    )
+    assert "Collection Results" in out
+    assert "12,345" in out  # thousands separators, reference-style
+    assert "N/A" in out
+    # aligned grid: every body row matches the header width
+    lines = [ln for ln in out.splitlines() if ln.startswith(("|", "+"))]
+    assert len({len(ln) for ln in lines}) == 1
+    footer = render.attribution_footer(["SEC EDGAR", "NYC Open Data"])
+    assert "Public Domain" in footer and "SEC EDGAR" in footer
+    assert "UN Comtrade" not in footer  # only contributing sources
+
+
+def test_cli_status_renders_footer(spark, tmp_path, capsys):
+    import json as _json
+
+    from ethical_data_ingestion_spark import cli
+
+    raw = tmp_path / "spool.jsonl"
+    raw.write_text(
+        _json.dumps({"_source": "NYC Open Data", "id": "a1", "name": "X"}) + "\n"
+    )
+    wh = str(tmp_path / "wh")
+    cli.main(["--warehouse", wh, "setup"])
+    cli.main(["--warehouse", wh, "collect", "--raw", str(raw)])
+    capsys.readouterr()
+    cli.main(["--warehouse", wh, "status"])
+    out = capsys.readouterr().out
+    assert "Collection Results" in out
+    assert "Data Source Attribution:" in out
+    assert "NYC Open Data: Public Domain" in out
