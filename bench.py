@@ -112,6 +112,7 @@ HEADLINE = [
     "embedding_quantization_stats",
     "product_quantization_stats",
     "sequence_packing_stats",
+    "corpus_mixing_stats",
     "multimodal_meta_stats",
     "multimodal_frame_stats",
     "multimodal_byte_entropy",

@@ -397,3 +397,77 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens") / (n_seq * float(_SEQ_LEN)), 4
         ).alias("utilization"),
     ).orderBy("source")
+
+
+_MIX_ALPHA = 0.5  # temperature exponent for mixing weights
+
+
+@register(
+    "corpus_mixing_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(len(regexp_extract_all(text, '{T.TOKEN_RE}')))
+                  AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, tokens,
+             CAST(ROUND(sqrt(tokens), 9) AS DECIMAL(28,9)) AS wgt
+      FROM tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(tokens) AS DOUBLE) AS t,
+             CAST(SUM(wgt) AS DOUBLE) AS sw
+      FROM w
+    )
+    SELECT source, tokens,
+           ROUND(tokens / t, 6) AS natural_frac,
+           ROUND(CAST(wgt AS DOUBLE) / sw, 6) AS mixing_weight,
+           ROUND((CAST(wgt AS DOUBLE) / sw) / (tokens / t), 4) AS boost
+    FROM w, tot
+    ORDER BY source
+    """,
+)
+def corpus_mixing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture recipe panel: temperature-based source mixing
+    (weight ∝ tokens^{_MIX_ALPHA}, the standard alpha-sampling used for
+    multilingual/multi-source pretraining) — per source: natural token
+    share, re-balanced mixing weight, and the resulting up/down-sampling
+    boost. The per-source weights are what a sampler job feeds back into
+    `stratified_sample_stats`-style hash sampling.
+
+    One token-count aggregate (map-side combined) + a broadcast of the
+    2-scalar totals row — no shuffle of document rows, no window. The
+    sqrt weights round to 9 decimals and accumulate in DECIMAL so the
+    totals are partition-order-proof and oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(T.n_tokens_bpe("text")).cast("long").alias("tokens")
+    )
+    w = tok.withColumn(
+        "wgt", F.round(F.sqrt("tokens"), 9).cast("decimal(28,9)")
+    )
+    tot = F.broadcast(
+        w.agg(
+            F.sum("tokens").cast("double").alias("t"),
+            F.sum("wgt").cast("double").alias("sw"),
+        )
+    )
+    return (
+        w.crossJoin(tot)
+        .select(
+            "source",
+            "tokens",
+            F.round(F.col("tokens") / F.col("t"), 6).alias("natural_frac"),
+            F.round(F.col("wgt").cast("double") / F.col("sw"), 6).alias(
+                "mixing_weight"
+            ),
+            F.round(
+                (F.col("wgt").cast("double") / F.col("sw"))
+                / (F.col("tokens") / F.col("t")),
+                4,
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
