@@ -59,6 +59,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def column_max_from_footers(sf_dir: str, name: str, col: str):
+    """Exact column max straight from the parquet footer statistics — a
+    metadata read (no Spark job), the way a catalog answers MAX() on a
+    sorted/statistic-covered column. Returns None when stats are absent
+    so callers can fall back to an aggregate scan. For TIMESTAMP(NANOS)
+    columns pyarrow floors to microseconds, matching ``load_table``'s
+    ``div 1000`` conversion, so the value equals ``agg(max(col))``."""
+    import glob as _glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    root = f"{sf_dir}/{name}.parquet"
+    files = [root] if _os.path.isfile(root) else sorted(
+        _glob.glob(f"{root}/*.parquet")
+    )
+    best = None
+    for f in files:
+        try:
+            md = pq.read_metadata(f)
+        except Exception:
+            return None
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema == col:
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    best = st.max if best is None else max(best, st.max)
+    return best
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All fixture tables, keyed by name."""
     return {name: load_table(spark, sf_dir, name) for name in FIXTURE_TABLES}

@@ -135,9 +135,16 @@ _SESSIONS_ORACLE = f"""
 def _guard_sessions(sess: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep only sessions whose close time cleared the final watermark by
     the guard band — the set the streaming semantics guarantee are emitted
-    exactly once (shared by the custom-state and JVM session queries)."""
-    ev = load_table(spark, sf_dir, "events")
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    exactly once (shared by the custom-state and JVM session queries).
+    The final watermark (max event ts) comes from the parquet footer
+    statistics — a driver-side metadata read, no extra Spark job — with
+    an aggregate-scan fallback when stats are absent."""
+    from ..io import column_max_from_footers
+
+    max_ts = column_max_from_footers(sf_dir, "events", "ts")
+    if max_ts is None:
+        ev = load_table(spark, sf_dir, "events")
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
     return (
         sess.filter(
             F.col("session_last") + F.expr(f"INTERVAL {_GUARD_S} SECOND")
