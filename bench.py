@@ -36,8 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ethical_data_ingestion_spark.registry import QUERIES  # noqa: E402
 from ethical_data_ingestion_spark.session import get_spark, scratch_dir  # noqa: E402
 
-#: Headline suite: every oracle-checked family, weighted toward the
-#: fact-table scans that dominate at scale.
+#: Headline suite: every registered query except the 7 trivial parity
+#: scans (filter_equality, distinct_sources, freq_by_type, rollup_totals,
+#: scalar_totals, latest_check_correlated, dedup_exact_survivors) — in
+#: particular it includes embedding_neardup_pairs, the one deliberately
+#: quadratic (blocked-GEMM) operator, so its cost can't regress silently.
 HEADLINE = [
     "flagship_pricing_summary",
     "revenue_by_filter",
@@ -93,6 +96,8 @@ HEADLINE = [
     "token_count_bpe",
     "word_frequency_topk",
     "text_repetition_stats",
+    "doc_fingerprints",
+    "lang_id_confusion",
     "stratified_sample_stats",
     "weighted_sample_stats",
     "contamination_overlap",
@@ -105,6 +110,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "neardup_clusters",
+    "embedding_neardup_pairs",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
     "knn_lsh_recall_stats",

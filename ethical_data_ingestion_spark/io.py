@@ -59,13 +59,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: Parquet physical types whose footer min/max statistics are EXACT.
+#: String/binary (BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY) stats may be
+#: writer-truncated (parquet.statistics.truncate.length and the
+#: is_{min,max}_value_exact footer fields exist precisely because of
+#: this), so treating them as exact could return a wrong MAX and, used
+#: as a watermark, silently include/exclude rows.
+_EXACT_STAT_PHYSICAL_TYPES = {
+    "BOOLEAN", "INT32", "INT64", "INT96", "FLOAT", "DOUBLE",
+}
+
+
 def column_max_from_footers(sf_dir: str, name: str, col: str):
     """Exact column max straight from the parquet footer statistics — a
     metadata read (no Spark job), the way a catalog answers MAX() on a
     sorted/statistic-covered column. Returns None when stats are absent
-    so callers can fall back to an aggregate scan. For TIMESTAMP(NANOS)
-    columns pyarrow floors to microseconds, matching ``load_table``'s
-    ``div 1000`` conversion, so the value equals ``agg(max(col))``."""
+    OR the column's physical type is variable-width (string/binary stats
+    can be writer-truncated — only fixed-width numeric/timestamp stats
+    are guaranteed exact), so callers fall back to an aggregate scan.
+    For TIMESTAMP(NANOS) columns pyarrow floors to microseconds, matching
+    ``load_table``'s ``div 1000`` conversion, so the value equals
+    ``agg(max(col))``."""
     import glob as _glob
     import os as _os
 
@@ -88,6 +102,8 @@ def column_max_from_footers(sf_dir: str, name: str, col: str):
             for i in range(rg.num_columns):
                 c = rg.column(i)
                 if c.path_in_schema == col:
+                    if str(c.physical_type) not in _EXACT_STAT_PHYSICAL_TYPES:
+                        return None
                     st = c.statistics
                     if st is None or not st.has_min_max:
                         return None

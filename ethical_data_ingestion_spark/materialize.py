@@ -1,0 +1,71 @@
+"""Materialization policy seam.
+
+Several operators need a DataFrame pinned — computed exactly once, with
+the SAME contents (and, for range-partitioned inputs, the same partition
+boundaries) visible to every downstream job — either because three
+structurally different subplans consume it (shingle sets), because an
+iterative loop would otherwise replay its whole lineage each round
+(connected components), or because a nondeterministic exchange
+(``repartitionByRange``'s reservoir sampling) must not be re-executed
+(global ranking).
+
+``localCheckpoint`` is the fast single-box answer, but it stores blocks
+on executors ONLY: on a real cluster an executor loss makes the
+truncated lineage unrecoverable and fails the job. This seam routes all
+such sites through one policy switch so a cluster deployment flips every
+call site at once:
+
+* ``local``       — ``localCheckpoint(eager=True)``. Fastest; blocks on
+                    executors; lineage truncated. Default for local[...]
+                    and the bench/driver runs.
+* ``disk``        — ``persist(DISK_ONLY)`` + a count() to force it.
+                    Survives OOM-evictions; on executor loss Spark
+                    RECOMPUTES lost blocks from lineage, which is safe
+                    for deterministic plans but re-runs nondeterministic
+                    exchanges (a range exchange may resample boundaries —
+                    prefer ``checkpoint`` when that matters).
+* ``checkpoint``  — reliable ``checkpoint(eager=True)`` into
+                    ``spark.sparkContext.getCheckpointDir()`` (set it to
+                    durable storage, e.g. HDFS/S3). Survives executor
+                    loss with identical contents; the 100-TB default.
+
+Select globally with the env var ``SPARK_GRAFT_MATERIALIZE`` or per call
+with ``mode=``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_ENV_VAR = "SPARK_GRAFT_MATERIALIZE"
+_MODES = ("local", "disk", "checkpoint")
+
+
+def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
+    """Pin ``df``: force one computation whose result every downstream job
+    reuses. Policy from ``mode`` or ``$SPARK_GRAFT_MATERIALIZE`` (default
+    ``local``); see module docstring for the cluster-durability tradeoffs.
+    """
+    mode = mode or os.environ.get(_ENV_VAR, "local")
+    if mode not in _MODES:
+        raise ValueError(
+            f"materialize mode {mode!r} not in {_MODES} "
+            f"(set via mode= or ${_ENV_VAR})"
+        )
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "disk":
+        pinned = df.persist(StorageLevel.DISK_ONLY)
+        pinned.count()
+        return pinned
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        # no durable dir configured: fall back to a local temp dir so the
+        # mode stays runnable in tests; a cluster deployment must call
+        # setCheckpointDir("hdfs://...") (or s3://) at session build.
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+    return df.checkpoint(eager=True)

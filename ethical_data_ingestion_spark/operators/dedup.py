@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from .text import normalize_text, shingles, tokens
 
 
@@ -59,12 +60,13 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
 
 
 def _shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, k: int, materialize: bool = True
+    df: DataFrame, id_col: str, text_col: str, k: int, pin: bool = True
 ) -> DataFrame:
     """(id, shingles array, size) — the verification-side representation.
 
-    ``materialize=True`` (default) localCheckpoints the result. Two
-    measured reasons (sf0.1, 5k docs):
+    ``pin=True`` (default) materializes the result (policy seam
+    :func:`..materialize.materialize`). Two measured reasons (sf0.1,
+    5k docs):
 
     * ``explode`` over the raw shingle *expression* falls off the fast
       Generate path and re-evaluates the normalize/zip/distinct pipeline —
@@ -74,14 +76,14 @@ def _shingle_sets(
       ReusedExchange cannot dedupe them; materializing once collapsed
       jaccard_pairs 10.3s → 3.4s end-to-end.
 
-    At 100 TB the equivalent is persisting the shingle table (or
-    ``persist(DISK_ONLY)``) before the candidate join — one linear pass
-    over the corpus instead of three."""
+    At 100 TB set ``SPARK_GRAFT_MATERIALIZE=disk|checkpoint`` so the
+    shingle table persists durably before the candidate join — one linear
+    pass over the corpus instead of three."""
     sets = df.select(
         F.col(id_col),
         shingles(text_col, k).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
-    return sets.localCheckpoint(eager=True) if materialize else sets
+    return materialize(sets) if pin else sets
 
 
 def _verify_jaccard(
@@ -363,7 +365,11 @@ def simhash_pairs(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id1", dst: str = "id2", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 25,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over a pair list via min-label propagation:
     every node ends up labeled with the smallest id reachable from it —
@@ -377,34 +383,41 @@ def connected_components(
     (shuffle keyed on node id); convergence is detected from the label sum
     (labels only ever decrease, so the sum is strictly monotone until the
     fixpoint) — a cheap agg over the checkpointed labels instead of a
-    second join. ``localCheckpoint`` cuts the plan lineage so round N
-    doesn't replay rounds 1..N-1. The driver only sees one scalar per
-    round, never row data.
+    second join. The materialization seam (default ``localCheckpoint``)
+    cuts the plan lineage so round N doesn't replay rounds 1..N-1. The
+    driver only sees one scalar per round, never row data.
+
+    ``n_edges``: pass the (approximate) edge count if the caller already
+    knows it to skip the sizing ``count()`` — it only sizes partitioning. Raises
+    ``RuntimeError`` if the propagation hasn't converged after
+    ``max_iter`` rounds (component diameter > ``max_iter``) — a silently
+    truncated run would return WRONG cluster ids.
     """
-    und = (
+    und = materialize(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # size the iteration to the graph, not the session default: near-dup
     # edge lists are typically tiny relative to the corpus, and each
     # iteration pays per-partition task overhead × rounds. ~100k edges per
     # partition; grows with the graph at scale.
-    n_edges = und.count()
-    n_parts = max(1, min(und.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    if n_edges is None:
+        n_edges = und.count()
+    default_par = und.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(1, min(default_par, n_edges // 100_000 + 1))
     nodes = und.select(F.col("a").alias("id")).distinct()
     # adjacency + self-loop per node: min over bl then covers own label too,
     # removing the per-round left join against the previous labels
-    adj = (
+    adj = materialize(
         und.unionByName(nodes.select(F.col("id").alias("a"), F.col("id").alias("b")))
         .repartition(n_parts, "b")
-        .localCheckpoint(eager=True)
     )
-    labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=True)
+    labels = materialize(nodes.withColumn("label", F.col("id")))
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
-        labels = (
+        labels = materialize(
             adj.join(
                 labels.select(F.col("id").alias("b"), F.col("label").alias("bl")),
                 "b",
@@ -412,13 +425,19 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("bl").alias("label"))
             .select(F.col("a").alias("id"), "label")
-            .localCheckpoint(eager=True)
         )
         # decimal(38,0) sum: exact at any id magnitude, no overflow
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds (a component's diameter exceeds it); "
+            "raise max_iter — a truncated run would return wrong cluster ids"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..materialize import materialize
 from ..operators.text import shingles
 from ..registry import register
 
@@ -116,10 +117,9 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     structurally different consumers), sized |vocab|·|sources| — vocab
     scale, not corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
-    srcsh = (
+    srcsh = materialize(
         docs.select(F.col("source"), F.explode(shingles("text", 3)).alias("s"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     sizes = srcsh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a, b = srcsh.alias("a"), srcsh.alias("b")

@@ -190,7 +190,7 @@ def streaming_sessions_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendation whenever the gap rule is expressible, and (b) to
     quantify the custom-state premium against an identical oracle: at
     sf0.1 this runs ~3.0s vs the stateful ~4.0s on the same drain.
-    8 state partitions (vs the stateful's 16): with no Python worker to
+    8 state partitions (vs the stateful's 24): with no Python worker to
     parallelize, the per-(partition × batch) commit cost dominates
     sooner."""
     with P.state_partitions(spark, 8):

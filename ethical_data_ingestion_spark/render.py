@@ -57,9 +57,16 @@ def format_table(
 def render_df(df, title: str | None = None, limit: int = 100) -> str:
     """Collect a (small) DataFrame and format it. ``limit`` caps the rows
     pulled to the driver — presentation must never materialize data-sized
-    results."""
-    rows = df.limit(limit).collect()
-    return format_table(df.columns, [list(r) for r in rows], title=title)
+    results. Pulls ``limit + 1`` rows to detect truncation and appends a
+    'showing first N' line, so a capped table never masquerades as the
+    complete result."""
+    rows = df.limit(limit + 1).collect()
+    truncated = len(rows) > limit
+    rows = rows[:limit]
+    table = format_table(df.columns, [list(r) for r in rows], title=title)
+    if truncated:
+        table += f"\n(showing first {limit} rows; more rows exist)"
+    return table
 
 
 def attribution_footer(source_names: Sequence[str]) -> str:

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..materialize import materialize
 from ..operators import windows as W
 
 #: Events schema as spooled by :func:`spool` (ts kept NTZ end-to-end; the
@@ -151,7 +152,7 @@ def run_available_now(
     # detach the result from the memory sink (checkpoint = one stable
     # copy in block storage) and drop the sink view, so repeated drains
     # in one session don't accumulate sink tables
-    out = spark.table(name).localCheckpoint(eager=True)
+    out = materialize(spark.table(name))
     spark.catalog.dropTempView(name)
     return out
 
