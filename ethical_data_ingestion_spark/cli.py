@@ -8,10 +8,14 @@ command parity is part of operator parity. This module mirrors each command
 over the Spark catalog (argparse, stdlib-only):
 
 * ``setup``     (``:1116-1155``) — create the three declared tables.
+* ``fetch``     — the live half of the reference's ``collect``: run every
+  source's HTTP discovery (``sources/fetch.py``) and write the JSONL
+  spool that ``collect`` consumes. Split from ``collect`` deliberately:
+  fetch is driver-side and rate-limited; collect is the distributed half.
 * ``collect``   (``:1157-1204``) — spooled payloads → compliance gate →
   dedupe-upsert into ``data_records`` + audit append. The network fetch is
-  decoupled by design (SURVEY §3.2): a driver-side fetcher (or any spooler)
-  writes one JSON document per line; ``collect`` does the distributed half.
+  decoupled by design (SURVEY §3.2): ``fetch`` (or any spooler) writes one
+  JSON document per line; ``collect`` does the distributed half.
 * ``search``    (``:1206-1272``) — ILIKE search + equality filters + top-k.
 * ``analytics`` (``:1274-1350``) — per-source stats + type frequency table.
 * ``export``    (``:1352-1414``) — parquet/csv/json sink + attribution.
@@ -93,6 +97,27 @@ def cmd_setup(spark: SparkSession) -> list[str]:
             spark.createDataFrame([], schema).write.format("parquet").saveAsTable(name)
             created.append(name)
     return created
+
+
+def cmd_fetch(
+    raw_out: str,
+    api_keys: dict[str, str] | None = None,
+    base_override: str | None = None,
+    rate_multiplier: float = 1.0,
+) -> int:
+    """``fetch``: live HTTP discovery across all four sources → JSONL
+    spool at ``raw_out`` (the file ``cmd_collect --raw`` reads). No
+    SparkSession involved — discovery is tiny-metadata, rate-limited
+    driver work (SURVEY #1). ``base_override`` redirects every request to
+    a test/staging host while keeping real paths; ``rate_multiplier``
+    relaxes pacing against such hosts."""
+    from .sources.fetch import HttpTransport, fetch_all, spool_jsonl
+
+    transport = HttpTransport(base_override=base_override)
+    return spool_jsonl(
+        fetch_all(transport, api_keys=api_keys, rate_multiplier=rate_multiplier),
+        raw_out,
+    )
 
 
 def cmd_collect(
@@ -239,6 +264,13 @@ def main(argv: Sequence[str] | None = None) -> int:
     p.add_argument("--warehouse", default="spark-warehouse", help="catalog dir (reference --db)")
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("setup")
+    f = sub.add_parser("fetch")
+    f.add_argument("--out", required=True, help="JSONL spool to write")
+    f.add_argument(
+        "--api-key", action="append", default=[], metavar="SOURCE=KEY",
+        help="per-source API key, e.g. 'College Scorecard=abc123'",
+    )
+    f.add_argument("--base-url", help="redirect all requests to this host (testing/staging)")
     c = sub.add_parser("collect")
     c.add_argument("--raw", required=True, help="spooled JSONL (one payload per line, _source field)")
     c.add_argument("--api-key", action="append", default=[], help="source name holding an API key")
@@ -254,6 +286,13 @@ def main(argv: Sequence[str] | None = None) -> int:
     e.add_argument("--where")
     sub.add_parser("status")
     args = p.parse_args(argv)
+
+    if args.cmd == "fetch":
+        # no SparkSession: fetch is pure driver-side HTTP + file IO
+        keys = dict(kv.split("=", 1) for kv in args.api_key)
+        n = cmd_fetch(args.out, api_keys=keys, base_override=args.base_url)
+        print(json.dumps({"spooled": n, "out": args.out}))
+        return 0
 
     from .session import get_spark
 
