@@ -129,6 +129,19 @@ def jaccard_pairs(
     naive inverted-index pair counting 12.2s → prefix-filtered 3s.
     """
     sets = _shingle_sets(df, id_col, text_col, k)
+    candidates = jaccard_candidates(sets, id_col, threshold)
+    return _verify_jaccard(candidates, sets, id_col, threshold)
+
+
+def jaccard_candidates(
+    sets: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Candidate (id1, id2) pairs from PPJoin prefix + length filtering
+    over a (materialized) shingle-set table — a provable SUPERSET of the
+    J ≥ threshold pairs (see :func:`jaccard_pairs`). Exposed separately
+    so stress tests can measure the candidate:pair ratio the filters
+    actually deliver (the scalability contract: candidates must track
+    true pairs, not the all-pairs square)."""
     sh = sets.select(F.col(id_col), F.col("n_sh"), F.explode("sh").alias("s"))
     # broadcast hint: docfreq is one row per DISTINCT shingle — orders of
     # magnitude smaller than the exploded index it joins against. At true
@@ -156,7 +169,7 @@ def jaccard_pairs(
     # round-before-ceil guard as prefix_len keeps the bound exact at
     # J-threshold boundaries (over-approximate, never under).
     min_len = lambda n: F.ceil(F.round(F.lit(threshold) * n, 9))  # noqa: E731
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
@@ -167,7 +180,6 @@ def jaccard_pairs(
         .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
         .distinct()
     )
-    return _verify_jaccard(candidates, sets, id_col, threshold)
 
 
 # --- MinHash + LSH ------------------------------------------------------
@@ -250,6 +262,17 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     sets = _shingle_sets(df, id_col, text_col, k)
     sig = _minhash_from_sets(sets, id_col, num_hashes)
+    candidates = minhash_band_candidates(sig, id_col, num_hashes, bands)
+    return _verify_jaccard(candidates, sets, id_col, threshold)
+
+
+def minhash_band_candidates(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Candidate pairs from LSH banding over a signature table (docs
+    sharing ANY band key collide) — exposed separately so stress tests
+    can measure band-collision volume against verified pairs."""
+    rows = num_hashes // bands
     band_cols = [
         F.md5(
             F.concat_ws(",", *[F.col(f"h{j * rows + r}") for r in range(rows)])
@@ -263,7 +286,7 @@ def minhash_lsh_pairs(
         ),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -273,7 +296,6 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
         .distinct()
     )
-    return _verify_jaccard(candidates, sets, id_col, threshold)
 
 
 # --- SimHash ------------------------------------------------------------
@@ -330,6 +352,17 @@ def simhash_pairs(
     Hamming check via ``bit_count(xor)``. No n² comparison.
     """
     sigs = simhash_signatures(df, id_col, text_col)
+    return (
+        simhash_block_candidates(sigs, id_col)
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id1", "id2")
+    )
+
+
+def simhash_block_candidates(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (id1, id2, hamming) from 8-bit block
+    pigeonholing over a signature table — pre-threshold, so stress tests
+    can measure block-collision volume against surviving pairs."""
     blocks = sigs.select(
         id_col,
         "sig",
@@ -356,8 +389,6 @@ def simhash_pairs(
             F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-        .orderBy("id1", "id2")
     )
 
 

@@ -1,0 +1,167 @@
+"""Scale-stress and hardening tests for the dedup family.
+
+Three risks the toy fixtures don't exercise (round-3 verdict items 5/8):
+
+* **Candidate blowup**: the candidate-generation filters (PPJoin prefix,
+  LSH bands, SimHash blocks) must keep candidates tracking TRUE pairs —
+  the fixture's 31-word vocabulary makes shingle co-occurrence brutal,
+  and 10× more documents must not square the candidate set. Replicating
+  the corpus k× gives an analytic ground truth: every original J ≥ t
+  pair becomes k² cross-copy pairs, and each document's k copies add
+  C(k,2) identical pairs — so both pair counts AND candidate ratios are
+  exactly predictable at 10× scale.
+* **Connected-components truncation**: a component with diameter >
+  ``max_iter`` must fail LOUDLY (a silently truncated label propagation
+  returns wrong cluster ids).
+* **Empty inputs**: the panel queries must return empty/sane results,
+  not throw, on an empty table (a fresh pipeline's first run).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ethical_data_ingestion_spark.io import load_table
+from ethical_data_ingestion_spark.operators import dedup
+from ethical_data_ingestion_spark.operators.dedup import (
+    _minhash_from_sets,
+    _shingle_sets,
+    jaccard_candidates,
+    minhash_band_candidates,
+    simhash_block_candidates,
+    simhash_signatures,
+)
+
+K_COPIES = 10
+
+
+@pytest.fixture(scope="module")
+def docs_10x(spark, tmp_path_factory):
+    """sf0.01 documents replicated 10× with disjoint ids — 5000 docs with
+    the fixture's worst-case vocabulary, written to parquet so the dedup
+    pipelines read it exactly like a real table."""
+    base = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    n = base.count()
+    copies = [
+        base.select((F.col("doc_id") + i * n).alias("doc_id"), "text")
+        for i in range(K_COPIES)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    path = str(tmp_path_factory.mktemp("stress") / "documents.parquet")
+    big.repartition(8).write.parquet(path)
+    return spark.read.parquet(path), n
+
+
+@pytest.mark.slow
+def test_jaccard_replication_exact_counts_and_candidate_ratio(spark, docs_10x):
+    big, n = docs_10x
+    base_docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    base_pairs = dedup.jaccard_pairs(base_docs, "doc_id", "text", k=3, threshold=0.8).count()
+    base_cands = jaccard_candidates(
+        _shingle_sets(base_docs, "doc_id", "text", 3), "doc_id", 0.8
+    ).count()
+
+    pairs = dedup.jaccard_pairs(big, "doc_id", "text", k=3, threshold=0.8)
+    # analytic ground truth under k× replication
+    expected = n * K_COPIES * (K_COPIES - 1) // 2 + base_pairs * K_COPIES**2
+    assert pairs.count() == expected
+
+    cands = jaccard_candidates(
+        _shingle_sets(big, "doc_id", "text", 3), "doc_id", 0.8
+    ).count()
+    # candidates must scale like pairs (~k²), not like all-pairs (the
+    # all-pairs square grows 100× too, but from n²/2 = 12.4M — the filter
+    # keeps candidates within a constant factor of true pairs instead)
+    base_ratio = base_cands / max(base_pairs, 1)
+    big_ratio = cands / max(expected, 1)
+    assert big_ratio <= 3.0 * base_ratio + 1.0, (
+        f"candidate blowup: {cands} candidates for {expected} pairs "
+        f"(ratio {big_ratio:.1f} vs base {base_ratio:.1f})"
+    )
+
+
+@pytest.mark.slow
+def test_simhash_replication_exact_counts(spark, docs_10x):
+    big, n = docs_10x
+    base_docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    base_pairs = dedup.simhash_pairs(base_docs, "doc_id", "text", max_hamming=3).count()
+    pairs = dedup.simhash_pairs(big, "doc_id", "text", max_hamming=3)
+    expected = n * K_COPIES * (K_COPIES - 1) // 2 + base_pairs * K_COPIES**2
+    assert pairs.count() == expected
+    # block-collision candidates stay pair-tracking too
+    cands = simhash_block_candidates(
+        simhash_signatures(big, "doc_id", "text"), "doc_id"
+    ).count()
+    assert cands <= 20 * expected
+
+
+@pytest.mark.slow
+def test_minhash_lsh_replication_exact_counts(spark, docs_10x):
+    big, n = docs_10x
+    base_docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    base_pairs = dedup.minhash_lsh_pairs(
+        base_docs, "doc_id", "text", threshold=0.8
+    ).count()
+    pairs = dedup.minhash_lsh_pairs(big, "doc_id", "text", threshold=0.8)
+    # identical copies share identical signatures, so banding recall is
+    # exactly preserved under replication: the analytic count holds for
+    # whatever subset the bands caught at base scale
+    expected = n * K_COPIES * (K_COPIES - 1) // 2 + base_pairs * K_COPIES**2
+    assert pairs.count() == expected
+    cands = minhash_band_candidates(
+        _minhash_from_sets(_shingle_sets(big, "doc_id", "text", 3), "doc_id", 16),
+        "doc_id", 16, 4,
+    ).count()
+    assert cands <= 20 * expected
+
+
+def test_connected_components_diameter_over_max_iter_raises(spark):
+    # path graph 0-1-2-...-27: diameter 27 > default max_iter 25 →
+    # min-label propagation cannot converge; must fail loudly, not
+    # return truncated (wrong) labels
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(27)], "id1 bigint, id2 bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=25)
+    # with headroom it converges and labels the whole path with min id 0
+    out = dedup.connected_components(edges, max_iter=35).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == 28
+
+
+def test_connected_components_accepts_precomputed_edge_count(spark):
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "id1 bigint, id2 bigint")
+    out = {
+        r.id: r.cluster_id
+        for r in dedup.connected_components(edges, n_edges=4).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """A fixture dir whose documents/embeddings tables are empty but
+    schema-identical to the real ones."""
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in ("documents", "embeddings"):
+        df = load_table(spark, "/root/testdata/sf0.001", t)
+        df.limit(0).coalesce(1).write.parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_panels_on_empty_tables(spark, empty_sf_dir):
+    from ethical_data_ingestion_spark.registry import QUERIES
+
+    for name in (
+        "sequence_packing_stats",
+        "corpus_mixing_stats",
+        "product_quantization_stats",
+    ):
+        rows = QUERIES[name](spark, empty_sf_dir).collect()
+        assert rows == [], f"{name} on empty input returned {rows[:3]}"
