@@ -109,7 +109,12 @@ def _verify_jaccard(
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT word-k-gram Jaccard pairs ≥ threshold, via prefix filtering
     (the PPJoin family): for J ≥ t, two docs must collide within the first
@@ -127,8 +132,13 @@ def jaccard_pairs(
 
     Measured at sf0.1 (5k docs, 31-word vocab → brutal co-occurrence):
     naive inverted-index pair counting 12.2s → prefix-filtered 3s.
+
+    ``sets``: optionally pass a precomputed (materialized) shingle-set
+    table — pipelines persist it once and feed every dedup family member
+    from it (see ``_shingle_sets``).
     """
-    sets = _shingle_sets(df, id_col, text_col, k)
+    if sets is None:
+        sets = _shingle_sets(df, id_col, text_col, k)
     candidates = jaccard_candidates(sets, id_col, threshold)
     return _verify_jaccard(candidates, sets, id_col, threshold)
 
@@ -243,6 +253,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 3,
     threshold: float = 0.8,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -259,8 +270,8 @@ def minhash_lsh_pairs(
             "a remainder would silently drop hashes and weaken the banding "
             "guarantee"
         )
-    rows = num_hashes // bands
-    sets = _shingle_sets(df, id_col, text_col, k)
+    if sets is None:
+        sets = _shingle_sets(df, id_col, text_col, k)
     sig = _minhash_from_sets(sets, id_col, num_hashes)
     candidates = minhash_band_candidates(sig, id_col, num_hashes, bands)
     return _verify_jaccard(candidates, sets, id_col, threshold)
@@ -302,7 +313,11 @@ def minhash_band_candidates(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """32-bit SimHash signatures over the distinct word-k-gram shingle set,
     relational form: explode shingles, hash each ONCE (first 8 md5 hex
@@ -317,9 +332,9 @@ def simhash_signatures(
     collapse inlines a signature subexpression into every per-bit use,
     re-running the md5 pipeline 32× (measured 60s → 2s at sf0.01).
     """
-    sh = _shingle_sets(df, id_col, text_col, k).select(
-        F.col(id_col), F.explode("sh").alias("s")
-    )
+    if sets is None:
+        sets = _shingle_sets(df, id_col, text_col, k)
+    sh = sets.select(F.col(id_col), F.explode("sh").alias("s"))
     hashed = sh.select(
         id_col,
         F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h"),
@@ -343,7 +358,11 @@ def simhash_signatures(
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -351,7 +370,7 @@ def simhash_pairs(
     over 4 blocks ⇒ some block equal) → equi-join per block, then exact
     Hamming check via ``bit_count(xor)``. No n² comparison.
     """
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, sets=sets)
     return (
         simhash_block_candidates(sigs, id_col)
         .filter(F.col("hamming") <= max_hamming)

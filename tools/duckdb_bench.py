@@ -41,20 +41,20 @@ def main() -> None:
     for t in FIXTURE_TABLES:
         con.execute(f"SELECT COUNT(*) FROM {t}").fetchall()
 
+    # Min over two fresh runs per query above 0.3s — the IDENTICAL rule
+    # bench.py applies to the Spark side (symmetric methodology — the
+    # Spark/DuckDB comparison in BASELINE.md must not rest on a
+    # one-sided adjustment).
     timings: dict[str, float] = {}
+    first_pass: dict[str, float] = {}
     for name in QUERIES:
         if name not in ORACLE_SQL:
             continue
         t0 = time.time()
         con.execute(ORACLE_SQL[name]).fetchall()
-        timings[name] = round(time.time() - t0, 3)
-
-    # Same min-over-repeats outlier guard as bench.py (symmetric
-    # methodology — the Spark/DuckDB comparison in BASELINE.md must not
-    # rest on a one-sided adjustment).
-    med = sorted(timings.values())[len(timings) // 2]
+        first_pass[name] = timings[name] = round(time.time() - t0, 3)
     for name, t in list(timings.items()):
-        if t > max(3.0 * med, 2.5):
+        if t > 0.3:
             t0 = time.time()
             con.execute(ORACLE_SQL[name]).fetchall()
             timings[name] = round(min(t, time.time() - t0), 3)
@@ -66,6 +66,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "first_run_total": round(sum(first_pass.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
