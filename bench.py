@@ -101,6 +101,8 @@ HEADLINE = [
     "stratified_sample_stats",
     "weighted_sample_stats",
     "contamination_overlap",
+    "benchmark_decontam_stats",
+    "doc_length_histogram",
     "train_test_split_stats",
     "chunk_dedup_stats",
     "lexical_diversity_stats",
@@ -117,6 +119,7 @@ HEADLINE = [
     "knn_cosine_ivf",
     "embedding_quantization_stats",
     "product_quantization_stats",
+    "embedding_kmeans_stats",
     "sequence_packing_stats",
     "corpus_mixing_stats",
     "multimodal_meta_stats",

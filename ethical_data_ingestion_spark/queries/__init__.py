@@ -6,4 +6,6 @@
     similarity_q.py vector similarity search
     text_q.py       text analysis family
     windows_q.py    event-time windowing + JSON extraction over events
+    corpus_q.py     benchmark decontamination, length histogram,
+                    deterministic embedding k-means
 """

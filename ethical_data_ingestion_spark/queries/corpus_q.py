@@ -1,0 +1,339 @@
+"""Corpus-curation queries: benchmark decontamination, length profiling,
+and deterministic embedding k-means.
+
+Three panels a large-scale training-data pipeline runs that round ≤3
+didn't cover, each with an exact DuckDB oracle:
+
+* **Benchmark decontamination** — doc-level flagging of training documents
+  that share an 8-gram with a held-out benchmark set (the GPT-3-style
+  n-gram decontamination pass). `contamination_overlap` measures pairwise
+  source overlap mass; this is the other granularity: which DOCUMENTS to
+  drop.
+* **Length histogram** — log2-bucketed document-length distribution, the
+  standard corpus-composition panel.
+* **K-means over embeddings** — Lloyd's algorithm done Spark-first
+  (assignment = broadcast-join + argmin, update = map-side-combined sums)
+  with every arithmetic step engine-exact, so even an ITERATIVE ML
+  operator gets hash-level oracle verification rather than rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.text import shingles
+from ..registry import register
+
+#: The held-out "benchmark" source for decontamination: lexicographically
+#: first source in the fixture. In production this is the eval-set table.
+_BENCH_SOURCE = "src0"
+_DECON_K = 8  # n-gram size; long enough that collisions imply real overlap
+
+# DuckDB k-gram fragment (generalizes dedup_q's proven k=3 pattern).
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _sql_shingles(k: int) -> str:
+    return f"""
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split({_NORM}, ' ')) - {k - 1}, 1) + 1),
+           i -> array_to_string(string_split({_NORM}, ' ')[i:i+{k - 1}], ' '))) AS shingles
+  FROM documents
+"""
+
+
+@register(
+    "benchmark_decontam_stats",
+    oracle=f"""
+    WITH sh AS ({_sql_shingles(_DECON_K)}),
+    shx AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+    bench AS (SELECT DISTINCT s FROM shx WHERE source = '{_BENCH_SOURCE}'),
+    tainted AS (
+      SELECT DISTINCT t.doc_id, t.source
+      FROM shx t JOIN bench b ON t.s = b.s
+      WHERE t.source <> '{_BENCH_SOURCE}'
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(t.doc_id) AS n_contaminated,
+           ROUND(COUNT(t.doc_id) / COUNT(*)::DOUBLE, 6) AS contamination_rate
+    FROM documents d
+    LEFT JOIN tainted t ON d.doc_id = t.doc_id
+    WHERE d.source <> '{_BENCH_SOURCE}'
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def benchmark_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level benchmark decontamination: per training source, how many
+    documents share at least one word-8-gram with the benchmark source —
+    the docs a decontamination pass would drop before training.
+
+    Plan shape for 100 TB: the benchmark n-gram set is SMALL relative to
+    the corpus (an eval suite, not a crawl) — distinct it and BROADCAST;
+    the corpus side explodes to (doc, shingle) and semi-joins on the
+    shingle, so the only corpus-scale movement is the one linear pass.
+    8-grams (not 3) make shared shingles evidence of real duplication
+    rather than phrase-level co-occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(shingles("text", _DECON_K)).alias("s")
+    )
+    bench = F.broadcast(
+        sh.filter(F.col("source") == _BENCH_SOURCE).select("s").distinct()
+    )
+    tainted = (
+        sh.filter(F.col("source") != _BENCH_SOURCE)
+        .join(bench, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        docs.filter(F.col("source") != _BENCH_SOURCE)
+        .join(tainted, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_hit").alias("n_contaminated"),
+            F.round(
+                F.count("_hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram — the corpus-composition
+    panel behind length-filter threshold choices. One map-side-combined
+    aggregate over an integer column; nothing to shuffle but the tiny
+    bucket rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.floor(F.log2("n_chars")).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_KM_K = 8       # clusters
+_KM_SCALE = 1_000_000  # fixed-point quantization of float32 components
+
+
+def _sql_kmeans_cte() -> str:
+    """Shared DuckDB CTE chain mirroring the Spark k-means step-for-step
+    (see embedding_kmeans_stats docstring for why every step is
+    engine-exact)."""
+    return f"""
+    q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, qv,
+             CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS INTEGER) AS cid
+      FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_KM_K}
+    ),
+    c0 AS (SELECT cid, qv AS cv FROM seeds),
+    d1 AS (
+      SELECT q.vec_id, q.label, q.qv, c0.cid,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+               i -> (q.qv[i] - c0.cv[i]) * (q.qv[i] - c0.cv[i]))) AS dist
+      FROM q, c0
+    ),
+    a1 AS (
+      SELECT vec_id, label, qv, cid
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+      WHERE rn = 1
+    ),
+    sums AS (
+      SELECT cid, i AS dim, SUM(qv[i]) AS s, COUNT(*) AS n
+      FROM a1, range(1, 65) r(i)
+      GROUP BY cid, i
+    ),
+    c1 AS (
+      SELECT cid,
+             list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS cv
+      FROM sums
+      GROUP BY cid
+    ),
+    d2 AS (
+      SELECT q.vec_id, q.label, c1.cid,
+             list_sum(list_transform(range(1, len(q.qv) + 1),
+               i -> (q.qv[i] - c1.cv[i]) * (q.qv[i] - c1.cv[i]))) AS dist
+      FROM q, c1
+    ),
+    a2 AS (
+      SELECT vec_id, label, cid, dist AS dist_q
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2)
+      WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "embedding_kmeans_stats",
+    oracle=f"""
+    WITH {_sql_kmeans_cte()},
+    per AS (
+      SELECT cid, label, COUNT(*) AS n
+      FROM a2 GROUP BY cid, label
+    ),
+    top AS (
+      SELECT cid, label AS top_label, n AS top_n
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY cid ORDER BY n DESC, label) AS rn FROM per)
+      WHERE rn = 1
+    )
+    SELECT a2.cid AS cluster_id,
+           COUNT(*) AS n_points,
+           CAST(SUM(a2.dist_q) AS BIGINT) AS inertia_q,
+           ANY_VALUE(top.top_label) AS top_label,
+           ROUND(ANY_VALUE(top.top_n) / COUNT(*)::DOUBLE, 6) AS top_label_share
+    FROM a2 JOIN top ON a2.cid = top.cid
+    GROUP BY a2.cid
+    ORDER BY cluster_id
+    """,
+)
+def embedding_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8, 2 Lloyd iterations, deterministic seeding) over the
+    embeddings table: per cluster — size, fixed-point inertia, and purity
+    against the fixture's ground-truth ``label``.
+
+    Spark-first shape: assignment is a broadcast of the k tiny centroids
+    against the corpus (O(n·k) rows, the canonical distributed k-means
+    join), argmin via one ``min(struct(dist, cid))``-style window, update
+    via posexplode → map-side-combined per-(cluster, dim) sums; the ONLY
+    driver traffic is the k×64 centroid model state per iteration (the
+    documented scalar-stat pattern). At 100 TB this is exactly Lloyd's on
+    a cluster; more iterations are the same job repeated.
+
+    Engine-exactness (what makes an iterative algorithm hash-comparable
+    at all): components quantize to fixed-point longs (``round(x·10⁶)``
+    — double math on both sides, float32→double being exact) and
+    CENTROIDS STAY INTEGER-VALUED — seeds are quantized vectors, updated
+    centroids are ``floor(sum/count)`` (one IEEE division + floor,
+    bit-identical in both engines, off by <1 quantum ≈ 1e-6 from the true
+    mean). Every distance is therefore an exact 64-bit integer: no float
+    accumulation exists anywhere in the pipeline, so summation order —
+    Spark's fold vs DuckDB's list_sum, partition order in the inertia
+    aggregate — cannot matter. Argmin ties break on cluster id. Seeds =
+    the k smallest ``md5(vec_id)`` (vec_id tie-break), so the run is a
+    pure function of the data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+
+    seeds = (
+        q.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(_KM_K)
+        .withColumn(
+            "cid",
+            (
+                F.row_number().over(Window.orderBy("_h", "vec_id")) - 1
+            ).cast("int"),
+        )
+        .select("cid", F.col("qv").alias("cv"))
+    )
+
+    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        # broadcast the k tiny centroid rows against the corpus; integer
+        # (a-b)² terms folded in long — exact, order-proof
+        d = points.crossJoin(F.broadcast(centroids)).withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "cv")
+        )
+
+    a1 = assign(q, seeds)
+    sums = (
+        a1.select("cid", F.posexplode("qv").alias("dim", "v"))
+        .groupBy("cid", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    c1 = sums.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "dim",
+                        F.floor(F.col("s") / F.col("n")).cast("long").alias("m"),
+                    )
+                )
+            ),
+            lambda st: st.getField("m"),
+        ).alias("cv")
+    )
+    a2 = assign(q.select("vec_id", "label", "qv"), c1).withColumn("dist_q", F.col("dist"))
+
+    per = a2.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("n"))
+    wtop = Window.partitionBy("cid").orderBy(F.desc("n"), "label")
+    top = (
+        per.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("label").alias("top_label"), F.col("n").alias("top_n"))
+    )
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("dist_q").cast("long").alias("inertia_q"),
+        )
+        .join(F.broadcast(top), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_points",
+            "inertia_q",
+            "top_label",
+            F.round(
+                F.col("top_n").cast("double") / F.col("n_points"), 6
+            ).alias("top_label_share"),
+        )
+        .orderBy("cluster_id")
+    )

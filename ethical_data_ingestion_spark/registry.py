@@ -43,6 +43,7 @@ def register(name: str, oracle: str | None = None):
 def _load_everything() -> None:
     # Import for side effect: each module registers its queries.
     from .queries import (  # noqa: F401
+        corpus_q,
         parity,
         relational,
         relational_ext,

@@ -162,6 +162,9 @@ def test_panels_on_empty_tables(spark, empty_sf_dir):
         "sequence_packing_stats",
         "corpus_mixing_stats",
         "product_quantization_stats",
+        "benchmark_decontam_stats",
+        "doc_length_histogram",
+        "embedding_kmeans_stats",
     ):
         rows = QUERIES[name](spark, empty_sf_dir).collect()
         assert rows == [], f"{name} on empty input returned {rows[:3]}"
