@@ -128,6 +128,15 @@ class HttpTransport:
         return body.decode("utf-8", errors="replace") if status == 200 else ""
 
 
+def robots_transport(transport: HttpTransport) -> HttpTransport:
+    """A sibling transport with the reference's tighter robots.txt timeout
+    (10 s vs the session's 30 s, ``ethical_crawler.py:222`` vs ``:281``) —
+    robots files are tiny and a slow robots host must not stall
+    discovery; the fail-open semantics upstream turn the timeout into
+    'assume allowed'."""
+    return HttpTransport(base_override=transport.base_override, timeout=10.0)
+
+
 def _payload(spec: SourceSpec, **fields) -> tuple[str, str]:
     """One normalized spool item: JSON with the keys ``raw_to_records``
     extracts (id/name/description/category/tags/updated_at/...), plus
@@ -185,6 +194,42 @@ def discover_nyc(
         if len(data) < page_size:
             break
     return items
+
+
+def fetch_dataset_nyc(
+    transport: HttpTransport,
+    dataset_id: str,
+    limiter: RateLimiter | None = None,
+    api_key: str | None = None,
+) -> tuple[str, str] | None:
+    """Live point-fetch of one NYC dataset's detailed metadata — the
+    reference's ``fetch_dataset_metadata`` (``ethical_crawler.py:
+    416-451``): GET ``{endpoint}/{id}.json`` (optional app token), map to
+    the same normalized payload shape the discovery path spools, None on
+    any non-200 (the reference's Optional[DataRecord]). The spool-side
+    counterpart is ``adapters.fetch_one``, which does the same point
+    lookup over already-spooled payloads as a distributed filter."""
+    spec = NYC_OPEN_DATA
+    limiter = limiter or RateLimiter(spec.rate_limit_per_second)
+    limiter.wait()
+    params = {"$$app_token": api_key} if api_key else None
+    status, data = transport.get_json(
+        f"{spec.api_endpoint}/views/{dataset_id}.json", params=params
+    )
+    if status != 200 or not isinstance(data, dict):
+        return None
+    return _payload(
+        spec,
+        id=dataset_id,
+        name=data.get("name", "Untitled Dataset"),
+        description=data.get("description", ""),
+        category=data.get("category"),
+        tags=json.dumps(data.get("tags", [])),
+        updated_at=data.get("rowsUpdatedAt"),
+        view_count=data.get("viewCount", 0),
+        columns_count=len(data.get("columns", [])),
+        file_format="CSV/JSON",
+    )
 
 
 #: Comtrade's two predefined data types (``ethical_crawler.py:506-521``).
@@ -324,7 +369,7 @@ def fetch_all(
     hosts — production pacing is each spec's own limit)."""
     keys = api_keys or {}
     if robots is None:
-        robots = RobotsCache(fetcher=transport.text)
+        robots = RobotsCache(fetcher=robots_transport(transport).text)
     lim = lambda spec: RateLimiter(  # noqa: E731
         spec.rate_limit_per_second * rate_multiplier
     )

@@ -27,6 +27,8 @@ from ethical_data_ingestion_spark.sources.fetch import (
     discover_scorecard,
     discover_sec,
     fetch_all,
+    fetch_dataset_nyc,
+    robots_transport,
     spool_jsonl,
 )
 from ethical_data_ingestion_spark.sources.robots import RobotsCache
@@ -85,6 +87,13 @@ class _Handler(BaseHTTPRequestHandler):
             limit, offset = int(q.get("limit", 5000)), int(q.get("offset", 0))
             page = cfg.get("nyc_items", NYC_ITEMS)[offset : offset + limit]
             self._send(200, json.dumps(page).encode())
+        elif u.path.startswith("/api/views/") and u.path.endswith(".json"):
+            ds_id = u.path[len("/api/views/"):-len(".json")]
+            match = [i for i in NYC_ITEMS if i["id"] == ds_id]
+            if match:
+                self._send(200, json.dumps(match[0]).encode())
+            else:
+                self._send(404, b"{}")
         elif u.path in ("/data/v1/goods/metadata", "/data/v1/services/metadata"):
             if cfg.get("comtrade_requires_key") and (
                 self.headers.get("Ocp-Apim-Subscription-Key") is None
@@ -278,6 +287,21 @@ def test_cmd_fetch_collect_end_to_end(server, spark, tmp_path):
     taxi = recs.filter(recs.record_id == "abcd-000").collect()[0]
     assert taxi.title == "Taxi Trips 0"
     assert taxi.tags == ["taxi", "transport"]
+
+
+def test_fetch_dataset_point_lookup(server):
+    item = fetch_dataset_nyc(_transport(server), "abcd-003", limiter=_FAST())
+    assert item is not None
+    doc = json.loads(item[1])
+    assert doc["id"] == "abcd-003" and doc["name"] == "Taxi Trips 3"
+    assert fetch_dataset_nyc(_transport(server), "zzzz-999", limiter=_FAST()) is None
+
+
+def test_robots_transport_tighter_timeout(server):
+    tr = _transport(server)
+    rt = robots_transport(tr)
+    assert rt.timeout == 10.0
+    assert rt.base_override == tr.base_override
 
 
 def test_spool_jsonl_roundtrip(tmp_path):

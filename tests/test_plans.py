@@ -116,3 +116,33 @@ def test_sequence_packing_is_single_scan_single_agg(spark, sf_dir):
     assert len(plans.read_schemas(df)) == 1
     # partial agg combines map-side; one exchange on source + final sort
     assert plans.shuffle_count(df) <= 2
+
+
+def test_decontam_benchmark_set_broadcasts(spark, sf_dir):
+    # the benchmark n-gram set is the SMALL side (an eval suite, not a
+    # crawl): it must broadcast into the corpus-side semi-join — a
+    # shuffle join on the shingle key at 100 TB re-shuffles the corpus
+    df = _q(spark, sf_dir, "benchmark_decontam_stats")
+    assert plans.broadcast_join_count(df) >= 1
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan  # doc-level flag, never a row-multiplying join
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    # both Lloyd assignments join the corpus against k=8 centroid rows;
+    # each must be a broadcast (nested-loop over 8 rows), and the update
+    # aggregate must be hash-keyed on (cid, dim) — no global exchange of
+    # vector data
+    df = _q(spark, sf_dir, "embedding_kmeans_stats")
+    plan = plans.formatted_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2
+
+
+def test_length_histogram_is_single_scan(spark, sf_dir):
+    df = _q(spark, sf_dir, "doc_length_histogram")
+    schemas = plans.read_schemas(df)
+    assert len(schemas) == 1
+    assert "n_chars" in schemas[0] and "text" not in schemas[0]  # pruned
+    assert plans.shuffle_count(df) <= 2  # partial agg + order
