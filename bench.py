@@ -91,6 +91,7 @@ HEADLINE = [
     "column_profile_orders",
     "exact_order_percentiles",
     "order_price_deciles",
+    "group_order_percentiles",
     "fk_integrity_audit",
     "text_quality_stats",
     "token_count_bpe",

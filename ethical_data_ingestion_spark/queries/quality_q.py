@@ -365,6 +365,76 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "group_order_percentiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             o_totalprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(n) AS n_orders,
+           MAX(CASE WHEN rn = CAST(floor((n-1) * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN v END)
+             + ((MAX(n)-1) * CAST(0.5 AS DOUBLE) - floor((MAX(n)-1) * CAST(0.5 AS DOUBLE)))
+             * (MAX(CASE WHEN rn = CAST(ceil((n-1) * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN v END)
+                - MAX(CASE WHEN rn = CAST(floor((n-1) * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN v END))
+             AS p50,
+           MAX(CASE WHEN rn = CAST(floor((n-1) * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN v END)
+             + ((MAX(n)-1) * CAST(0.95 AS DOUBLE) - floor((MAX(n)-1) * CAST(0.95 AS DOUBLE)))
+             * (MAX(CASE WHEN rn = CAST(ceil((n-1) * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN v END)
+                - MAX(CASE WHEN rn = CAST(floor((n-1) * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN v END))
+             AS p95
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def group_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (p50/p95 of order value per priority) —
+    the partitioned complement of ``exact_order_percentiles``.
+
+    Unlike the global case (where a bare window would funnel everything
+    through one partition and rank-selection machinery is required),
+    per-GROUP ranks need nothing special: ``row_number`` partitioned by
+    the group key spreads groups across the cluster, and the quantile
+    positions become per-row expressions in the group's size, so ONE
+    windowed projection + ONE aggregate on the same key computes every
+    group's interpolated percentiles. Catalyst reuses the window's hash
+    partitioning for the aggregate — a single exchange end-to-end. Both
+    engines interpolate with the identical ``lo + f·(hi−lo)`` doubles, so
+    values hash-match with no rounding step."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("v"),
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def _pct(q: float) -> F.Column:
+        pos = (F.col("n") - 1) * q
+        lo = F.max(F.when(F.col("rn") == F.floor(pos), F.col("v")))
+        hi = F.max(F.when(F.col("rn") == F.ceil(pos), F.col("v")))
+        frac = F.max(pos - F.floor(pos))
+        return lo + frac * (hi - lo)
+
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            _pct(0.5).alias("p50"),
+            _pct(0.95).alias("p95"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 #: (name, child table, child key, parent table, parent key) for every
 #: foreign-key edge in the star schema.
 _FK_EDGES = [
