@@ -182,6 +182,30 @@ def streaming_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _guard_sessions(sess, spark, sf_dir)
 
 
+def streaming_sessions_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME session semantics on Spark 4's
+    ``transformWithStateInPandas`` (the successor to
+    ``applyInPandasWithState``): typed ValueState + explicit event-time
+    timers instead of the per-group timeout mode. Third implementation
+    against the identical oracle — the panel prices all three APIs
+    (legacy custom state / new custom state / built-in session_window)
+    on the same drain. Registered only when the runtime supports the API
+    (``has_tws_support`` — needs protobuf, absent in this container);
+    ``sessionize_tws`` itself raises with the remedy either way."""
+    with P.state_partitions(spark, 24):
+        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=None)
+        sess = P.run_available_now(
+            P.sessionize_tws(stream, _SESSION_GAP_S), name=None
+        )
+    return _guard_sessions(sess, spark, sf_dir)
+
+
+if P.has_tws_support():  # pragma: no cover — protobuf absent here
+    register("streaming_sessions_tws", oracle=_SESSIONS_ORACLE)(
+        streaming_sessions_tws
+    )
+
+
 @register("streaming_sessions_jvm", oracle=_SESSIONS_ORACLE)
 def streaming_sessions_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME session semantics as ``streaming_sessions_stateful``, via
