@@ -267,10 +267,14 @@ def exact_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranks come from the shared ``_ranked_order_prices`` materialization
     (range-repartition + broadcast per-partition offsets — no global
     window; one pinned copy serves this query AND ``order_price_deciles``
-    in the same session). The requested quantile ranks join against the
-    ranked values (broadcast — 2|Q| rows), and both engines interpolate
-    with the identical ``lo + f*(hi-lo)`` expression, so the doubles
-    agree bit-for-bit with no rounding step at all.
+    in the same session). With the total count ``n`` known, the quantile
+    ranks lo_rn/hi_rn are plain literals, so value extraction is ONE
+    conditional aggregation over ONE scan of the pinned blocks — no
+    joins, no extra AQE rounds (the earlier two-join form scanned the
+    ranked table twice and benched 3.6 s inside the full suite; this
+    shape is a single job). Both engines interpolate with the identical
+    ``lo + f*(hi-lo)`` expression, so the doubles agree bit-for-bit with
+    no rounding step at all.
     """
     ranked_full, n = _ranked_order_prices(spark, sf_dir)
     ranked = ranked_full.select(F.col("o_totalprice").alias("v"), "rn")
@@ -280,23 +284,31 @@ def exact_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (q, math.floor((n - 1) * q), math.ceil((n - 1) * q), (n - 1) * q)
         for q in _QS
     ]
-    pos = F.broadcast(
-        spark.createDataFrame(
-            pos_rows, "q double, lo_rn long, hi_rn long, p double"
-        )
+    needed = sorted({r for _, lo_rn, hi_rn, _ in pos_rows for r in (lo_rn, hi_rn)})
+    # one row, one column per needed rank; the isin filter prunes the scan
+    # before the agg so only |needed| rows survive the map side.
+    vals_row = ranked.filter(F.col("rn").isin(needed)).agg(
+        *[
+            F.min(F.when(F.col("rn") == F.lit(r), F.col("v"))).alias(f"_r{r}")
+            for r in needed
+        ]
     )
-    lo = ranked.withColumnRenamed("rn", "lo_rn").withColumnRenamed("v", "lo_v")
-    hi = ranked.withColumnRenamed("rn", "hi_rn").withColumnRenamed("v", "hi_v")
-    return (
-        pos.join(lo, "lo_rn")
-        .join(hi, "hi_rn")
-        .select(
-            "q",
+    # fan the single row out to one row per quantile, interpolating with
+    # literal p/lo_rn (driver-known scalars, not data-dependent values).
+    q_cols = [
+        F.struct(
+            F.lit(q).alias("q"),
             (
-                F.col("lo_v")
-                + (F.col("p") - F.col("lo_rn")) * (F.col("hi_v") - F.col("lo_v"))
+                F.col(f"_r{lo_rn}")
+                + (F.lit(p) - F.lit(float(lo_rn)))
+                * (F.col(f"_r{hi_rn}") - F.col(f"_r{lo_rn}"))
             ).alias("pct"),
         )
+        for q, lo_rn, hi_rn, p in pos_rows
+    ]
+    return (
+        vals_row.select(F.explode(F.array(*q_cols)).alias("s"))
+        .select("s.q", "s.pct")
         .orderBy("q")
     )
 
