@@ -106,6 +106,12 @@ HEADLINE = [
     "doc_length_histogram",
     "train_test_split_stats",
     "chunk_dedup_stats",
+    "unigram_kl_quality",
+    "source_topp_curation",
+    "event_transition_matrix",
+    "scd2_user_history_stats",
+    "editdist_name_pairs",
+    "heavy_hitters_cms",
     "lexical_diversity_stats",
     "corpus_funnel_stats",
     "dedup_exact_stats",

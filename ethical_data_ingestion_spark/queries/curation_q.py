@@ -1,0 +1,345 @@
+"""Corpus-curation II + warehouse-history queries (round 4 widening).
+
+Four more first-class LLM-pipeline / warehouse operators, each an
+oracle-checked ``queries()`` entry:
+
+* ``unigram_kl_quality`` — per-document KL divergence of the word-unigram
+  distribution against the corpus background (the CCNet-style "does this
+  document look like the corpus" quality signal), rolled up per source.
+* ``source_topp_curation`` — nucleus (top-p) curation: per source keep the
+  highest-value documents until they carry a target share of the source's
+  tokens; reports the kept/total budget per source.
+* ``event_transition_matrix`` — first-order Markov transition counts and
+  probabilities between consecutive event types per user (product-analytics
+  "what do users do next" panel).
+* ``scd2_user_history_stats`` — slowly-changing-dimension type-2 history
+  derived from an event changelog: version intervals per user via
+  lead-window effective-dating, rolled up to per-user version statistics.
+
+Float discipline follows the BM25 pattern (``text_q.py``): any per-row
+double that will be SUMMED is first rounded and cast to DECIMAL so the sum
+is order-insensitive and engine-exact; single-division ratios are plain
+doubles rounded at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import text as T
+from ..registry import register
+
+#: nucleus curation target: keep docs until they carry 60% of the source's
+#: tokens (ranked best-first).
+_TOPP = 0.6
+
+
+@register(
+    "unigram_kl_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, source, term, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, source, term
+    ),
+    tf2 AS (
+      SELECT doc_id, source, term, tf,
+             SUM(tf) OVER (PARTITION BY doc_id) AS dl
+      FROM tf
+    ),
+    ctf AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY term),
+    globs AS (SELECT SUM(ctf) AS cl FROM ctf),
+    contrib AS (
+      SELECT doc_id, source,
+             CAST(ROUND(
+               (tf::DOUBLE / dl::DOUBLE)
+               * ln((tf::DOUBLE / dl::DOUBLE) / (ctf::DOUBLE / cl::DOUBLE)),
+               8) AS DECIMAL(18,8)) AS c
+      FROM tf2 JOIN ctf USING (term), globs
+    ),
+    kl AS (
+      SELECT doc_id, source, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS kl
+      FROM contrib GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(kl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_kl,
+           MIN(kl) AS min_kl,
+           MAX(kl) AS max_kl
+    FROM kl
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def unigram_kl_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document KL(doc ‖ corpus) over word unigrams, per-source rollup
+    — the language-model-free version of the perplexity quality filter:
+    documents whose unigram distribution diverges hard from the corpus
+    background are boilerplate, spam, or wrong-language.
+
+    Shape at 100 TB: the explode → (doc, term) partial count combines
+    map-side; the background distribution is vocabulary-bounded (≪ corpus)
+    and joins on ``term`` — a shuffle bounded by |vocab| on the build side,
+    with AQE free to broadcast it when it is small; the per-doc window
+    reuses the (doc_id, term) grouping's hash partitioning. No data-sized
+    driver traffic anywhere: the corpus-length scalar rides a 1-row
+    cross-joined broadcast, never a ``collect``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(T.tokens("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "source", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    tf2 = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    globs = ctf.agg(F.sum("ctf").alias("cl"))
+    p = F.col("tf").cast("double") / F.col("dl").cast("double")
+    q = F.col("ctf").cast("double") / F.col("cl").cast("double")
+    contrib = (
+        tf2.join(ctf, "term")
+        .crossJoin(F.broadcast(globs))
+        .select(
+            "doc_id",
+            "source",
+            F.round(p * F.log(p / q), 8).cast("decimal(18,8)").alias("c"),
+        )
+    )
+    kl = contrib.groupBy("doc_id", "source").agg(
+        F.round(F.sum("c").cast("double"), 6).alias("kl")
+    )
+    return (
+        kl.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("kl").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_kl"),
+            F.min("kl").alias("min_kl"),
+            F.max("kl").alias("max_kl"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "source_topp_curation",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source
+                              ORDER BY n_tok DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok,
+             SUM(n_tok) OVER (PARTITION BY source) AS tot_tok
+      FROM sized
+    )
+    SELECT source,
+           COUNT(*) AS total_docs,
+           CAST(SUM(CASE WHEN (cum_tok - n_tok)::DOUBLE < {_TOPP} * tot_tok::DOUBLE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN (cum_tok - n_tok)::DOUBLE < {_TOPP} * tot_tok::DOUBLE
+                         THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(MAX(tot_tok) AS BIGINT) AS total_tokens,
+           ROUND(SUM(CASE WHEN (cum_tok - n_tok)::DOUBLE < {_TOPP} * tot_tok::DOUBLE
+                          THEN n_tok ELSE 0 END)::DOUBLE
+                 / MAX(tot_tok)::DOUBLE, 4) AS kept_share
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_topp_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) curation budget: per source, rank documents
+    best-first (token count here — swap in any quality score) and keep
+    them until the kept set carries ``_TOPP`` of the source's tokens; the
+    document that crosses the boundary is included. Reports the kept/total
+    document and token budgets per source — the knob a data-mixing recipe
+    turns per corpus slice.
+
+    Both windows partition by ``source``, so the whole query is ONE hash
+    exchange on the group key with partition-local sorts — groups spread
+    across the cluster, nothing global. The running-sum frame is ROWS (not
+    RANGE) with a unique (n_tok DESC, doc_id) order, making bucket
+    membership a total order — deterministic across engines and reruns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(T.tokens("text")).alias("n_tok")
+    )
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tok"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = sized.select(
+        "source",
+        "n_tok",
+        F.sum("n_tok").over(w_run).alias("cum_tok"),
+        F.sum("n_tok").over(w_all).alias("tot_tok"),
+    )
+    kept = (F.col("cum_tok") - F.col("n_tok")).cast("double") < F.lit(
+        _TOPP
+    ) * F.col("tot_tok").cast("double")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("kept_docs"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.max("tot_tok").alias("total_tokens"),
+            F.round(
+                F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).cast("double")
+                / F.max("tot_tok").cast("double"),
+                4,
+            ).alias("kept_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n::DOUBLE
+                 / SUM(n) OVER (PARTITION BY prev_type)::DOUBLE, 4) AS p
+    FROM pairs
+    ORDER BY prev_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    counts and conditional probabilities of ``prev_type → next_type`` —
+    the "what happens after X" panel behind next-action prediction
+    features and funnel anomaly detection.
+
+    The lag window partitions by ``user_id`` (cluster-wide spread, never a
+    global sort) with the fixture-wide deterministic (ts, event_id) order;
+    the pair count then combines map-side and the probability
+    normalization runs over |types|² rows — trivia after the first
+    aggregation. One real shuffle on user_id, one on the tiny pair key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("prev_type")).cast("double"),
+            4,
+        ).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
+@register(
+    "scd2_user_history_stats",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, value, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_versions,
+           MIN(valid_from) AS first_seen,
+           MAX(valid_from) AS last_change,
+           ROUND(CAST(SUM(CASE WHEN valid_to IS NOT NULL THEN
+                     CAST(ROUND(value, 6) AS DECIMAL(18,6)) END) AS DOUBLE),
+                 4) AS closed_value_mass,
+           ROUND(MAX(CASE WHEN valid_to IS NULL THEN value END), 4)
+             AS current_value,
+           ROUND(CAST(date_diff('day', MIN(valid_from), MAX(valid_from))
+                      AS DOUBLE) / NULLIF(COUNT(*) - 1, 0), 4)
+             AS avg_days_between_versions
+    FROM versions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def scd2_user_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a changelog: every
+    event is a new version of its user's ``value``; effective-dating comes
+    from a lead window (``valid_from`` = event time, ``valid_to`` = next
+    event's time, NULL = current) — the standard warehouse rewrite of the
+    reference's row-at-a-time UPDATE loop, one shuffle on the entity key.
+
+    The rollup reports per-entity version counts, first/last change times,
+    the DECIMAL-exact value mass over closed versions, the open (current)
+    version's value, and mean days between versions (day-granular ints —
+    no timezone arithmetic anywhere; timestamps stay NTZ end-to-end).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = ev.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    closed = F.col("valid_to").isNotNull()
+    return (
+        versions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.min("valid_from").alias("first_seen"),
+            F.max("valid_from").alias("last_change"),
+            F.round(
+                F.sum(
+                    F.when(
+                        closed,
+                        F.round(F.col("value"), 6).cast("decimal(18,6)"),
+                    )
+                ).cast("double"),
+                4,
+            ).alias("closed_value_mass"),
+            F.round(
+                F.max(F.when(~closed, F.col("value"))), 4
+            ).alias("current_value"),
+            F.round(
+                F.datediff(F.max("valid_from"), F.min("valid_from")).cast(
+                    "double"
+                )
+                / F.nullif(F.count(F.lit(1)) - F.lit(1), F.lit(0)),
+                4,
+            ).alias("avg_days_between_versions"),
+        )
+        .orderBy("user_id")
+    )

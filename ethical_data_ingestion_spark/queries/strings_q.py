@@ -1,0 +1,216 @@
+"""String-similarity + sketch queries (round 4 widening).
+
+* ``editdist_name_pairs`` — edit-distance ≤ 2 similarity self-join over
+  distinct part names via FastSS deletion neighborhoods: candidates come
+  from an equi-join on ≤2-deletion variants (never all-pairs), then exact
+  ``levenshtein`` verification on candidates only — the same
+  candidates-then-verify discipline as the Jaccard/MinHash/SimHash family
+  (``operators/dedup.py``), applied to edit distance.
+* ``heavy_hitters_cms`` — count-min sketch (d=4 hash rows × w=16 buckets,
+  deliberately tiny so collisions actually occur at fixture scale) priced
+  against exact counts for the exact top-25 words: the estimate is always
+  ≥ the true count, and the panel reports each word's overcount.
+
+Both are integer/hash-deterministic end-to-end, so the DuckDB mirrors are
+hash-exact (FastSS is candidate-lossless for ed ≤ 2: any alignment with
+≤ 2 edit operations yields a common string after deleting the involved
+positions from each side, so the brute-force oracle and the
+neighborhood-join Spark plan return identical pair sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import text as T
+from ..registry import register
+
+_ED_MAX = 2
+
+#: count-min geometry: 4 independent md5-salted hash rows, 16 buckets each
+#: (w intentionally < |vocab| so the sketch must over-count at fixture
+#: scale and the panel shows real collision behavior).
+_CMS_D = 4
+_CMS_W = 16
+
+
+def _del1_sql(s: str) -> str:
+    """SQL for the 1-deletion neighborhood of string expression ``s``
+    (empty-safe: Spark's ``sequence(0, -1)`` would count DOWN, so the
+    empty string maps to an empty array explicitly)."""
+    return (
+        f"CASE WHEN length({s}) <= 0 THEN array() "
+        f"ELSE transform(sequence(0, length({s}) - 1), "
+        f"i -> concat(substring({s}, 1, i), substring({s}, i + 2))) END"
+    )
+
+
+@register(
+    "editdist_name_pairs",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS cnt
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a,
+           b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS ed,
+           a.cnt * b.cnt AS n_row_pairs
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= {_ED_MAX}
+     AND levenshtein(a.p_name, b.p_name) <= {_ED_MAX}
+    ORDER BY name_a, name_b
+    """,
+)
+def editdist_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (≤ 2) similarity self-join over distinct part names —
+    fuzzy entity resolution for catalog strings (typos, pluralization,
+    one-word swaps within edit budget).
+
+    Candidate generation is FastSS deletion neighborhoods, NOT all-pairs:
+    each distinct name expands to its ≤2-deletion variants (1 + L + L·(L−1)/2
+    strings, quadratic only in string LENGTH), candidates are the pairs
+    sharing a variant (one equi-join on the variant string), and exact
+    ``levenshtein`` runs on candidates only. The DuckDB oracle brute-forces
+    all pairs — identical result set proves the neighborhood join lossless.
+    At 100 TB the distinct-name table is what scales (millions of strings):
+    the variant join's key space is uniform md5-like strings, the exact
+    verify touches only candidate pairs, and the row-multiplicity join
+    never materializes row-level pairs (counts multiply instead).
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    d1 = _del1_sql("p_name")
+    d2 = f"flatten(transform({d1}, t -> {_del1_sql('t')}))"
+    variants = names.select(
+        "p_name",
+        "cnt",
+        F.explode(
+            F.expr(f"array_distinct(concat(array(p_name), {d1}, {d2}))")
+        ).alias("v"),
+    )
+    a = variants.select(
+        F.col("p_name").alias("name_a"), F.col("cnt").alias("cnt_a"), "v"
+    )
+    b = variants.select(
+        F.col("p_name").alias("name_b"), F.col("cnt").alias("cnt_b"), "v"
+    )
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", "cnt_a", "cnt_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("ed", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("ed") <= _ED_MAX)
+        .select(
+            "name_a",
+            "name_b",
+            "ed",
+            (F.col("cnt_a") * F.col("cnt_b")).alias("n_row_pairs"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+def _bucket_sql(r: int, word: str) -> str:
+    """Shared Spark/DuckDB-convertible bucket arithmetic is kept textually
+    parallel in both dialects; this is the Spark side."""
+    return (
+        f"CAST(conv(substring(md5(concat('{r}:', {word})), 1, 4), 16, 10) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    exact AS (
+      SELECT word, COUNT(*) AS freq FROM toks GROUP BY word
+    ),
+    sketch AS (
+      SELECT r,
+             ('0x' || substring(md5(r::VARCHAR || ':' || word), 1, 4))::BIGINT
+               % {_CMS_W} AS bucket,
+             COUNT(*) AS bucket_cnt
+      FROM toks, (VALUES (0), (1), (2), (3)) rs(r)
+      GROUP BY 1, 2
+    ),
+    top25 AS (
+      SELECT word, freq FROM exact
+      ORDER BY freq DESC, word LIMIT 25
+    ),
+    est AS (
+      SELECT t.word, t.freq, MIN(s.bucket_cnt) AS cms_est
+      FROM top25 t, (VALUES (0), (1), (2), (3)) rs(r)
+      JOIN sketch s
+        ON s.r = rs.r
+       AND s.bucket = ('0x' || substring(md5(rs.r::VARCHAR || ':' || t.word), 1, 4))::BIGINT
+                      % {_CMS_W}
+      GROUP BY t.word, t.freq
+    )
+    SELECT word, freq, cms_est, cms_est - freq AS overcount
+    FROM est
+    ORDER BY freq DESC, word
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters priced against exact counts.
+
+    The sketch is the real distributed object: one linear pass over the
+    exploded tokens builds all ``d×w`` counters as a GROUP BY (map-side
+    combined — the shuffle carries at most d·w rows per partition
+    regardless of corpus size, the whole point of a sketch at 100 TB).
+    Estimates for the exact top-25 words then come from a broadcast join
+    of the d·w-row sketch — never a second corpus pass. CMS never
+    undercounts, and with w=16 < |vocab| the fixture actually exercises
+    collisions, so ``overcount`` is non-zero and the panel demonstrates
+    (deterministically — md5-salted hashes, no RNG) the accuracy/size
+    trade every production sketch makes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens("text")).alias("word"))
+    exact = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    rs = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    sketch = (
+        toks.select("word", rs)
+        .select(
+            "r",
+            F.expr(
+                f"CAST(conv(substring(md5(concat(cast(r AS STRING), ':', word)), 1, 4), 16, 10) AS BIGINT) % {_CMS_W}"
+            ).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_cnt"))
+    )
+    top25 = exact.orderBy(F.desc("freq"), "word").limit(25)
+    probes = top25.select(
+        "word",
+        "freq",
+        rs,
+    ).select(
+        "word",
+        "freq",
+        "r",
+        F.expr(
+            f"CAST(conv(substring(md5(concat(cast(r AS STRING), ':', word)), 1, 4), 16, 10) AS BIGINT) % {_CMS_W}"
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("word", "freq")
+        .agg(F.min("bucket_cnt").alias("cms_est"))
+    )
+    return est.select(
+        "word",
+        "freq",
+        "cms_est",
+        (F.col("cms_est") - F.col("freq")).alias("overcount"),
+    ).orderBy(F.desc("freq"), "word")

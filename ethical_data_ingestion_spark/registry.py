@@ -44,6 +44,7 @@ def _load_everything() -> None:
     # Import for side effect: each module registers its queries.
     from .queries import (  # noqa: F401
         corpus_q,
+        curation_q,
         parity,
         relational,
         relational_ext,
@@ -57,6 +58,7 @@ def _load_everything() -> None:
         timeseries_q,
         skew_q,
         streaming_q,
+        strings_q,
         text_q,
         windows_q,
     )

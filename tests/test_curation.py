@@ -1,0 +1,92 @@
+"""Unit tests for the round-4 widening queries (curation_q, strings_q):
+invariants and edge cases the sf0.001 oracle gate can't pin by itself."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ethical_data_ingestion_spark.registry import QUERIES, _load_everything
+
+_load_everything()
+
+
+def test_kl_is_nonnegative_and_rolls_up_all_sources(spark, sf_dir):
+    rows = QUERIES["unigram_kl_quality"](spark, sf_dir).collect()
+    assert rows, "documents fixture has sources"
+    for r in rows:
+        # KL(p||q) >= 0 up to the per-term 1e-8 rounding; min over docs.
+        assert r.min_kl >= -1e-4, r
+        assert r.max_kl >= r.min_kl
+        assert r.n_docs > 0
+
+
+def test_topp_keeps_a_prefix_that_crosses_the_budget(spark, sf_dir):
+    rows = QUERIES["source_topp_curation"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0 < r.kept_docs <= r.total_docs
+        assert 0 < r.kept_tokens <= r.total_tokens
+        # the kept set must REACH the 60% budget (the crossing doc is in)
+        assert r.kept_tokens / r.total_tokens >= 0.6 or (
+            r.kept_docs == r.total_docs
+        )
+
+
+def test_transition_probs_sum_to_one_per_prev(spark, sf_dir):
+    df = QUERIES["event_transition_matrix"](spark, sf_dir)
+    sums = (
+        df.groupBy("prev_type").agg(F.sum("p").alias("s")).collect()
+    )
+    for r in sums:
+        assert abs(r.s - 1.0) < 0.01, r  # rounded-4 probs, |types| terms
+
+
+def test_scd2_exactly_one_open_version_per_user(spark, sf_dir):
+    rows = QUERIES["scd2_user_history_stats"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_versions >= 1
+        assert r.current_value is not None  # the open version exists
+        if r.n_versions == 1:
+            assert r.avg_days_between_versions is None  # NULLIF guard
+        assert r.first_seen <= r.last_change
+
+
+def test_fastss_neighborhood_join_equals_bruteforce(spark):
+    # adversarial literals: empty-ish, 1-char, unicode, transposition
+    names = ["ab", "abc", "abcd", "xbcd", "a", "b", "zzzz", "ábc"]
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+    got = {
+        (r.name_a, r.name_b, r.ed)
+        for r in QUERIES["editdist_name_pairs"](spark, d).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(set(names)), 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    rows = QUERIES["heavy_hitters_cms"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.cms_est >= r.freq  # CMS one-sided error guarantee
+        assert r.overcount == r.cms_est - r.freq
+    # w=16 < |vocab| forces at least one collision at fixture scale
+    assert any(r.overcount > 0 for r in rows)
