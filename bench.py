@@ -93,6 +93,7 @@ HEADLINE = [
     "order_price_deciles",
     "group_order_percentiles",
     "fk_integrity_audit",
+    "robust_value_stats",
     "text_quality_stats",
     "token_count_bpe",
     "word_frequency_topk",
@@ -139,6 +140,7 @@ HEADLINE = [
     "continuous_rollup_daily",
     "streaming_purchase_click_join",
     "streaming_enriched_segments",
+    "streaming_anomaly_windows",
 ]
 
 

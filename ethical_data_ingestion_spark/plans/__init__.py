@@ -3,7 +3,9 @@ from .inspect import (  # noqa: F401
     formatted_plan,
     pushed_filters,
     read_schemas,
+    runtime_bloom_filter_count,
     shuffle_count,
+    simple_plan,
     uses_take_ordered,
     wholestage_codegen_count,
 )

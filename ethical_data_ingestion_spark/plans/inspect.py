@@ -76,3 +76,14 @@ def wholestage_codegen_count(df: DataFrame) -> int:
     mark membership via ``[codegen id : N]`` annotations."""
     ids = set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df)))
     return len(ids)
+
+
+def runtime_bloom_filter_count(df: DataFrame) -> int:
+    """Number of runtime bloom-filter probes Catalyst injected
+    (``might_contain``/``bloom_filter_agg`` in the plan). At fixture scale
+    dimensions broadcast, so the probes only appear when the thresholds
+    are tuned down — the plan test does exactly that to pin the behavior
+    the 100-TB deployment relies on when a join's build side outgrows the
+    broadcast threshold but its FILTERED key set still fits a sketch."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"might_contain|bloom_filter_agg", plan))

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..materialize import materialize
 from ..operators import text as T
 from ..registry import register
 
@@ -95,8 +96,14 @@ def unigram_kl_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", F.explode(T.tokens("text")).alias("term")
     )
-    tf = toks.groupBy("doc_id", "source", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    # both the per-doc branch and the background-distribution branch
+    # consume tf; without pinning, Catalyst evaluates the explode+count
+    # subtree TWICE — two full corpus scans at the 100-TB design point.
+    # tf is |docs|·|doc vocab| rows (≪ token count), cheap to pin.
+    tf = materialize(
+        toks.groupBy("doc_id", "source", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
     )
     tf2 = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
     ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))

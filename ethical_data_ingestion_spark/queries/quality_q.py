@@ -543,3 +543,118 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionByName, panels).orderBy("relationship")
+
+
+@register(
+    "robust_value_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    pct AS (
+      SELECT event_type,
+             MAX(n) AS n_events,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) THEN v END)
+               + ((MAX(n)-1) * 0.5 - floor((MAX(n)-1) * 0.5))
+               * (MAX(CASE WHEN rn = CAST(ceil((n-1) * 0.5) AS BIGINT) THEN v END)
+                  - MAX(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) THEN v END))
+               AS med,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) THEN v END)
+               + ((MAX(n)-1) * 0.25 - floor((MAX(n)-1) * 0.25))
+               * (MAX(CASE WHEN rn = CAST(ceil((n-1) * 0.25) AS BIGINT) THEN v END)
+                  - MAX(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) THEN v END))
+               AS p25,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT) THEN v END)
+               + ((MAX(n)-1) * 0.75 - floor((MAX(n)-1) * 0.75))
+               * (MAX(CASE WHEN rn = CAST(ceil((n-1) * 0.75) AS BIGINT) THEN v END)
+                  - MAX(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT) THEN v END))
+               AS p75
+      FROM ranked GROUP BY event_type
+    ),
+    devs AS (
+      SELECT e.event_type, abs(e.value - p.med) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY e.event_type
+                                ORDER BY abs(e.value - p.med), e.event_id) - 1
+               AS rn,
+             COUNT(*) OVER (PARTITION BY e.event_type) AS n
+      FROM events e JOIN pct p USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) THEN dev END)
+               + ((MAX(n)-1) * 0.5 - floor((MAX(n)-1) * 0.5))
+               * (MAX(CASE WHEN rn = CAST(ceil((n-1) * 0.5) AS BIGINT) THEN dev END)
+                  - MAX(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) THEN dev END))
+               AS mad
+      FROM devs GROUP BY event_type
+    )
+    SELECT pct.event_type,
+           n_events,
+           ROUND(med, 6) AS med,
+           ROUND(p75 - p25, 6) AS iqr,
+           ROUND(mad.mad, 6) AS mad
+    FROM pct JOIN mad USING (event_type)
+    ORDER BY pct.event_type
+    """,
+)
+def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT robust dispersion statistics per event type: median, IQR, and
+    MAD (median absolute deviation) — the outlier-resistant profile panel
+    (mean/stddev melt under heavy tails; anomaly thresholds in production
+    are ``med ± k·MAD``).
+
+    MAD is genuinely two-round (the deviation distribution doesn't exist
+    until the median is known): round 1 ranks values per group (partitioned
+    window — groups spread across the cluster, nothing global) and selects
+    interpolated p25/p50/p75 by rank; the |groups|-row result broadcasts
+    back onto the events; round 2 ranks ``|v − med|`` the same way and
+    selects its median. Two exchanges on the same group key total, no sort
+    wider than a group, identical interpolation doubles both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        F.col("value").alias("v"),
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def _sel(q: float, col: str = "v") -> F.Column:
+        pos = (F.col("n") - 1) * q
+        lo = F.max(F.when(F.col("rn") == F.floor(pos), F.col(col)))
+        hi = F.max(F.when(F.col("rn") == F.ceil(pos), F.col(col)))
+        frac = F.max(pos - F.floor(pos))
+        return lo + frac * (hi - lo)
+
+    pct = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        _sel(0.5).alias("med"),
+        _sel(0.25).alias("p25"),
+        _sel(0.75).alias("p75"),
+    )
+    devs = ev.join(F.broadcast(pct.select("event_type", "med")), "event_type")
+    dev = F.abs(F.col("value") - F.col("med"))
+    w2 = Window.partitionBy("event_type").orderBy(dev, "event_id")
+    ranked2 = devs.select(
+        "event_type",
+        dev.alias("dev"),
+        (F.row_number().over(w2) - 1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = ranked2.groupBy("event_type").agg(_sel(0.5, "dev").alias("mad"))
+    return (
+        pct.join(mad, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.round("med", 6).alias("med"),
+            F.round(F.col("p75") - F.col("p25"), 6).alias("iqr"),
+            F.round("mad", 6).alias("mad"),
+        )
+        .orderBy("event_type")
+    )

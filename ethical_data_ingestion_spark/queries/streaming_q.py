@@ -355,3 +355,78 @@ def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             output_mode="complete",
         )
     return out.orderBy("segment")
+
+
+@register(
+    "streaming_anomaly_windows",
+    oracle="""
+    WITH win AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_windows,
+             SUM(n)::DOUBLE / COUNT(*)::DOUBLE AS mean,
+             sqrt(SUM(n * n)::DOUBLE / COUNT(*)::DOUBLE
+                  - (SUM(n)::DOUBLE / COUNT(*)::DOUBLE)
+                    * (SUM(n)::DOUBLE / COUNT(*)::DOUBLE)) AS sd
+      FROM win GROUP BY event_type
+    )
+    SELECT w.event_type,
+           MAX(s.n_windows) AS n_windows,
+           CAST(SUM(CASE WHEN (w.n::DOUBLE - s.mean) > 2.0 * s.sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+           MAX(w.n) AS max_window_count,
+           ROUND(MAX(s.mean), 4) AS mean_count,
+           ROUND(MAX(s.sd), 4) AS sd_count
+    FROM win w JOIN stats s USING (event_type)
+    GROUP BY w.event_type
+    ORDER BY w.event_type
+    """,
+)
+def streaming_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detector: the STREAMING ENGINE maintains hourly
+    per-type counts incrementally (same complete-mode drain as
+    ``streaming_tumbling_hourly`` — windowed JVM state, handed off across
+    micro-batches); the drained window table then gets a population
+    z-score screen, flagging windows whose count sits > 2σ above the
+    type's mean — the volume-spike / bot-burst alert every event pipeline
+    runs.
+
+    The window table is |hours|·|types| rows — detector arithmetic is
+    trivia after the streaming agg, and the mean/σ come from integer sums
+    (SUM(n), SUM(n²)) with the identical expression order in both engines,
+    so the flag booleans are IEEE-deterministic, not approximately so.
+    In production the screen runs per-trigger on the updating state via
+    foreachBatch; availableNow + batch screen is the drained equivalent."""
+    with P.state_partitions(spark, 4):
+        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
+        win = P.run_available_now(
+            P.tumbling_stream(stream, "1 hour", ["event_type"]),
+            output_mode="complete",
+        ).select("window_start", "event_type", F.col("n_events").alias("n"))
+    cnt = F.count(F.lit(1)).cast("double")
+    mean = F.sum("n").cast("double") / cnt
+    ex2 = F.sum(F.col("n") * F.col("n")).cast("double") / cnt
+    stats = win.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        mean.alias("mean"),
+        F.sqrt(ex2 - mean * mean).alias("sd"),
+    )
+    joined = win.join(F.broadcast(stats), "event_type")
+    anom = (F.col("n").cast("double") - F.col("mean")) > F.lit(2.0) * F.col(
+        "sd"
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("n_windows").alias("n_windows"),
+            F.sum(F.when(anom, 1).otherwise(0)).alias("n_anomalous"),
+            F.max("n").alias("max_window_count"),
+            F.round(F.max("mean"), 4).alias("mean_count"),
+            F.round(F.max("sd"), 4).alias("sd_count"),
+        )
+        .orderBy("event_type")
+    )

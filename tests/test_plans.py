@@ -146,3 +146,56 @@ def test_length_histogram_is_single_scan(spark, sf_dir):
     assert len(schemas) == 1
     assert "n_chars" in schemas[0] and "text" not in schemas[0]  # pruned
     assert plans.shuffle_count(df) <= 2  # partial agg + order
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """Spark's runtime row-level filtering (the AQE bloom-filter rewrite)
+    is the engine-native replacement for hand-built semi-join reductions:
+    when a join can't broadcast, a bloom filter built from the SELECTIVE
+    side's join keys is pushed into the other side's scan, pruning shuffle
+    input. Fixture tables all broadcast (thresholds are sized for real
+    clusters), so this test tunes the thresholds down to prove the rewrite
+    fires on our star-join shape — the plan the 100-TB deployment gets
+    when `orders` outgrows the broadcast threshold."""
+    from pyspark.sql import functions as F
+
+    from ethical_data_ingestion_spark.io import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderpriority").count()
+        assert plans.runtime_bloom_filter_count(joined) >= 1, (
+            "runtime bloom filter did not inject; the 100-TB semi-join "
+            "reduction path is broken:\n" + plans.simple_plan(joined)
+        )
+        # and correctness under the rewrite:
+        rows = joined.collect()
+        assert len(rows) == 1
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
