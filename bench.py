@@ -120,6 +120,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "neardup_clusters",
+    "pagerank_trade_graph",
     "embedding_neardup_pairs",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",

@@ -45,6 +45,7 @@ def _load_everything() -> None:
     from .queries import (  # noqa: F401
         corpus_q,
         curation_q,
+        graph_q,
         parity,
         relational,
         relational_ext,
