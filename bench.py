@@ -113,6 +113,8 @@ HEADLINE = [
     "scd2_user_history_stats",
     "editdist_name_pairs",
     "heavy_hitters_cms",
+    "k_anonymity_audit",
+    "dp_noisy_release_calibration",
     "lexical_diversity_stats",
     "corpus_funnel_stats",
     "dedup_exact_stats",

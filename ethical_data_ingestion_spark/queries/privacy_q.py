@@ -1,0 +1,177 @@
+"""Privacy / disclosure-risk queries (round 4 widening).
+
+The reference is an ETHICAL data-ingestion engine — robots.txt respect,
+rate limits, compliance gates, audit trails (``ethical_crawler.py``'s
+whole reason to exist). These queries extend that posture to the release
+side of the pipeline, where a 100-TB corpus engine actually leaks data:
+
+* ``k_anonymity_audit`` — the disclosure-risk panel run before any table
+  leaves the platform: equivalence-class sizes over the quasi-identifier
+  set (nation × market segment × account-balance band), k-anonymity and
+  l-diversity minima, and the share of rows sitting in re-identifiable
+  (k < 5) classes.
+* ``dp_noisy_release_calibration`` — a Laplace-mechanism release of
+  per-nation counts (ε = 1) next to the true counts, as the calibration
+  harness: noise is generated DETERMINISTICALLY (md5-uniform → inverse
+  CDF, the same engine-independent hash idiom as the sampling family) so
+  the panel is hash-checkable and reproducible; a production release
+  swaps the hash source for a secret seed, nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+#: classes smaller than this are "re-identifiable" in the audit.
+_K_SMALL = 5
+#: Laplace scale b = 1/epsilon, epsilon = 1.
+_DP_B = 1.0
+#: P(|Laplace(1)| > 7) ≈ 0.09% — the "noise is broken" line.
+_DP_BOUND = 7.0
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+             COUNT(*) AS k,
+             COUNT(DISTINCT c_acctbal) AS l
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_classes,
+           MIN(k) AS k_min,
+           ROUND(SUM(CASE WHEN k < {_K_SMALL} THEN k ELSE 0 END)::DOUBLE
+                 / SUM(k)::DOUBLE, 4) AS pct_rows_small,
+           MIN(l) AS l_min,
+           ROUND(SUM(k)::DOUBLE / COUNT(*)::DOUBLE, 4) AS avg_class_size
+    FROM cls
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer table under the
+    quasi-identifier set (nation, segment, $1000 balance band), rolled up
+    per market segment: minimum class size (k), share of rows in classes
+    below k=5 (the re-identifiable mass a release gate would block), and
+    minimum l-diversity of the sensitive attribute (exact balance) within
+    a class.
+
+    One GROUP BY over the QID tuple (map-side combined — the shuffle
+    carries one row per equivalence class, bounded by the QID domain, not
+    the row count) and one rollup over the |classes| rows. This is the
+    release-gate complement of the ingest-side compliance gate
+    (``sources/compliance.py``)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cls = cust.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band"),
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("c_acctbal").alias("l"),
+    )
+    return (
+        cls.groupBy("c_mktsegment")
+        .agg(
+            F.sum("k").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("k").alias("k_min"),
+            F.round(
+                F.sum(
+                    F.when(F.col("k") < _K_SMALL, F.col("k")).otherwise(0)
+                ).cast("double")
+                / F.sum("k").cast("double"),
+                4,
+            ).alias("pct_rows_small"),
+            F.min("l").alias("l_min"),
+            F.round(
+                F.sum("k").cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_class_size"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "dp_noisy_release_calibration",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT c_nationkey, COUNT(*) AS true_count
+      FROM customer GROUP BY c_nationkey
+    ),
+    withu AS (
+      SELECT c_nationkey, true_count,
+             (('0x' || substring(md5('dp:' || CAST(c_nationkey AS VARCHAR)),
+                                 1, 8))::BIGINT + 1)::DOUBLE
+               / 4294967297.0 AS u
+      FROM cnt
+    ),
+    noised AS (
+      SELECT c_nationkey, true_count,
+             CASE WHEN u < 0.5 THEN {_DP_B} * ln(2.0 * u)
+                  ELSE -{_DP_B} * ln(2.0 * (1.0 - u)) END AS noise
+      FROM withu
+    )
+    SELECT c_nationkey,
+           true_count,
+           ROUND(true_count + noise, 4) AS noisy_count,
+           ROUND(abs(noise), 4) AS abs_err,
+           abs(noise) <= {_DP_BOUND} AS within_bound
+    FROM noised
+    ORDER BY c_nationkey
+    """,
+)
+def dp_noisy_release_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism release of per-nation customer counts (ε = 1)
+    with the true counts alongside — the calibration panel a privacy team
+    runs BEFORE shipping the noisy-only release: is the noise magnitude
+    consistent with the ε guarantee (|noise| ≤ 7 at the 99.9% line), and
+    what utility loss does each cell pay?
+
+    Noise is md5-uniform pushed through the Laplace inverse CDF — fully
+    deterministic and engine-independent (the hash idiom of the sampling
+    family), so the panel is hash-checkable; the aggregation itself is
+    one map-side-combined GROUP BY, and the noise math runs on |groups|
+    rows — free at any scale. A production release derives u from a
+    secret per-release seed instead of a public hash; the plan is
+    unchanged."""
+    cust = load_table(spark, sf_dir, "customer")
+    cnt = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp:"), F.col("c_nationkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ).cast("double") / F.lit(4294967297.0)
+    noised = cnt.withColumn(
+        "noise",
+        F.when(u < 0.5, F.lit(_DP_B) * F.log(2.0 * u)).otherwise(
+            -F.lit(_DP_B) * F.log(2.0 * (F.lit(1.0) - u))
+        ),
+    )
+    return noised.select(
+        "c_nationkey",
+        "true_count",
+        F.round(F.col("true_count") + F.col("noise"), 4).alias("noisy_count"),
+        F.round(F.abs("noise"), 4).alias("abs_err"),
+        (F.abs("noise") <= _DP_BOUND).alias("within_bound"),
+    ).orderBy("c_nationkey")

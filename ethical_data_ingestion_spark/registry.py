@@ -54,6 +54,7 @@ def _load_everything() -> None:
         dedup_q,
         multimodal_q,
         pipeline_q,
+        privacy_q,
         quality_q,
         similarity_q,
         timeseries_q,
