@@ -94,6 +94,7 @@ HEADLINE = [
     "group_order_percentiles",
     "fk_integrity_audit",
     "robust_value_stats",
+    "order_revenue_reconciliation",
     "text_quality_stats",
     "token_count_bpe",
     "word_frequency_topk",

@@ -658,3 +658,89 @@ def robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "order_revenue_reconciliation",
+    oracle="""
+    WITH fact AS (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                      AS DECIMAL(18,4))) AS revenue
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    recon AS (
+      SELECT COALESCE(o.o_orderkey, f.l_orderkey) AS k,
+             CASE
+               WHEN o.o_orderkey IS NULL THEN 'orphan_lineitems'
+               WHEN f.l_orderkey IS NULL THEN 'order_without_lineitems'
+               WHEN abs(CAST(o.o_totalprice AS DECIMAL(18,4)) - f.revenue)
+                    <= CAST(0.01 AS DECIMAL(18,4)) THEN 'match'
+               ELSE 'drift'
+             END AS status,
+             CASE WHEN o.o_orderkey IS NOT NULL AND f.l_orderkey IS NOT NULL
+                  THEN abs(CAST(o.o_totalprice AS DECIMAL(18,4)) - f.revenue)
+                  ELSE CAST(0 AS DECIMAL(18,4)) END AS drift
+      FROM orders o FULL OUTER JOIN fact f ON o.o_orderkey = f.l_orderkey
+    )
+    SELECT status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(drift) AS DOUBLE) AS total_abs_drift
+    FROM recon
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def order_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-rollup reconciliation: every order's header price against
+    the revenue implied by its line items, via a FULL OUTER join —
+    the audit an ingestion pipeline runs after every load ("does what we
+    stored still add up, and which side is missing rows?"). Categories:
+    ``match`` (|Δ| ≤ 1 cent), ``drift``, ``order_without_lineitems``,
+    ``orphan_lineitems`` — the last two are the referential gaps
+    ``fk_integrity_audit`` counts, here attributed to a side.
+
+    The rollup combines map-side; the full-outer join shuffles both
+    sides on the key they already aggregate on (Catalyst reuses the
+    rollup's hash partitioning for the join — one exchange per side
+    total); per-line money rounds to DECIMAL(18,4) before summing so the
+    revenue is order-insensitive and engine-exact, drift to
+    DECIMAL(18,2) before the final sum for the same reason."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).cast("decimal(18,4)")
+        ).alias("revenue")
+    )
+    joined = orders.join(
+        fact, orders.o_orderkey == fact.l_orderkey, "full_outer"
+    )
+    both = F.col("o_orderkey").isNotNull() & F.col("l_orderkey").isNotNull()
+    # all money comparisons in DECIMAL: the fixture's money doubles are
+    # 2-decimal clean so the casts are exact, and decimal |a-b| needs no
+    # rounding step (a double ROUND here hit the half-up vs half-even
+    # divergence between engines on exact .005 boundaries).
+    diff = F.abs(
+        F.col("o_totalprice").cast("decimal(18,4)") - F.col("revenue")
+    )
+    status = (
+        F.when(F.col("o_orderkey").isNull(), F.lit("orphan_lineitems"))
+        .when(F.col("l_orderkey").isNull(), F.lit("order_without_lineitems"))
+        .when(diff <= F.lit(0.01).cast("decimal(18,4)"), F.lit("match"))
+        .otherwise(F.lit("drift"))
+    )
+    drift = F.when(both, diff).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        joined.select(status.alias("status"), drift.alias("drift"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("drift").cast("double").alias("total_abs_drift"),
+        )
+        .orderBy("status")
+    )
