@@ -125,3 +125,32 @@ def save_bucketed(
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(name)
+
+
+def save_clustered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+) -> None:
+    """Persist a parquet table RANGE-CLUSTERED on ``cols``: global range
+    repartition + in-partition sort, so each output file owns a disjoint
+    slice of the key space and its footer min/max statistics become
+    honest zone maps.
+
+    The third at-rest layout next to hive partitioning (`export.py`,
+    prunes on low-cardinality columns) and bucketing (:func:`save_bucketed`,
+    co-locates joins): clustering serves RANGE predicates on
+    high-cardinality columns — at 100 TB a ``BETWEEN`` over a clustered
+    column skips every non-overlapping file/row-group at the footer,
+    reading O(selectivity) instead of O(table). The same layout is what
+    lakehouse formats call Z-ORDER in the single-column case.
+    tests/test_bucketing.py proves the disjoint-ranges property from the
+    parquet footers themselves.
+    """
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
