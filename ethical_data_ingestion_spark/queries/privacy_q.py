@@ -66,19 +66,21 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum l-diversity of the sensitive attribute (exact balance) within
     a class.
 
-    One GROUP BY over the QID tuple (map-side combined — the shuffle
-    carries one row per equivalence class, bounded by the QID domain, not
-    the row count) and one rollup over the |classes| rows. This is the
+    Aggregation is TWO-LEVEL (the ``column_profile_orders`` pattern):
+    first GROUP BY (QID, sensitive) — map-side combined, the shuffle
+    carries one row per distinct (class, value) — then the class stats
+    fold the value counts, so k = Σcnt and l = row count with no
+    ``countDistinct`` expand doubling the shuffle. This is the
     release-gate complement of the ingest-side compliance gate
     (``sources/compliance.py``)."""
     cust = load_table(spark, sf_dir, "customer")
-    cls = cust.groupBy(
-        "c_mktsegment",
-        "c_nationkey",
-        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band"),
-    ).agg(
-        F.count(F.lit(1)).alias("k"),
-        F.countDistinct("c_acctbal").alias("l"),
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band")
+    lvl0 = cust.groupBy(
+        "c_mktsegment", "c_nationkey", band, "c_acctbal"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cls = lvl0.groupBy("c_mktsegment", "c_nationkey", "band").agg(
+        F.sum("cnt").alias("k"),
+        F.count(F.lit(1)).alias("l"),
     )
     return (
         cls.groupBy("c_mktsegment")

@@ -199,3 +199,31 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_round4_queries_keep_their_scale_shapes(spark, sf_dir):
+    """Shuffle/broadcast pins for the round-4 families: a regression that
+    adds an exchange (e.g. a countDistinct expand sneaking back into the
+    k-anonymity audit) or drops a broadcast fails here even though results
+    stay correct."""
+    # (name, max shuffles, min broadcast joins)
+    pins = [
+        ("event_transition_matrix", 4, 0),  # user win + pair agg + prev win + sort
+        ("source_topp_curation", 2, 0),     # one exchange on source + sort
+        ("scd2_user_history_stats", 2, 0),  # user win reused by agg + sort
+        ("heavy_hitters_cms", 3, 2),        # vocab agg; sketch + probes broadcast
+        ("editdist_name_pairs", 3, 2),      # names agg + variant join + sort
+        ("robust_value_stats", 4, 4),       # two ranking passes, medians broadcast
+        ("k_anonymity_audit", 4, 0),        # two-level agg, NO countDistinct expand
+        ("order_revenue_reconciliation", 4, 0),  # rollup + full-outer SMJ + agg + sort
+        ("exact_order_percentiles", 2, 0),  # range exchange + tiny result sort
+    ]
+    for name, max_sh, min_bc in pins:
+        df = _q(spark, sf_dir, name)
+        sh = plans.shuffle_count(df)
+        bc = plans.broadcast_join_count(df)
+        assert sh <= max_sh, f"{name}: {sh} shuffles (max {max_sh})"
+        assert bc >= min_bc, f"{name}: {bc} broadcasts (min {min_bc})"
+    # the k-anonymity plan must not contain the distinct-expand operator
+    prof = plans.formatted_plan(_q(spark, sf_dir, "k_anonymity_audit"))
+    assert "Expand" not in prof
