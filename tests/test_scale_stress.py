@@ -168,3 +168,51 @@ def test_panels_on_empty_tables(spark, empty_sf_dir):
     ):
         rows = QUERIES[name](spark, empty_sf_dir).collect()
         assert rows == [], f"{name} on empty input returned {rows[:3]}"
+
+
+def test_round4_doc_panels_on_empty_tables(spark, empty_sf_dir):
+    from ethical_data_ingestion_spark.registry import QUERIES
+
+    for name in (
+        "unigram_kl_quality",
+        "source_topp_curation",
+        "heavy_hitters_cms",
+    ):
+        rows = QUERIES[name](spark, empty_sf_dir).collect()
+        assert rows == [], f"{name} on empty input returned {rows[:3]}"
+
+
+def test_fastss_neighborhood_size_is_quadratic_in_length_only(spark):
+    """The editdist candidate generator's variant count per string must be
+    exactly 1 + L + C(L,2) minus internal collisions — quadratic in the
+    string LENGTH, independent of table size. A regression that expands
+    the neighborhood (e.g. to 3 deletions) squares candidate volume at
+    100 TB; this pins the budget."""
+    import tempfile, os
+
+    from ethical_data_ingestion_spark.registry import QUERIES, _load_everything
+
+    _load_everything()
+    names = ["abcdefghij", "0123456789abcdefghij"]  # L = 10, 20
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+    from ethical_data_ingestion_spark.queries.strings_q import _del1_sql
+
+    variants = spark.sql(
+        f"""
+        SELECT p_name,
+               size(array_distinct(concat(
+                 array(p_name),
+                 {_del1_sql('p_name')},
+                 flatten(transform({_del1_sql('p_name')},
+                                   t -> {_del1_sql('t')}))))) AS n_var
+        FROM parquet.`{os.path.join(d, 'part.parquet')}`
+        """
+    ).collect()
+    for r in variants:
+        L = len(r.p_name)
+        cap = 1 + L + L * (L - 1) // 2
+        assert r.n_var <= cap, (r.p_name, r.n_var, cap)
+        # distinct characters -> no collisions, so the bound is tight
+        assert r.n_var == cap
