@@ -73,3 +73,73 @@ def test_fingerprint_whitespace_invariant(spark, text):
     assert row.fa == row.fb
     norm = df.select(normalize_text("a").alias("n")).collect()[0].n
     assert norm == _py_norm(text)
+
+
+_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6), min_size=2, max_size=30
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_words)
+def test_fastss_editdist_join_matches_bruteforce(spark, words):
+    """FastSS 2-deletion candidate generation + levenshtein verify must
+    equal brute force on ARBITRARY short strings — the losslessness claim
+    of editdist_name_pairs, explored beyond the fixture's vocabulary."""
+    import itertools
+    import os
+    import tempfile
+
+    from ethical_data_ingestion_spark.registry import QUERIES, _load_everything
+
+    _load_everything()
+    df = spark.createDataFrame([(w,) for w in words], "p_name string")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+    got = {
+        (r.name_a, r.name_b)
+        for r in QUERIES["editdist_name_pairs"](spark, d).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(set(words)), 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=1, max_value=5000), st.integers(min_value=2, max_value=10))
+def test_ntile_closed_form_matches_spark_ntile(spark, n, k):
+    """order_price_deciles computes NTILE(k) in closed form from global
+    ranks; the formula must agree with Spark's own ntile() for arbitrary
+    (n rows, k buckets) — including n < k and non-divisible cases."""
+    from pyspark.sql import Window
+
+    df = spark.range(n).select(F.col("id").alias("rn"))
+    base, rem = divmod(n, k)
+    big = base + 1
+    cut = rem * big
+    rn = F.col("rn")
+    if base == 0:
+        closed = (rn + 1).cast("int")
+    else:
+        closed = (
+            F.when(rn < cut, F.floor(rn / big))
+            .otherwise(rem + F.floor((rn - cut) / base))
+            + 1
+        ).cast("int")
+    w = Window.orderBy("rn")
+    out = df.select(
+        closed.alias("closed"), F.ntile(k).over(w).alias("native")
+    ).filter(F.col("closed") != F.col("native"))
+    assert out.count() == 0
