@@ -95,6 +95,7 @@ HEADLINE = [
     "fk_integrity_audit",
     "robust_value_stats",
     "order_revenue_reconciliation",
+    "price_drift_psi",
     "text_quality_stats",
     "token_count_bpe",
     "word_frequency_topk",

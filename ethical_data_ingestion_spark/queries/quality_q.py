@@ -744,3 +744,135 @@ def order_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_PSI_BINS = 10
+#: additive smoothing so empty bins stay ln-safe: share' = (n+1)/(N+bins).
+_PSI_SMOOTH = 1
+
+
+@register(
+    "price_drift_psi",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS dmin,
+             CAST(MAX(o_orderdate) AS DATE) AS dmax
+      FROM orders
+    ),
+    split AS (
+      SELECT dmin + CAST(floor(date_diff('day', dmin, dmax) / 2.0) AS BIGINT)
+               * INTERVAL 1 DAY AS mid
+      FROM bounds
+    ),
+    tagged AS (
+      SELECT o_totalprice AS v,
+             CAST(o_orderdate AS DATE) < (SELECT mid FROM split) AS is_ref
+      FROM orders
+    ),
+    refstats AS (
+      SELECT MIN(v) AS vmin, MAX(v) AS vmax
+      FROM tagged WHERE is_ref
+    ),
+    binned AS (
+      SELECT least(greatest(CAST(floor((v - vmin)
+                     / ((vmax - vmin) / {_PSI_BINS}.0)) AS BIGINT), 0),
+                   {_PSI_BINS - 1}) AS bin,
+             is_ref
+      FROM tagged, refstats
+    ),
+    counts AS (
+      SELECT bin,
+             SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_n,
+             SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cur_n
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT SUM(ref_n) AS ref_tot, SUM(cur_n) AS cur_tot FROM counts
+    ),
+    terms AS (
+      SELECT bin, ref_n, cur_n,
+             CAST(ROUND(
+               ((ref_n + {_PSI_SMOOTH})::DOUBLE / (ref_tot + {_PSI_BINS * _PSI_SMOOTH})::DOUBLE
+                - (cur_n + {_PSI_SMOOTH})::DOUBLE / (cur_tot + {_PSI_BINS * _PSI_SMOOTH})::DOUBLE)
+               * ln(((ref_n + {_PSI_SMOOTH})::DOUBLE / (ref_tot + {_PSI_BINS * _PSI_SMOOTH})::DOUBLE)
+                    / ((cur_n + {_PSI_SMOOTH})::DOUBLE / (cur_tot + {_PSI_BINS * _PSI_SMOOTH})::DOUBLE)),
+               8) AS DECIMAL(18,8)) AS term
+      FROM counts, tot
+    )
+    SELECT bin, ref_n, cur_n,
+           CAST(term AS DOUBLE) AS psi_term,
+           ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS psi_total
+    FROM terms
+    ORDER BY bin
+    """,
+)
+def price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor over order value: the
+    fixture's time span splits at its midpoint date into a reference and a
+    current period; prices bin into 10 equal-width buckets whose EDGES
+    come from the reference period (the production convention — the
+    monitoring bins are frozen when the model ships), and
+    PSI = Σ (p−q)·ln(p/q) with +1 smoothing flags distribution shift
+    (rule of thumb: >0.1 investigate, >0.25 act).
+
+    Two passes over orders (bounds/reference stats, then binning) with the
+    scalars riding 1-row cross joins — never a driver collect; the bin
+    counts combine map-side into ≤10 rows, and every ln term is rounded
+    to DECIMAL(18,8) before summing so the PSI is order-insensitive and
+    engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("dmin"),
+        F.max(F.col("o_orderdate").cast("date")).alias("dmax"),
+    ).select(
+        F.expr(
+            "date_add(dmin, CAST(floor(datediff(dmax, dmin) / 2.0) AS INT))"
+        ).alias("mid")
+    )
+    tagged = orders.crossJoin(F.broadcast(bounds)).select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderdate").cast("date") < F.col("mid")).alias("is_ref"),
+    )
+    refstats = tagged.filter("is_ref").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / float(_PSI_BINS)
+    binned = tagged.crossJoin(F.broadcast(refstats)).select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("v") - F.col("vmin")) / width).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+        "is_ref",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("cur_n"),
+    )
+    tot = counts.agg(
+        F.sum("ref_n").alias("ref_tot"), F.sum("cur_n").alias("cur_tot")
+    )
+    sm, smt = _PSI_SMOOTH, _PSI_BINS * _PSI_SMOOTH
+    p = (F.col("ref_n") + sm).cast("double") / (
+        F.col("ref_tot") + smt
+    ).cast("double")
+    q = (F.col("cur_n") + sm).cast("double") / (
+        F.col("cur_tot") + smt
+    ).cast("double")
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.round((p - q) * F.log(p / q), 8).cast("decimal(18,8)").alias("term"),
+    )
+    return terms.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.col("term").cast("double").alias("psi_term"),
+        F.round(
+            F.sum("term").over(Window.partitionBy()).cast("double"), 6
+        ).alias("psi_total"),
+    ).orderBy("bin")
