@@ -289,6 +289,12 @@ def main(argv: Sequence[str] | None = None) -> int:
 
     if args.cmd == "fetch":
         # no SparkSession: fetch is pure driver-side HTTP + file IO
+        bad = [kv for kv in args.api_key if "=" not in kv]
+        if bad:
+            p.error(
+                f"--api-key expects SOURCE=KEY (got {bad[0]!r}); e.g. "
+                "--api-key 'College Scorecard=YOURKEY'"
+            )
         keys = dict(kv.split("=", 1) for kv in args.api_key)
         n = cmd_fetch(args.out, api_keys=keys, base_override=args.base_url)
         print(json.dumps({"spooled": n, "out": args.out}))

@@ -33,7 +33,6 @@ _SCHEMA_CACHE: dict[str, StructType] = {}
 #: the metastore-catalog pattern the schema cache above starts: in
 #: production both are catalog lookups, not per-query filesystem work.
 _VIEW_REGISTRY: dict[tuple[str, str], tuple[SparkSession, str]] = {}
-_VIEW_SEQ = [0]
 
 
 def preresolve_tables(spark: SparkSession, sf_dir: str) -> None:
@@ -45,8 +44,10 @@ def preresolve_tables(spark: SparkSession, sf_dir: str) -> None:
     for name in _TABLES:
         _VIEW_REGISTRY.pop((sf_dir, name), None)
         df = load_table(spark, sf_dir, name)
-        _VIEW_SEQ[0] += 1
-        view = f"eds_pre_{name}_{_VIEW_SEQ[0]}"
+        # stable per-(sf_dir, table) view name: re-invocation REPLACES the
+        # old view instead of leaking a numbered orphan in the session
+        # catalog (each orphan would pin its resolved LogicalRelation).
+        view = f"eds_pre_{name}_{abs(hash(sf_dir)) % 10**8}"
         df.createOrReplaceTempView(view)
         _VIEW_REGISTRY[(sf_dir, name)] = (spark, view)
 

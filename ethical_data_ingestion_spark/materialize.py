@@ -23,7 +23,12 @@ call site at once:
                     RECOMPUTES lost blocks from lineage, which is safe
                     for deterministic plans but re-runs nondeterministic
                     exchanges (a range exchange may resample boundaries —
-                    prefer ``checkpoint`` when that matters).
+                    prefer ``checkpoint`` when that matters). persist does
+                    NOT truncate lineage, so per-round plans in an
+                    iterative loop grow with the round count — use
+                    ``checkpoint`` for long loops (CC at high diameter);
+                    loops release their previous round via :func:`unpin`
+                    so pinned state stays O(1) regardless.
 * ``checkpoint``  — reliable ``checkpoint(eager=True)`` into
                     ``spark.sparkContext.getCheckpointDir()`` (set it to
                     durable storage, e.g. HDFS/S3). Survives executor
@@ -67,7 +72,16 @@ def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
         # no durable dir configured: fall back to a local temp dir so the
         # mode stays runnable in tests; a cluster deployment must call
         # setCheckpointDir("hdfs://...") (or s3://) at session build.
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+        # The fallback dir is removed at interpreter exit — reliable
+        # checkpoint files are not auto-cleaned by Spark otherwise
+        # (set spark.cleaner.referenceTracking.cleanCheckpoints on
+        # clusters to reclaim per-RDD files as they are GC'd).
+        import atexit
+        import shutil
+
+        d = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        atexit.register(shutil.rmtree, d, True)
+        sc.setCheckpointDir(d)
     return df.checkpoint(eager=True)
 
 
@@ -84,6 +98,10 @@ def shared_get(key: tuple, spark) -> DataFrame | None:
     hit = _SHARED.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    if hit is not None:
+        # stale session: drop the entry so a host cycling sessions doesn't
+        # keep dead-session DataFrame graphs referenced for process life.
+        del _SHARED[key]
     return None
 
 
@@ -111,6 +129,37 @@ def shared(key: tuple, spark, build) -> DataFrame:
     hit = _SHARED.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    # evict every stale-session entry on miss (not just this key): the
+    # cache must not hold the previous session's object graphs alive.
+    for k in [k for k, (s, _) in _SHARED.items() if s is not spark]:
+        del _SHARED[k]
     df = materialize(build())
     _SHARED[key] = (spark, df)
     return df
+
+
+def unpin(df: DataFrame | None, mode: str | None = None) -> None:
+    """Release a :func:`materialize`'d DataFrame once NO downstream
+    consumer remains (e.g. an iterative loop's previous round after the
+    next round has been pinned).
+
+    * ``disk``       — ``unpersist()`` drops the cached plan entry and its
+                       blocks; without this, every loop round would stay
+                       registered in the CacheManager for session life.
+    * ``local``      — no-op: localCheckpoint blocks belong to their
+                       truncated-lineage RDD and unpersisting them would
+                       make the DataFrame unrecomputable if any reference
+                       survives; they are evicted LRU under pressure and
+                       die with the session (the mode is the single-box
+                       fast path, not the long-lived-cluster one).
+    * ``checkpoint`` — no-op here: reliable checkpoint files are removed
+                       by Spark's ContextCleaner when the RDD is GC'd iff
+                       ``spark.cleaner.referenceTracking.cleanCheckpoints``
+                       is set (recommended for cluster deployments), and
+                       the checkpoint dir itself is deployment-owned.
+    """
+    if df is None:
+        return
+    mode = mode or os.environ.get(_ENV_VAR, "local")
+    if mode == "disk":
+        df.unpersist()

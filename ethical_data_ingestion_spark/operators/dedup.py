@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..materialize import materialize
+from ..materialize import materialize, unpin
 from .text import normalize_text, shingles, tokens
 
 
@@ -467,6 +467,7 @@ def connected_components(
     prev_sum = None
     converged = False
     for _ in range(max_iter):
+        prev_labels = labels
         labels = materialize(
             adj.join(
                 labels.select(F.col("id").alias("b"), F.col("label").alias("bl")),
@@ -476,6 +477,9 @@ def connected_components(
             .agg(F.min("bl").alias("label"))
             .select(F.col("a").alias("id"), "label")
         )
+        # the previous round has no consumers once the new pin exists —
+        # release it so disk-mode loops stay O(1) in pinned state
+        unpin(prev_labels)
         # decimal(38,0) sum: exact at any id magnitude, no overflow
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))

@@ -110,7 +110,7 @@ def benchmark_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_length_histogram",
     oracle="""
-    SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS bucket,
+    SELECT CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS bucket,
            COUNT(*) AS n_docs,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
@@ -123,11 +123,16 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed document-length histogram — the corpus-composition
     panel behind length-filter threshold choices. One map-side-combined
     aggregate over an integer column; nothing to shuffle but the tiny
-    bucket rows."""
+    bucket rows. Zero-length docs clamp into bucket 0 via greatest(,1):
+    DuckDB RAISES on log2(0) while Spark returns NULL — without the
+    clamp a single empty document turns the oracle's result into a
+    crash-vs-NULL-row divergence."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy(
-            F.floor(F.log2("n_chars")).cast("long").alias("bucket")
+            F.floor(F.log2(F.greatest("n_chars", F.lit(1))))
+            .cast("long")
+            .alias("bucket")
         )
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..materialize import materialize
+from ..materialize import materialize, unpin
 from ..registry import register
 
 _ITERS = 10
@@ -127,6 +127,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "deg")
         .coalesce(8)
     )
+    prev = None
     for _ in range(_ITERS):
         # ranks is |nodes| rows — broadcast explicitly; the localCheckpoint
         # leaf hides size stats from AQE, which would otherwise shuffle.
@@ -140,6 +141,9 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(base) + F.sum("share")).cast("long").alias("rank")
             )
         )
+        # previous round has no consumers now — keep pinned state O(1)
+        unpin(prev)
+        prev = ranks
     # top-20 selection tie-breaks on the RAW node id (identical to the
     # oracle's ORDER BY rank DESC, node), then projects the display shape.
     top = ranks.orderBy(F.desc("rank"), "node").limit(20)

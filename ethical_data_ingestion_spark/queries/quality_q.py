@@ -704,8 +704,9 @@ def order_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides on the key they already aggregate on (Catalyst reuses the
     rollup's hash partitioning for the join — one exchange per side
     total); per-line money rounds to DECIMAL(18,4) before summing so the
-    revenue is order-insensitive and engine-exact, drift to
-    DECIMAL(18,2) before the final sum for the same reason."""
+    revenue is order-insensitive and engine-exact, and the drift |a−b|
+    stays in DECIMAL(18,4) end-to-end (no double rounding step — a
+    ROUND on doubles diverges between engines at .005 boundaries)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )

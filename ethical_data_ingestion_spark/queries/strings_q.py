@@ -117,13 +117,15 @@ def editdist_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_sql(r: int, word: str) -> str:
-    """Shared Spark/DuckDB-convertible bucket arithmetic is kept textually
-    parallel in both dialects; this is the Spark side."""
-    return (
-        f"CAST(conv(substring(md5(concat('{r}:', {word})), 1, 4), 16, 10) "
-        f"AS BIGINT) % {_CMS_W}"
-    )
+#: Spark-side CMS bucket expression over columns ``r`` (hash row) and
+#: ``word`` — the SINGLE source for both the sketch-build and the probe
+#: sides (they must hash identically or every estimate silently breaks
+#: the CMS ≥ freq guarantee); textually parallel to the DuckDB oracle's
+#: ``('0x' || substring(md5(...), 1, 4))::BIGINT % w``.
+_BUCKET_EXPR = (
+    "CAST(conv(substring(md5(concat(cast(r AS STRING), ':', word)), 1, 4), "
+    f"16, 10) AS BIGINT) % {_CMS_W}"
+)
 
 
 @register(
@@ -188,9 +190,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "freq",
             "r",
-            F.expr(
-                f"CAST(conv(substring(md5(concat(cast(r AS STRING), ':', word)), 1, 4), 16, 10) AS BIGINT) % {_CMS_W}"
-            ).alias("bucket"),
+            F.expr(_BUCKET_EXPR).alias("bucket"),
         )
         .groupBy("r", "bucket")
         .agg(F.sum("freq").alias("bucket_cnt"))
@@ -204,9 +204,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         "freq",
         "r",
-        F.expr(
-            f"CAST(conv(substring(md5(concat(cast(r AS STRING), ':', word)), 1, 4), 16, 10) AS BIGINT) % {_CMS_W}"
-        ).alias("bucket"),
+        F.expr(_BUCKET_EXPR).alias("bucket"),
     )
     est = (
         probes.join(F.broadcast(sketch), ["r", "bucket"])

@@ -162,10 +162,13 @@ def discover_nyc(
     request. ``max_pages`` bounds a misbehaving endpoint."""
     spec = NYC_OPEN_DATA
     limiter = limiter or RateLimiter(spec.rate_limit_per_second)
-    if robots is not None and not robots.can_fetch(spec.api_endpoint + "/views"):
-        return []  # endpoint disallowed (reference logs + returns [], :364-366)
     items: list[tuple[str, str]] = []
     url = f"{spec.api_endpoint}/views/metadata/v1"
+    # gate the CONCRETE request URL, not a parent path: a robots rule like
+    # 'Disallow: /api/views/metadata' must block this fetch even though
+    # '/api/views' is allowed (prefix checks on a shorter path would pass).
+    if robots is not None and not robots.can_fetch(url):
+        return []  # endpoint disallowed (reference logs + returns [], :364-366)
     for page in range(max_pages):
         limiter.wait()
         params = {"limit": page_size, "offset": page * page_size}
@@ -201,6 +204,7 @@ def fetch_dataset_nyc(
     dataset_id: str,
     limiter: RateLimiter | None = None,
     api_key: str | None = None,
+    robots: RobotsCache | None = None,
 ) -> tuple[str, str] | None:
     """Live point-fetch of one NYC dataset's detailed metadata — the
     reference's ``fetch_dataset_metadata`` (``ethical_crawler.py:
@@ -211,11 +215,13 @@ def fetch_dataset_nyc(
     lookup over already-spooled payloads as a distributed filter."""
     spec = NYC_OPEN_DATA
     limiter = limiter or RateLimiter(spec.rate_limit_per_second)
+    url = f"{spec.api_endpoint}/views/{dataset_id}.json"
+    # same compliance gate as discovery, on the concrete point-fetch URL
+    if robots is not None and not robots.can_fetch(url):
+        return None
     limiter.wait()
     params = {"$$app_token": api_key} if api_key else None
-    status, data = transport.get_json(
-        f"{spec.api_endpoint}/views/{dataset_id}.json", params=params
-    )
+    status, data = transport.get_json(url, params=params)
     if status != 200 or not isinstance(data, dict):
         return None
     return _payload(

@@ -310,3 +310,30 @@ def test_spool_jsonl_roundtrip(tmp_path):
     assert spool_jsonl(items, str(path)) == 2
     lines = [json.loads(ln) for ln in path.read_text().splitlines()]
     assert [ln["_source"] for ln in lines] == ["A", "B"]
+
+
+def test_robots_gates_the_concrete_request_path(server):
+    """A rule disallowing the metadata sub-path must block discovery even
+    though the parent '/api/views' is allowed — the gate checks the URL
+    actually fetched, not a shorter prefix of it."""
+    server.cfg["robots"] = "User-agent: *\nDisallow: /api/views/metadata\n"
+    tr = _transport(server)
+    items = discover_nyc(
+        tr, limiter=_FAST(), robots=RobotsCache(fetcher=tr.text)
+    )
+    assert items == []
+    assert [r["path"] for r in server.requests] == ["/robots.txt"]
+
+
+def test_point_fetch_is_robots_gated(server):
+    server.cfg["robots"] = "User-agent: *\nDisallow: /api/views/abcd-003.json\n"
+    tr = _transport(server)
+    robots = RobotsCache(fetcher=tr.text)
+    assert (
+        fetch_dataset_nyc(tr, "abcd-003", limiter=_FAST(), robots=robots)
+        is None
+    )
+    assert [r["path"] for r in server.requests] == ["/robots.txt"]
+    # a different, allowed dataset still fetches through the same cache
+    item = fetch_dataset_nyc(tr, "abcd-001", limiter=_FAST(), robots=robots)
+    assert item is not None
