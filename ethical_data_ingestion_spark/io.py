@@ -154,3 +154,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """
     for name in FIXTURE_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-safe parquet scan: unions the footers of every
+    file under ``path`` (``mergeSchema``), so a spool whose later batches
+    added columns reads as one table — old files surface the new columns
+    as NULL, and a column's type widening fails loudly instead of
+    silently coercing.
+
+    This is how the ingest spool stays readable across adapter versions
+    (the reference's row-dict mapping tolerates missing keys per row,
+    ``ethical_crawler.py:1010-1029``; the columnar equivalent is footer
+    merging at scan time). At 100 TB use it only on evolving ingest
+    prefixes — a stable curated table should pin its schema via
+    ``schema(...)`` and skip the footer sweep."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -57,3 +57,25 @@ def test_latest_audit_state(spark):
     state = {r.src: r.ok for r in latest.collect()}
     assert state == {"s1": True, "s2": True}
     assert latest.count() == 2
+
+
+def test_read_evolving_merges_added_columns(spark, tmp_path):
+    """A spool batch that gained a column reads as one table: old rows
+    NULL-fill the new column; projection of old columns is unaffected."""
+    from pyspark.sql import functions as F
+
+    from ethical_data_ingestion_spark.io import read_evolving
+
+    p = str(tmp_path / "spool")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+    df = read_evolving(spark, p)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+    # old-column projection still prunes to the narrow schema
+    assert df.select("id").count() == 3
