@@ -120,6 +120,7 @@ HEADLINE = [
     "lexical_diversity_stats",
     "corpus_funnel_stats",
     "dedup_exact_stats",
+    "ngram_span_overlap",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -133,6 +133,31 @@ def shingles(col: str | Column, k: int = 3) -> Column:
     )
 
 
+def shingles_with_pos(col: str | Column, k: int = 3) -> Column:
+    """Ordered word k-gram shingles WITH their 1-based token position:
+    ``array<struct<pos:int, s:string>>`` — the input for span-level
+    (substring) duplication detection, where WHERE a shingle sits matters
+    as much as whether it occurs.
+
+    Same zip-of-k-fixed-slices construction as :func:`shingles` (measured
+    ~8× faster than the per-index ``transform``+``slice`` form), but keeps
+    order and duplicates and attaches the index: a run of consecutive
+    positions matching another document on a constant diagonal is a shared
+    token span."""
+    toks = tokens(normalize_text(col))
+    n = F.size(toks)
+    length = F.greatest(n - (k - 1), F.lit(1))
+    parts = [F.slice(toks, i + 1, length) for i in range(k)]
+    zipped = F.arrays_zip(*parts)
+    return F.transform(
+        zipped,
+        lambda s, i: F.struct(
+            (i + 1).cast("int").alias("pos"),
+            F.concat_ws(" ", *[s.getField(str(j)) for j in range(k)]).alias("s"),
+        ),
+    )
+
+
 #: PII patterns, applied in order. Deliberately conservative/high-precision
 #: shapes (a training-data pipeline prefers false negatives it can catch
 #: with a second model-based pass over mangling ordinary numbers): emails,

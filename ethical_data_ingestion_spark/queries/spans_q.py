@@ -1,0 +1,144 @@
+"""Span-level (substring) duplication detection (round 4 widening).
+
+``ngram_span_overlap`` — the span-level complement of the set-level
+near-dup family (``dedup_q``): instead of asking "do two documents share
+MANY shingles" (Jaccard/MinHash/SimHash), it asks "do they share a LONG
+CONSECUTIVE run of tokens" — the signal behind substring-level training-
+data deduplication (Lee et al., "Deduplicating Training Data Makes
+Language Models Better", ACL 2022, which dedupes on 50-token exact spans).
+A pair can have low Jaccard yet contain a verbatim 100-token quote; this
+operator finds exactly those.
+
+Method (exact, fully relational — a distributed seed-and-chain):
+
+1. k-gram shingles WITH token positions (``text.shingles_with_pos``).
+2. Drop shingles with more than ``_OCC_CAP`` total occurrences — the
+   self-join cost bound (Σ occ² ≤ cap·Σ occ = cap·corpus-tokens). Rare
+   shingles are precisely the informative ones for span evidence; a
+   span's interior match on a common shingle may split an island in two,
+   never create a false one, so the cap is conservative (span lengths are
+   a lower bound). Mirrored identically in the oracle.
+3. Self-join on the shingle → match points (doc_a, doc_b, pa, pb) with
+   ``doc_a < doc_b``; a shared span of L tokens is L−k+1 match points on
+   one DIAGONAL (pa − pb constant) at consecutive pa.
+4. Gaps-and-islands per (pair, diagonal): island id = pa − row_number()
+   ordered by pa; island of c points = shared span of c+k−1 tokens.
+5. Roll up per pair (longest span, span count, total span tokens), top-25
+   under a deterministic total order.
+
+Reference basis: the reference's dedup surface is content-hash only
+(``ethical_crawler.py`` stores raw JSON keyed by dataset id); this is part
+of the north-star LLM-pipeline extension surface (SURVEY §2 #45).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..materialize import materialize
+from ..operators.text import shingles_with_pos
+from ..registry import register
+
+_SPAN_K = 3  # shingle width; detected spans are ≥ k tokens
+_OCC_CAP = 24  # max total occurrences for a shingle to seed matches
+_TOPN = 25
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "ngram_span_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, i AS pos, array_to_string(t[i:i+{_SPAN_K - 1}], ' ') AS s
+      FROM toks, unnest(range(1, greatest(len(t) - {_SPAN_K - 1}, 1) + 1)) AS u(i)
+    ),
+    occ AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_OCC_CAP}),
+    rare AS (SELECT sh.doc_id, sh.pos, sh.s FROM sh JOIN occ USING (s)),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos - b.pos AS diag, a.pos AS pa
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl_id
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, diag, isl_id,
+             COUNT(*) + {_SPAN_K - 1} AS span_tokens
+      FROM isl GROUP BY doc_a, doc_b, diag, isl_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             MAX(span_tokens) AS max_span_tokens,
+             COUNT(*) AS n_spans,
+             CAST(SUM(span_tokens) AS BIGINT) AS total_span_tokens
+      FROM spans GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, max_span_tokens, n_spans, total_span_tokens
+    FROM pairs
+    ORDER BY max_span_tokens DESC, doc_a, doc_b
+    LIMIT {_TOPN}
+    """,
+)
+def ngram_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{25} document pairs by longest shared consecutive token span.
+
+    Shape at 100 TB: the occurrence filter reuses the explode's hash
+    partitioning on the shingle (groupBy s → join on s, one exchange
+    serves both), and the match self-join joins on the SAME key again —
+    no all-pairs stage anywhere; candidate volume is bounded by
+    cap · corpus-token-count by construction. Downstream the pair-keyed
+    stages (distinct → window → two groupBys) all share prefix-compatible
+    keys, so Catalyst inserts one pair-keyed exchange and reuses it. The
+    final top-25 is TakeOrderedAndProject (no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Pin the positional-shingle explode: it feeds the occurrence filter
+    # AND both sides of the self-join, and Catalyst does not share common
+    # subtrees across joins — unpinned, the parse+explode runs 3×.
+    sh = materialize(
+        docs.select(
+            "doc_id", F.explode(shingles_with_pos("text", _SPAN_K)).alias("ps")
+        ).select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.s").alias("s"))
+    )
+    rare_keys = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= _OCC_CAP)
+        .select("s")
+    )
+    rare = sh.join(rare_keys, "s")
+    a = rare.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "s"
+    )
+    b = rare.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "s"
+    )
+    # No distinct needed: (doc, pos) rows are unique, so a joined (pa, pb)
+    # pair — and with it (diag, pa) — can never repeat within a doc pair.
+    m = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("diag"), "pa")
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = m.withColumn("isl_id", F.col("pa") - F.row_number().over(w))
+    spans = isl.groupBy("doc_a", "doc_b", "diag", "isl_id").agg(
+        (F.count(F.lit(1)) + F.lit(_SPAN_K - 1)).alias("span_tokens")
+    )
+    pairs = spans.groupBy("doc_a", "doc_b").agg(
+        F.max("span_tokens").alias("max_span_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("total_span_tokens"),
+    )
+    return pairs.orderBy(
+        F.desc("max_span_tokens"), "doc_a", "doc_b"
+    ).limit(_TOPN)

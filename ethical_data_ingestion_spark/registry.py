@@ -59,6 +59,7 @@ def _load_everything() -> None:
         similarity_q,
         timeseries_q,
         skew_q,
+        spans_q,
         streaming_q,
         strings_q,
         text_q,
