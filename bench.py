@@ -121,6 +121,7 @@ HEADLINE = [
     "corpus_funnel_stats",
     "dedup_exact_stats",
     "ngram_span_overlap",
+    "bloom_decontam_stats",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..materialize import materialize
 from ..operators.text import shingles
 from ..registry import register
 
@@ -341,4 +342,196 @@ def embedding_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_label_share"),
         )
         .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the constant-size scale path for benchmark
+# membership. `benchmark_decontam_stats` broadcasts the benchmark's full
+# n-gram SET, which at a 100-TB design point can be gigabytes; a Bloom
+# filter over the same set is a fixed few-KB bitmap regardless of benchmark
+# size, at the price of a bounded false-positive rate (and ZERO false
+# negatives — the property that makes it safe for decontamination: nothing
+# contaminated slips through; FPs only cost a little extra dropped data).
+# Both engines build the IDENTICAL filter from first principles (k seeded
+# md5 positions + bit_or word bitmap), so the panel — including the exact
+# FP counts — is deterministic and hash-checked, not a statistical claim.
+
+_BLOOM_M = 131040  # bits; 63 * 2080 — 63-bit words sidestep signed 1<<63
+_BLOOM_K = 5       # hash functions (seeded md5)
+_BLOOM_WORD = 63
+
+
+def _bloom_pos(s_col: F.Column, i_col: F.Column) -> F.Column:
+    """Bit position of hash seed i for shingle s: first 60 bits of
+    md5(s + '#' + i) mod m. Bit-identical in DuckDB as
+    ``('0x' || substring(md5(s||'#'||i), 1, 15))::BIGINT % m``."""
+    h = F.md5(F.concat(s_col, F.lit("#"), i_col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _BLOOM_M
+
+
+@register(
+    "bloom_decontam_stats",
+    oracle=f"""
+    WITH sh AS ({{shingles}}),
+    shx AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+    bench AS (SELECT DISTINCT s FROM shx WHERE source = '{_BENCH_SOURCE}'),
+    corpus AS (SELECT doc_id, source, s FROM shx WHERE source <> '{_BENCH_SOURCE}'),
+    seeds AS (SELECT unnest(range(1, {_BLOOM_K} + 1)) AS i),
+    build AS (
+      SELECT (('0x' || substring(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+              % {_BLOOM_M}) AS pos
+      FROM bench, seeds
+    ),
+    bitmap AS (
+      SELECT pos // {_BLOOM_WORD} AS w,
+             bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INTEGER)) AS bits
+      FROM build GROUP BY 1
+    ),
+    ps AS (SELECT DISTINCT s FROM corpus),
+    pr AS (
+      SELECT s, (('0x' || substring(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+              % {_BLOOM_M}) AS pos
+      FROM ps, seeds
+    ),
+    shhit AS (
+      SELECT pr.s,
+             MIN(COALESCE((bitmap.bits >> CAST(pr.pos % {_BLOOM_WORD} AS INTEGER)) & 1, 0))
+               AS bloom_hit
+      FROM pr LEFT JOIN bitmap ON bitmap.w = pr.pos // {_BLOOM_WORD}
+      GROUP BY pr.s
+    ),
+    shclass AS (
+      SELECT shhit.s, shhit.bloom_hit,
+             CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END AS exact
+      FROM shhit LEFT JOIN bench ON shhit.s = bench.s
+    ),
+    srcsh AS (SELECT DISTINCT source, s FROM corpus),
+    shstats AS (
+      SELECT source, COUNT(*) AS sh_probed,
+             CAST(SUM(bloom_hit) AS BIGINT) AS sh_bloom_hits,
+             CAST(SUM(CASE WHEN bloom_hit = 1 AND exact = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS sh_fps
+      FROM srcsh JOIN shclass USING (s) GROUP BY source
+    ),
+    docflag AS (
+      SELECT doc_id, source, MAX(bloom_hit) AS bloom_hit, MAX(exact) AS exact
+      FROM corpus JOIN shclass USING (s) GROUP BY doc_id, source
+    ),
+    docstats AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(exact) AS BIGINT) AS docs_exact,
+             CAST(SUM(bloom_hit) AS BIGINT) AS docs_bloom,
+             CAST(SUM(CASE WHEN bloom_hit = 1 AND exact = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS doc_fps,
+             CAST(SUM(CASE WHEN exact = 1 AND bloom_hit = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS doc_fns
+      FROM docflag GROUP BY source
+    )
+    SELECT source, n_docs, docs_exact, docs_bloom, doc_fps, doc_fns,
+           sh_probed, sh_bloom_hits, sh_fps
+    FROM docstats JOIN shstats USING (source)
+    ORDER BY source
+    """.replace("{shingles}", _sql_shingles(_DECON_K)),
+)
+def bloom_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a from-first-principles Bloom
+    filter, with its false-positive cost measured against exact truth.
+
+    Plan shape for 100 TB: the benchmark side collapses to a ~2080-row /
+    16 KB word bitmap (constant in benchmark size — the whole point vs the
+    exact-set broadcast in ``benchmark_decontam_stats``), BROADCAST to the
+    probe side; probing is one linear pass over distinct corpus shingles
+    with k=5 md5 evaluations each, then one shingle-keyed join back to the
+    (doc, shingle) pairs — which reuses the exchange the distinct already
+    paid. Zero false negatives is a structural guarantee of the filter and
+    is asserted by the hash-checked ``doc_fns`` column being 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Pin the 8-gram explode: it feeds five branches (bench set, bitmap
+    # build, probe distinct, per-source shingle rollup, doc flags) and
+    # Catalyst re-evaluates unshared subtrees per branch.
+    sh = materialize(
+        docs.select(
+            "doc_id", "source", F.explode(shingles("text", _DECON_K)).alias("s")
+        )
+    )
+    bench = sh.filter(F.col("source") == _BENCH_SOURCE).select("s").distinct()
+    corpus = sh.filter(F.col("source") != _BENCH_SOURCE)
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(1, _BLOOM_K + 1)])
+    ).alias("i")
+    build = bench.select("s", seeds).select(
+        _bloom_pos(F.col("s"), F.col("i")).alias("pos")
+    )
+    # shiftleft/shiftright take a literal int in the DataFrame API; the
+    # column-shift forms go through F.expr.
+    bitmap = build.select(
+        F.expr(f"pos div {_BLOOM_WORD}").alias("w"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
+        ).alias("bitval"),
+    ).groupBy("w").agg(F.bit_or("bitval").alias("bits"))
+    ps = corpus.select("s").distinct()
+    pr = ps.select("s", seeds).select(
+        "s", _bloom_pos(F.col("s"), F.col("i")).alias("pos")
+    )
+    shhit = (
+        pr.join(
+            F.broadcast(bitmap),
+            F.expr(f"pos div {_BLOOM_WORD}") == F.col("w"),
+            "left",
+        )
+        .select(
+            "s",
+            F.coalesce(
+                F.expr(
+                    f"shiftright(bits, CAST(pos % {_BLOOM_WORD} AS INT))"
+                    " & CAST(1 AS BIGINT)"
+                ),
+                F.lit(0).cast("long"),
+            ).alias("h"),
+        )
+        .groupBy("s")
+        .agg(F.min("h").alias("bloom_hit"))
+    )
+    shclass = shhit.join(
+        bench.withColumn("_b", F.lit(1)), "s", "left"
+    ).select(
+        "s", "bloom_hit", F.coalesce(F.col("_b"), F.lit(0)).alias("exact")
+    )
+    srcsh = corpus.select("source", "s").distinct()
+    shstats = (
+        srcsh.join(shclass, "s")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("sh_probed"),
+            F.sum("bloom_hit").cast("long").alias("sh_bloom_hits"),
+            F.sum(
+                ((F.col("bloom_hit") == 1) & (F.col("exact") == 0)).cast("long")
+            ).cast("long").alias("sh_fps"),
+        )
+    )
+    docflag = (
+        corpus.join(shclass, "s")
+        .groupBy("doc_id", "source")
+        .agg(F.max("bloom_hit").alias("bloom_hit"), F.max("exact").alias("exact"))
+    )
+    docstats = docflag.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("exact").cast("long").alias("docs_exact"),
+        F.sum("bloom_hit").cast("long").alias("docs_bloom"),
+        F.sum(
+            ((F.col("bloom_hit") == 1) & (F.col("exact") == 0)).cast("long")
+        ).cast("long").alias("doc_fps"),
+        F.sum(
+            ((F.col("exact") == 1) & (F.col("bloom_hit") == 0)).cast("long")
+        ).cast("long").alias("doc_fns"),
+    )
+    return (
+        docstats.join(shstats, "source")
+        .select(
+            "source", "n_docs", "docs_exact", "docs_bloom", "doc_fps",
+            "doc_fns", "sh_probed", "sh_bloom_hits", "sh_fps",
+        )
+        .orderBy("source")
     )

@@ -40,3 +40,35 @@ def test_kmeans_partitions_points_and_is_deterministic(spark, sf_dir):
     # pure function of the data: a second full run reproduces every row
     out2 = QUERIES["embedding_kmeans_stats"](spark, sf_dir).collect()
     assert out1 == out2
+
+
+def test_bloom_decontam_no_false_negatives_and_bounded_fps(spark, sf_dir):
+    rows = QUERIES["bloom_decontam_stats"](spark, sf_dir).collect()
+    assert rows, "expected per-source rows"
+    for r in rows:
+        # zero false negatives is the Bloom filter's structural guarantee
+        assert r.doc_fns == 0
+        # bloom flags are exactly exact hits plus false positives
+        assert r.docs_bloom == r.docs_exact + r.doc_fps
+        assert r.sh_bloom_hits >= r.sh_fps
+        assert r.sh_probed >= r.sh_bloom_hits
+        # at the fixture load factor the FP rate stays small (m=131040,
+        # k=5, |bench| ~1.3k at sf0.001/0.01 -> expected well under 5%)
+        assert r.sh_fps <= 0.05 * r.sh_probed
+
+
+def test_bloom_decontam_flags_a_planted_contaminated_doc(spark, tmp_path):
+    shared = " ".join(f"w{i}" for i in range(12))  # spans an 8-gram
+    rows = [
+        (0, shared + " " + " ".join(f"b{i}" for i in range(8)), "en", "src0", 99),
+        (1, " ".join(f"c{i}" for i in range(8)) + " " + shared, "en", "src1", 99),
+        (2, " ".join(f"d{i}" for i in range(20)), "en", "src1", 99),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.source: r for r in QUERIES["bloom_decontam_stats"](spark, str(tmp_path)).collect()}
+    assert out["src1"].n_docs == 2
+    assert out["src1"].docs_exact == 1  # doc 1 shares the span, doc 2 clean
+    assert out["src1"].docs_bloom >= 1
+    assert out["src1"].doc_fns == 0
