@@ -115,6 +115,7 @@ HEADLINE = [
     "scd2_user_history_stats",
     "editdist_name_pairs",
     "heavy_hitters_cms",
+    "hll_union_cardinality",
     "k_anonymity_audit",
     "dp_noisy_release_calibration",
     "lexical_diversity_stats",

@@ -90,3 +90,30 @@ def test_cms_never_undercounts(spark, sf_dir):
         assert r.overcount == r.cms_est - r.freq
     # w=16 < |vocab| forces at least one collision at fixture scale
     assert any(r.overcount > 0 for r in rows)
+
+
+def test_hll_union_cardinality_merges_not_adds(spark, sf_dir):
+    rows = {r.grp: r for r in QUERIES["hll_union_cardinality"](spark, sf_dir).collect()}
+    union = rows.pop("__union__")
+    # groups overlap on l_orderkey: union is a real set-union, far below
+    # the arithmetic sum of per-group distincts
+    assert union.n_orders_exact < sum(r.n_orders_exact for r in rows.values())
+    assert union.n_rows == sum(r.n_rows for r in rows.values())
+    for r in list(rows.values()) + [union]:
+        assert r.hll_within_5pct
+
+
+def test_hll_estimate_mode_stays_in_bounds_at_high_cardinality(spark):
+    import pyspark.sql.functions as F
+
+    # 200k distincts forces the sketch out of sparse mode into real
+    # estimation; 5% (~3 sigma at lgK=12) must still hold
+    est, exact = (
+        spark.range(200_000)
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("id")).alias("est"),
+            F.countDistinct("id").alias("exact"),
+        )
+        .collect()[0]
+    )
+    assert abs(est - exact) <= 0.05 * exact
