@@ -136,6 +136,7 @@ HEADLINE = [
     "embedding_quantization_stats",
     "product_quantization_stats",
     "embedding_kmeans_stats",
+    "semantic_dedup_stats",
     "sequence_packing_stats",
     "corpus_mixing_stats",
     "multimodal_meta_stats",

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..materialize import materialize
+from ..materialize import materialize, shared
 from ..operators.text import shingles
 from ..registry import register
 
@@ -207,56 +207,13 @@ def _sql_kmeans_cte() -> str:
 """
 
 
-@register(
-    "embedding_kmeans_stats",
-    oracle=f"""
-    WITH {_sql_kmeans_cte()},
-    per AS (
-      SELECT cid, label, COUNT(*) AS n
-      FROM a2 GROUP BY cid, label
-    ),
-    top AS (
-      SELECT cid, label AS top_label, n AS top_n
-      FROM (SELECT *, row_number() OVER (
-              PARTITION BY cid ORDER BY n DESC, label) AS rn FROM per)
-      WHERE rn = 1
-    )
-    SELECT a2.cid AS cluster_id,
-           COUNT(*) AS n_points,
-           CAST(SUM(a2.dist_q) AS BIGINT) AS inertia_q,
-           ANY_VALUE(top.top_label) AS top_label,
-           ROUND(ANY_VALUE(top.top_n) / COUNT(*)::DOUBLE, 6) AS top_label_share
-    FROM a2 JOIN top ON a2.cid = top.cid
-    GROUP BY a2.cid
-    ORDER BY cluster_id
-    """,
-)
-def embedding_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means (k=8, 2 Lloyd iterations, deterministic seeding) over the
-    embeddings table: per cluster — size, fixed-point inertia, and purity
-    against the fixture's ground-truth ``label``.
-
-    Spark-first shape: assignment is a broadcast of the k tiny centroids
-    against the corpus (O(n·k) rows, the canonical distributed k-means
-    join), argmin via one ``min(struct(dist, cid))``-style window, update
-    via posexplode → map-side-combined per-(cluster, dim) sums; the ONLY
-    driver traffic is the k×64 centroid model state per iteration (the
-    documented scalar-stat pattern). At 100 TB this is exactly Lloyd's on
-    a cluster; more iterations are the same job repeated.
-
-    Engine-exactness (what makes an iterative algorithm hash-comparable
-    at all): components quantize to fixed-point longs (``round(x·10⁶)``
-    — double math on both sides, float32→double being exact) and
-    CENTROIDS STAY INTEGER-VALUED — seeds are quantized vectors, updated
-    centroids are ``floor(sum/count)`` (one IEEE division + floor,
-    bit-identical in both engines, off by <1 quantum ≈ 1e-6 from the true
-    mean). Every distance is therefore an exact 64-bit integer: no float
-    accumulation exists anywhere in the pipeline, so summation order —
-    Spark's fold vs DuckDB's list_sum, partition order in the inertia
-    aggregate — cannot matter. Argmin ties break on cluster id. Seeds =
-    the k smallest ``md5(vec_id)`` (vec_id tie-break), so the run is a
-    pure function of the data."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _kmeans_assignments(emb: DataFrame) -> DataFrame:
+    """The deterministic k-means pipeline shared by ``embedding_kmeans_stats``
+    and ``semantic_dedup_stats``: quantize → seed by smallest md5(vec_id) →
+    2 Lloyd iterations (broadcast-assign, integer-centroid update). Returns
+    the final assignment ``(vec_id, label, qv, cid, dist, dist_q)``. See
+    ``embedding_kmeans_stats`` for the engine-exactness argument; the SQL
+    twin is ``_sql_kmeans_cte()``."""
     q = emb.select(
         "vec_id",
         "label",
@@ -316,7 +273,73 @@ def embedding_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda st: st.getField("m"),
         ).alias("cv")
     )
-    a2 = assign(q.select("vec_id", "label", "qv"), c1).withColumn("dist_q", F.col("dist"))
+    return assign(q.select("vec_id", "label", "qv"), c1).withColumn(
+        "dist_q", F.col("dist")
+    )
+
+
+def _kmeans_a2_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared pinned k-means assignment table: the model artifact
+    a real pipeline computes once and every embedding-space consumer
+    (cluster stats, semantic dedup) reads — same reuse pattern as the
+    dedup family's shingle-set table."""
+    return shared(
+        ("kmeans_a2", sf_dir, _KM_K),
+        spark,
+        lambda: _kmeans_assignments(load_table(spark, sf_dir, "embeddings")),
+    )
+
+
+@register(
+    "embedding_kmeans_stats",
+    oracle=f"""
+    WITH {_sql_kmeans_cte()},
+    per AS (
+      SELECT cid, label, COUNT(*) AS n
+      FROM a2 GROUP BY cid, label
+    ),
+    top AS (
+      SELECT cid, label AS top_label, n AS top_n
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY cid ORDER BY n DESC, label) AS rn FROM per)
+      WHERE rn = 1
+    )
+    SELECT a2.cid AS cluster_id,
+           COUNT(*) AS n_points,
+           CAST(SUM(a2.dist_q) AS BIGINT) AS inertia_q,
+           ANY_VALUE(top.top_label) AS top_label,
+           ROUND(ANY_VALUE(top.top_n) / COUNT(*)::DOUBLE, 6) AS top_label_share
+    FROM a2 JOIN top ON a2.cid = top.cid
+    GROUP BY a2.cid
+    ORDER BY cluster_id
+    """,
+)
+def embedding_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8, 2 Lloyd iterations, deterministic seeding) over the
+    embeddings table: per cluster — size, fixed-point inertia, and purity
+    against the fixture's ground-truth ``label``.
+
+    Spark-first shape: assignment is a broadcast of the k tiny centroids
+    against the corpus (O(n·k) rows, the canonical distributed k-means
+    join), argmin via one ``min(struct(dist, cid))``-style window, update
+    via posexplode → map-side-combined per-(cluster, dim) sums; the ONLY
+    driver traffic is the k×64 centroid model state per iteration (the
+    documented scalar-stat pattern). At 100 TB this is exactly Lloyd's on
+    a cluster; more iterations are the same job repeated.
+
+    Engine-exactness (what makes an iterative algorithm hash-comparable
+    at all): components quantize to fixed-point longs (``round(x·10⁶)``
+    — double math on both sides, float32→double being exact) and
+    CENTROIDS STAY INTEGER-VALUED — seeds are quantized vectors, updated
+    centroids are ``floor(sum/count)`` (one IEEE division + floor,
+    bit-identical in both engines, off by <1 quantum ≈ 1e-6 from the true
+    mean). Every distance is therefore an exact 64-bit integer: no float
+    accumulation exists anywhere in the pipeline, so summation order —
+    Spark's fold vs DuckDB's list_sum, partition order in the inertia
+    aggregate — cannot matter. Argmin ties break on cluster id. Seeds =
+    the k smallest ``md5(vec_id)`` (vec_id tie-break), so the run is a
+    pure function of the data."""
+    a2 = _kmeans_a2_shared(spark, sf_dir)
 
     per = a2.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("n"))
     wtop = Window.partitionBy("cid").orderBy(F.desc("n"), "label")
@@ -534,4 +557,125 @@ def bloom_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_fns", "sh_probed", "sh_bloom_hits", "sh_fps",
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+# space, then look for near-duplicates ONLY within clusters — the pruning
+# that turns the quadratic cosine-pair problem into k independent
+# quadratic-in-(n/k) problems (a k× cost cut for balanced clusters, and
+# embarrassingly parallel across clusters). The blocked-GEMM
+# `embedding_neardup_pairs` is the exact global answer; this is the
+# scale-path screen that trades bounded recall (cross-cluster pairs are
+# unseen) for a k× smaller candidate space.
+
+_SEM_TAU = 0.45  # same threshold as embedding_neardup_pairs
+
+
+@register(
+    "semantic_dedup_stats",
+    oracle=f"""
+    WITH {{kmeans}},
+    av AS (
+      SELECT a2.vec_id, a2.cid, q.qv,
+             list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])) AS nq
+      FROM a2 JOIN q USING (vec_id)
+    ),
+    p AS (
+      SELECT a.cid, b.vec_id AS vb,
+             round(CAST(list_sum(list_transform(range(1, 65),
+                     i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+                   / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))),
+                   6) AS cos
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    stats AS (
+      SELECT cid,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN cos >= {_SEM_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_pairs,
+             COUNT(DISTINCT CASE WHEN cos >= {_SEM_TAU} THEN vb END) AS n_drop
+      FROM p GROUP BY cid
+    ),
+    sz AS (SELECT cid, COUNT(*) AS n_points FROM a2 GROUP BY cid)
+    SELECT sz.cid AS cluster_id, sz.n_points,
+           COALESCE(stats.n_pairs, 0) AS n_pairs,
+           COALESCE(stats.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(stats.n_drop, 0) AS n_drop
+    FROM sz LEFT JOIN stats ON sz.cid = stats.cid
+    ORDER BY cluster_id
+    """.replace("{kmeans}", _sql_kmeans_cte()),
+)
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup panel: per k-means cluster — points, within-cluster pairs
+    actually scored, pairs above the cosine threshold, and the documents a
+    keep-lowest-id policy would drop.
+
+    Plan shape at 100 TB: the k-means assignment is the session-shared
+    pinned artifact from ``_kmeans_a2_shared`` (broadcast centroids, no
+    data-sized driver traffic) — computed once per session and reused by
+    ``embedding_kmeans_stats``; unpinned, the whole 2-iteration Lloyd's
+    pipeline would replay for every consumer branch. The pair stage is an equi-join ON THE CLUSTER ID — a hash
+    shuffle that co-locates each cluster, never an all-pairs cross join —
+    with per-vector squared norms computed once before the join so each
+    candidate pair costs one 64-dim integer dot product. Cosine arithmetic
+    is exact: integer dots (quantized components), one double division,
+    round to 6 — bit-identical in DuckDB, so even the FP-ish screen is
+    hash-checked."""
+    a2 = (
+        _kmeans_a2_shared(spark, sf_dir).select("vec_id", "cid", "qv").withColumn(
+            "nq",
+            F.aggregate(
+                F.transform("qv", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    a = a2.select(
+        F.col("vec_id").alias("va"), "cid",
+        F.col("qv").alias("qa"), F.col("nq").alias("na"),
+    )
+    b = a2.select(
+        F.col("vec_id").alias("vb"), "cid",
+        F.col("qv").alias("qb"), F.col("nq").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "cid",
+            "vb",
+            F.round(
+                F.aggregate(
+                    F.zip_with("qa", "qb", lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    dup = F.col("cos") >= _SEM_TAU
+    stats = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(dup.cast("long")).cast("long").alias("n_dup_pairs"),
+        F.countDistinct(F.when(dup, F.col("vb"))).alias("n_drop"),
+    )
+    sz = a2.groupBy("cid").agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        sz.join(stats, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_points",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_drop", F.lit(0)).alias("n_drop"),
+        )
+        .orderBy("cluster_id")
     )

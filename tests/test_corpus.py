@@ -72,3 +72,18 @@ def test_bloom_decontam_flags_a_planted_contaminated_doc(spark, tmp_path):
     assert out["src1"].docs_exact == 1  # doc 1 shares the span, doc 2 clean
     assert out["src1"].docs_bloom >= 1
     assert out["src1"].doc_fns == 0
+
+
+def test_semantic_dedup_is_a_subset_screen_of_global_neardup(spark, sf_dir):
+    rows = QUERIES["semantic_dedup_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every within-cluster pair was scored: exactly C(n_points, 2)
+        assert r.n_pairs == r.n_points * (r.n_points - 1) // 2
+        assert 0 <= r.n_dup_pairs <= r.n_pairs
+        # keep-lowest-id: can't drop more docs than dup pairs implicate
+        assert 0 <= r.n_drop <= r.n_dup_pairs
+    # cluster pruning can only MISS cross-cluster pairs, never invent:
+    # within-cluster dup total <= the exact global (blocked-GEMM) count
+    n_global = QUERIES["embedding_neardup_pairs"](spark, sf_dir).count()
+    assert sum(r.n_dup_pairs for r in rows) <= n_global
