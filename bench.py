@@ -111,6 +111,7 @@ HEADLINE = [
     "chunk_dedup_stats",
     "unigram_kl_quality",
     "source_topp_curation",
+    "dsir_selection_stats",
     "event_transition_matrix",
     "scd2_user_history_stats",
     "editdist_name_pairs",

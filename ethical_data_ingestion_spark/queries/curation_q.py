@@ -350,3 +350,144 @@ def scd2_user_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance-weighted data selection (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): score every
+# document by the log-likelihood ratio of a TARGET domain model over the
+# RAW corpus model, both estimated on hashed unigram features, and select
+# the documents the target model prefers. The deterministic selection rule
+# here is weight > 0 ("more target-like than corpus-like") — DSIR's
+# Gumbel-noise resampling replaced by its noise-free decision boundary so
+# the whole panel stays a pure function of the data.
+
+_DSIR_B = 1024  # hashed feature buckets
+#: target domain: English documents (the "quality domain" stand-in; in
+#: production this is the trusted corpus you want more of).
+_DSIR_TARGET = "lang = 'en'"
+
+
+@register(
+    "dsir_selection_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             (('0x' || substring(md5(unnest(string_split(text, ' '))), 1, 4))::BIGINT
+              % {_DSIR_B}) AS b
+      FROM documents
+    ),
+    tgt AS (
+      SELECT (('0x' || substring(md5(unnest(string_split(text, ' '))), 1, 4))::BIGINT
+              % {_DSIR_B}) AS b
+      FROM documents WHERE {_DSIR_TARGET}
+    ),
+    ct AS (SELECT b, COUNT(*) AS n FROM tgt GROUP BY b),
+    cr AS (SELECT b, COUNT(*) AS n FROM toks GROUP BY b),
+    tots AS (
+      SELECT (SELECT COUNT(*) FROM tgt) AS tt,
+             (SELECT COUNT(*) FROM toks) AS tr
+    ),
+    ratio AS (
+      SELECT cr.b,
+             CAST(ROUND(
+               ln( ((COALESCE(ct.n, 0) + 1)::DOUBLE / (tots.tt + {_DSIR_B})::DOUBLE)
+                 / ((cr.n + 1)::DOUBLE / (tots.tr + {_DSIR_B})::DOUBLE) ),
+               8) AS DECIMAL(18,8)) AS c
+      FROM cr LEFT JOIN ct ON cr.b = ct.b, tots
+    ),
+    w AS (
+      SELECT doc_id, source,
+             ROUND(CAST(SUM(c) AS DOUBLE), 6) AS w
+      FROM toks JOIN ratio USING (b)
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           ROUND(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_w,
+           MIN(w) AS min_w,
+           MAX(w) AS max_w
+    FROM w
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dsir_selection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights per document — hashed-unigram (B=1024)
+    log-ratio of an add-1-smoothed target-domain model over the raw corpus
+    model — rolled up per source with the weight>0 selection count.
+
+    Shape at 100 TB: both feature models are B-bucket count vectors —
+    BOUNDED state (≤1024 rows each) no matter the corpus size, built by
+    one map-side-combined aggregate apiece; the per-token scoring join is
+    against the tiny ratio table (broadcast), so the corpus is touched in
+    exactly two linear passes (model build, scoring) with no shuffle wider
+    than B rows plus the per-doc weight agg. That bounded-feature-space
+    property is DSIR's whole point vs full-vocabulary likelihood ratios.
+    Per-token log contributions round→DECIMAL before summing (the
+    unigram_kl float discipline), so weights are order-insensitive and the
+    panel is hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("long")
+        % _DSIR_B
+    ).alias("b")
+    toks = docs.select(
+        "doc_id", "source", "lang", F.explode(T.tokens("text")).alias("term")
+    ).select("doc_id", "source", "lang", bucket)
+    # the explode feeds the raw model, the target model, and the scoring
+    # pass — pin it once (corpus-scale subtree, three consumers)
+    toks = materialize(toks)
+    cr = toks.groupBy("b").agg(F.count(F.lit(1)).alias("nr"))
+    ct = (
+        toks.filter(F.expr(_DSIR_TARGET))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    tots = cr.agg(F.sum("nr").alias("tr")).crossJoin(
+        ct.agg(F.sum("nt").alias("tt"))
+    )
+    ratio = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("nt"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tt") + _DSIR_B).cast("double")
+                    )
+                    / (
+                        (F.col("nr") + 1).cast("double")
+                        / (F.col("tr") + _DSIR_B).cast("double")
+                    )
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("c"),
+        )
+    )
+    w = (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("w"))
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("w") > 0).cast("long")).cast("long").alias("n_selected"),
+            F.round(
+                F.sum(F.col("w").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_w"),
+            F.min("w").alias("min_w"),
+            F.max("w").alias("max_w"),
+        )
+        .orderBy("source")
+    )

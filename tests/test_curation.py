@@ -117,3 +117,28 @@ def test_hll_estimate_mode_stays_in_bounds_at_high_cardinality(spark):
         .collect()[0]
     )
     assert abs(est - exact) <= 0.05 * exact
+
+
+def test_dsir_selects_target_like_documents(spark, tmp_path):
+    # target (en) vocabulary is disjoint from the background vocabulary;
+    # a non-en doc written in target vocabulary must score positive
+    # (selected), one in background vocabulary negative.
+    # enough token mass that the +1-per-bucket smoothing (B=1024) doesn't
+    # drown the count signal, as it would on a 30-token toy corpus
+    tgt_text = " ".join(f"t{i % 30}" for i in range(600))
+    bg_text = " ".join(f"g{i % 30}" for i in range(600))
+    rows = [
+        (0, tgt_text, "en", "srcA", 1),
+        (1, tgt_text, "en", "srcA", 1),
+        (2, tgt_text, "de", "srcB", 1),   # target-like impostor
+        (3, bg_text, "de", "srcB", 1),    # background-like
+        (4, bg_text, "fr", "srcC", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.source: r for r in QUERIES["dsir_selection_stats"](spark, str(tmp_path)).collect()}
+    assert out["srcA"].n_selected == 2          # target docs score high
+    assert out["srcB"].n_selected == 1          # only the impostor
+    assert out["srcC"].n_selected == 0
+    assert out["srcB"].max_w > 0 > out["srcB"].min_w
