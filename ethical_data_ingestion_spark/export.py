@@ -71,3 +71,50 @@ def attribution(df: DataFrame, source_col: str, where: str | None = None) -> Dat
     # sorted for deterministic display (the reference renders this footer
     # in arbitrary SQL order, ``ethical_crawler.py:1389-1399``)
     return out.select(source_col).distinct().orderBy(source_col)
+
+
+def compact(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 << 20,
+    shuffle: bool = False,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files.
+
+    The 100-TB housekeeping operator: streaming sinks and fine-grained
+    ingest (the reference appends row-at-a-time; our streaming audit sink
+    appends per micro-batch) accumulate thousands of KB-sized part-files,
+    and at scan time each costs a task launch, a footer read, and a
+    NameNode/liststore round trip — compaction restores scan efficiency
+    without changing content.
+
+    Sizing comes from the filesystem (Hadoop ``ContentSummary``, so the
+    same call works on file://, hdfs:// and s3a://), not from guesswork.
+    ``shuffle=False`` (default) uses ``coalesce`` — a pure merge, no
+    exchange, at the cost of output files tracking input-partition skew;
+    ``shuffle=True`` pays one round-robin exchange for evenly sized
+    output. Returns ``{"files_in", "bytes_in", "files_out"}``.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(jpath)
+    bytes_in = summary.getLength()
+    files_in = sum(
+        1
+        for st in fs.listStatus(jpath)
+        if st.isFile() and not st.getPath().getName().startswith("_")
+    )
+    n_out = max(1, -(-bytes_in // max(target_bytes, 1)))
+    df = spark.read.parquet(src)
+    out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(dst)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    files_out = sum(
+        1
+        for st in fs.listStatus(jdst)
+        if st.isFile() and not st.getPath().getName().startswith("_")
+    )
+    return {"files_in": files_in, "bytes_in": bytes_in, "files_out": files_out}

@@ -64,3 +64,37 @@ def test_attribution_footer(spark, sf_dir):
     out = E.attribution(docs, "source", where="n_chars > 200")
     srcs = [r.source for r in out.collect()]
     assert sorted(srcs) == srcs and len(set(srcs)) == len(srcs)
+
+
+def test_compact_merges_small_files_preserving_rows(spark, tmp_path):
+    from ethical_data_ingestion_spark.export import compact
+
+    src = f"{tmp_path}/frag"
+    dst = f"{tmp_path}/packed"
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(
+        64
+    ).write.parquet(src)
+    stats = compact(spark, src, dst, target_bytes=1 << 30)
+    assert stats["files_in"] == 64
+    assert stats["files_out"] == 1
+    out = spark.read.parquet(dst)
+    assert out.count() == 10_000
+    assert set(out.columns) == {"id", "v"}
+
+
+def test_compact_respects_target_size(spark, tmp_path):
+    from ethical_data_ingestion_spark.export import compact
+
+    src = f"{tmp_path}/frag2"
+    dst = f"{tmp_path}/packed2"
+    spark.range(50_000).repartition(32).write.parquet(src)
+    # pick a target that forces multiple output files
+    import os
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    stats = compact(spark, src, dst, target_bytes=total // 4 + 1, shuffle=True)
+    assert 2 <= stats["files_out"] <= 8
+    assert spark.read.parquet(dst).count() == 50_000
