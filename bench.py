@@ -126,6 +126,7 @@ HEADLINE = [
     "bloom_decontam_stats",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
+    "incremental_dedup_stats",
     "dedup_simhash",
     "neardup_clusters",
     "pagerank_trade_graph",

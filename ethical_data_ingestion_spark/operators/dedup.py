@@ -309,6 +309,50 @@ def minhash_band_candidates(
     )
 
 
+def minhash_band_candidates_cross(
+    sig_new: DataFrame, sig_index: DataFrame, id_col: str,
+    num_hashes: int, bands: int
+) -> DataFrame:
+    """Band-collision candidates BETWEEN two signature tables — the
+    delta-ingest shape: a new batch probes the existing corpus index
+    without any index-side self-join. Returns ``(id1, id2)`` with id1
+    from ``sig_new`` and id2 from ``sig_index``; the sides are disjoint
+    by construction so no id-ordering predicate is needed.
+
+    At 100 TB this is the whole point of keeping the band table as a
+    persistent artifact: ingesting a 0.1 % daily delta costs a band join
+    of |delta|·bands rows against the stored index bands — not a rebuild
+    of the corpus-wide self-join."""
+    rows = num_hashes // bands
+
+    def banded(sig: DataFrame) -> DataFrame:
+        band_cols = [
+            F.md5(
+                F.concat_ws(",", *[F.col(f"h{j * rows + r}") for r in range(rows)])
+            ).alias(f"b{j}")
+            for j in range(bands)
+        ]
+        return sig.select(F.col(id_col), *band_cols).select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(*[F.col(f"b{j}") for j in range(bands)])
+            ).alias("band_idx", "band_key"),
+        )
+
+    a, b = banded(sig_new).alias("a"), banded(sig_index).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .distinct()
+    )
+
+
 # --- SimHash ------------------------------------------------------------
 
 

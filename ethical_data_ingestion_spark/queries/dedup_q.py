@@ -10,8 +10,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..materialize import shared, shared_get, shared_publish
+from ..materialize import materialize, shared, shared_get, shared_publish
 from ..operators import dedup as D
+from ..operators import text as T
 from ..registry import register
 
 
@@ -260,4 +261,203 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.join(sizes, "cluster_id")
         .select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta-ingest) dedup: the production mode. A corpus index
+# already exists; a new batch arrives; the batch is deduped against the
+# index AND within itself WITHOUT re-running corpus-wide dedup. The
+# fixture split is deterministic (first 16 md5 bits of doc_id < 20% of
+# the bucket space → "new batch"), standing in for ingest time.
+
+_INC_SPLIT = 13107  # ceil(0.2 * 65536): ~20% of docs form the delta batch
+
+
+@register(
+    "incremental_dedup_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, md5({_NORM}) AS fp,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < {_INC_SPLIT} AS is_batch
+      FROM documents
+    ),
+    sh AS ({_SHINGLES}),
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS h1s,
+             list_transform(shingles,
+               s -> ('0x' || substring(md5(s), 9, 8))::BIGINT) AS h2s
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               i -> list_min(list_transform(range(1, len(h1s) + 1),
+                 x -> (h1s[x] + i * h2s[x]) % 4294967296))) AS sig
+      FROM hs
+    ),
+    bands AS (
+      SELECT doc_id, j AS band_idx,
+             md5(array_to_string(
+               list_transform(sig[j*4+1:j*4+4], v -> CAST(v AS VARCHAR)),
+               ',')) AS band_key
+      FROM sig, range(0, 4) r(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a
+      JOIN base ba ON ba.doc_id = a.doc_id AND ba.is_batch
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      JOIN base bb ON bb.doc_id = b.doc_id AND NOT bb.is_batch
+    ),
+    shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+    common AS (
+      SELECT c.id1, c.id2, COUNT(*) AS c
+      FROM cand c
+      JOIN shx a ON a.doc_id = c.id1
+      JOIN shx b ON b.doc_id = c.id2 AND a.s = b.s
+      GROUP BY c.id1, c.id2
+    ),
+    near AS (
+      SELECT DISTINCT cm.id1 AS doc_id
+      FROM common cm
+      JOIN sizes s1 ON cm.id1 = s1.doc_id
+      JOIN sizes s2 ON cm.id2 = s2.doc_id
+      WHERE ROUND(cm.c::DOUBLE / (s1.n + s2.n - cm.c), 4) >= 0.8
+    ),
+    exact_idx AS (
+      SELECT DISTINCT b.doc_id
+      FROM base b JOIN base i ON b.fp = i.fp
+      WHERE b.is_batch AND NOT i.is_batch
+    ),
+    internal AS (
+      SELECT DISTINCT b.doc_id
+      FROM base b JOIN base e ON b.fp = e.fp
+      WHERE b.is_batch AND e.is_batch AND e.doc_id < b.doc_id
+    ),
+    cls AS (
+      SELECT b.doc_id, b.source,
+             CASE WHEN x.doc_id IS NOT NULL THEN 'exact_idx'
+                  WHEN n.doc_id IS NOT NULL THEN 'near_idx'
+                  WHEN t.doc_id IS NOT NULL THEN 'internal'
+                  ELSE 'new' END AS c
+      FROM base b
+      LEFT JOIN exact_idx x ON b.doc_id = x.doc_id
+      LEFT JOIN near n ON b.doc_id = n.doc_id
+      LEFT JOIN internal t ON b.doc_id = t.doc_id
+      WHERE b.is_batch
+    )
+    SELECT source,
+           COUNT(*) AS n_batch,
+           CAST(SUM(CASE WHEN c = 'exact_idx' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_vs_index,
+           CAST(SUM(CASE WHEN c = 'near_idx' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_near_vs_index,
+           CAST(SUM(CASE WHEN c = 'internal' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_batch_internal,
+           CAST(SUM(CASE WHEN c = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new_unique
+    FROM cls
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-ingest dedup panel: classify each new-batch document as an
+    exact duplicate of the index (fingerprint match), a near-duplicate of
+    the index (cross MinHash-band candidates, exact-Jaccard-verified
+    ≥ 0.8), an intra-batch exact duplicate (an earlier batch doc has the
+    same fingerprint), or genuinely new — disjoint classes, precedence in
+    that order, summing to the batch size per source.
+
+    Shape at 100 TB: nothing here re-runs corpus-wide dedup. The index
+    side contributes its fingerprint table (equi-join) and its band table
+    (equi-join) — both persistent artifacts a production pipeline keeps
+    current — while every quadratic-ish step (band collision, Jaccard
+    verify) touches only DELTA-sized candidate sets
+    (``operators/dedup.minhash_band_candidates_cross``). The shingle-set
+    table is the session-shared pinned artifact (one corpus pass,
+    ``_doc_sets``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        < _INC_SPLIT
+    )
+    base = materialize(
+        docs.select(
+            "doc_id",
+            "source",
+            T.fingerprint("text").alias("fp"),
+            is_batch.alias("is_batch"),
+        )
+    )
+    sets = _doc_sets(spark, sf_dir)
+    sig = D._minhash_from_sets(sets, "doc_id", 16)
+    flags = base.select("doc_id", "is_batch")
+    sig_f = sig.join(flags, "doc_id")
+    cand = D.minhash_band_candidates_cross(
+        sig_f.filter("is_batch").drop("is_batch"),
+        sig_f.filter("NOT is_batch").drop("is_batch"),
+        "doc_id",
+        num_hashes=16,
+        bands=4,
+    )
+    near = (
+        D._verify_jaccard(cand, sets, "doc_id", 0.8)
+        .select(F.col("id1").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    batch = base.filter("is_batch")
+    index = base.filter("NOT is_batch")
+    exact_idx = (
+        batch.join(index.select("fp").distinct(), "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("_exact", F.lit(1))
+    )
+    e = batch.select(F.col("fp").alias("fp"), F.col("doc_id").alias("eid"))
+    internal = (
+        batch.join(e, "fp")
+        .filter(F.col("eid") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_int", F.lit(1))
+    )
+    cls = (
+        batch.join(exact_idx, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(internal, "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("_exact").isNotNull(), "exact_idx")
+            .when(F.col("_near").isNotNull(), "near_idx")
+            .when(F.col("_int").isNotNull(), "internal")
+            .otherwise("new")
+            .alias("c"),
+        )
+    )
+    return (
+        cls.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum((F.col("c") == "exact_idx").cast("long"))
+            .cast("long")
+            .alias("n_exact_vs_index"),
+            F.sum((F.col("c") == "near_idx").cast("long"))
+            .cast("long")
+            .alias("n_near_vs_index"),
+            F.sum((F.col("c") == "internal").cast("long"))
+            .cast("long")
+            .alias("n_batch_internal"),
+            F.sum((F.col("c") == "new").cast("long"))
+            .cast("long")
+            .alias("n_new_unique"),
+        )
+        .orderBy("source")
     )

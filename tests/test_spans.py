@@ -73,3 +73,47 @@ def test_shingles_with_pos_positions_are_one_based_and_ordered(spark):
         F.explode(shingles_with_pos("text", 3)).alias("ps")
     ).select("ps.pos", "ps.s").collect()
     assert [(r.pos, r.s) for r in row] == [(1, "a b c"), (2, "b c d")]
+
+
+def _md5_bucket(doc_id: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+
+
+def test_incremental_dedup_classifies_planted_batch(spark, tmp_path):
+    from ethical_data_ingestion_spark.queries.dedup_q import (
+        _INC_SPLIT,
+        incremental_dedup_stats,
+    )
+
+    batch_ids = [i for i in range(200) if _md5_bucket(i) < _INC_SPLIT]
+    index_ids = [i for i in range(200) if _md5_bucket(i) >= _INC_SPLIT]
+    assert len(batch_ids) >= 4 and len(index_ids) >= 2
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(("zzz" if i == 0 else f"w{i}") for i in range(40))
+    rows = [
+        # index: one doc with `base` text, one unrelated
+        (index_ids[0], base, "en", "srcI", 1),
+        (index_ids[1], " ".join(f"u{i}" for i in range(40)), "en", "srcI", 1),
+        # batch: exact dup of index, near dup of index, two identical
+        # batch-internal, one genuinely new
+        (batch_ids[0], base, "en", "srcB", 1),
+        (batch_ids[1], near, "en", "srcB", 1),
+        (batch_ids[2], " ".join(f"x{i}" for i in range(40)), "en", "srcB", 1),
+        (batch_ids[3], " ".join(f"x{i}" for i in range(40)), "en", "srcB", 1),
+        (batch_ids[4], " ".join(f"y{i}" for i in range(40)), "en", "srcB", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.source: r for r in incremental_dedup_stats(spark, str(tmp_path)).collect()}
+    b = out["srcB"]
+    assert b.n_batch == 5
+    assert b.n_exact_vs_index == 1
+    assert b.n_near_vs_index == 1
+    # the LOWER-id twin of the internal pair counts as new; the later one
+    # as internal (keep-first semantics)
+    assert b.n_batch_internal == 1
+    assert b.n_new_unique == 2
+    assert "srcI" not in out  # index-only source has no batch rows
