@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..materialize import materialize
 from ..operators import text as T
 from ..registry import register
 
@@ -250,10 +251,14 @@ def hll_union_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride along only to price the sketch — at the design point you keep the
     sketch column and drop the exact pass."""
     li = load_table(spark, sf_dir, "lineitem")
-    per = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("l_orderkey").alias("n_orders_exact"),
-        F.hll_sketch_agg("l_orderkey").alias("sk"),
+    # pin the 3-row per-group sketch table: the union row consumes it
+    # again for the merge, and unpinned that re-runs the corpus agg
+    per = materialize(
+        li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders_exact"),
+            F.hll_sketch_agg("l_orderkey").alias("sk"),
+        )
     )
     ok = (
         F.abs(

@@ -227,3 +227,31 @@ def test_round4_queries_keep_their_scale_shapes(spark, sf_dir):
     # the k-anonymity plan must not contain the distinct-expand operator
     prof = plans.formatted_plan(_q(spark, sf_dir, "k_anonymity_audit"))
     assert "Expand" not in prof
+
+
+def test_session_new_queries_keep_their_scale_shapes(spark, sf_dir):
+    """Plan pins for the span/bloom/sketch/curation/incremental additions:
+    the properties that make each one survive 100x data."""
+    # span overlap: the final top-25 must stay TakeOrderedAndProject, and
+    # the match stage must be an equi-join (no cartesian anywhere)
+    df = _q(spark, sf_dir, "ngram_span_overlap")
+    assert plans.uses_take_ordered(df), "span top-k lost TakeOrderedAndProject"
+    assert "Cartesian" not in plans.formatted_plan(df)
+
+    # bloom decontam: the bitmap side must BROADCAST (constant-size filter
+    # is the whole point) — never a shuffle join against the probe stream
+    df = _q(spark, sf_dir, "bloom_decontam_stats")
+    assert plans.broadcast_join_count(df) >= 1
+
+    # DSIR: both bounded feature models join the corpus via broadcast
+    df = _q(spark, sf_dir, "dsir_selection_stats")
+    assert plans.broadcast_join_count(df) >= 2
+
+    # semantic dedup: the pair stage is an equi-join ON cid — a cartesian
+    # product here is the quadratic blowup the clustering exists to avoid
+    df = _q(spark, sf_dir, "semantic_dedup_stats")
+    assert "Cartesian" not in plans.formatted_plan(df)
+
+    # hll union: one scan, one agg exchange; sketches merge map-side
+    df = _q(spark, sf_dir, "hll_union_cardinality")
+    assert plans.shuffle_count(df) <= 4
