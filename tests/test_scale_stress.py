@@ -216,3 +216,17 @@ def test_fastss_neighborhood_size_is_quadratic_in_length_only(spark):
         assert r.n_var <= cap, (r.p_name, r.n_var, cap)
         # distinct characters -> no collisions, so the bound is tight
         assert r.n_var == cap
+
+
+def test_session_new_panels_on_empty_tables(spark, empty_sf_dir):
+    from ethical_data_ingestion_spark.registry import QUERIES
+
+    for name in (
+        "ngram_span_overlap",
+        "bloom_decontam_stats",
+        "dsir_selection_stats",
+        "semantic_dedup_stats",
+        "incremental_dedup_stats",
+    ):
+        rows = QUERIES[name](spark, empty_sf_dir).collect()
+        assert rows == [], f"{name} on empty input returned {rows[:3]}"
