@@ -146,6 +146,7 @@ HEADLINE = [
     "multimodal_byte_entropy",
     "streaming_tumbling_hourly",
     "streaming_dedup_keys",
+    "streaming_incremental_dedup",
     "streaming_sessions_stateful",
     "streaming_sessions_jvm",
     "continuous_rollup_daily",

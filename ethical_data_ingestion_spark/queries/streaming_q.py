@@ -430,3 +430,136 @@ def streaming_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the incremental delta-ingest dedup (dedup_q.
+# incremental_dedup_stats): the fingerprint index is MAINTAINED BY THE
+# STREAMING ENGINE — each micro-batch of newly ingested documents updates
+# a (fingerprint → occurrences, first doc) aggregate held in the state
+# store, exactly the continuously-updated dedup index a production ingest
+# keeps. Near-dup classification stays in the batch twin (MinHash banding
+# is not a streaming-state shape); this covers the exact tier.
+
+_DOC_SPOOL_CACHE: dict[tuple, str] = {}
+_DOCS_DDL = "doc_id bigint, source string, text string"
+
+
+def _doc_batch_stream(spark: SparkSession, sf_dir: str, mfpt: int | None) -> DataFrame:
+    from .dedup_q import _INC_SPLIT
+
+    key = (sf_dir,)
+    if key not in _DOC_SPOOL_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        is_batch = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+            ).cast("long")
+            < _INC_SPLIT
+        )
+        batch = docs.filter(is_batch).select("doc_id", "source", "text")
+        _DOC_SPOOL_CACHE[key] = P.spool(
+            batch, scratch_dir("eds_doc_stream_src_"), n_files=4, ts_col="doc_id"
+        )
+    return P.stream_from(
+        spark, _DOC_SPOOL_CACHE[key], schema_ddl=_DOCS_DDL,
+        max_files_per_trigger=mfpt,
+    )
+
+
+@register(
+    "streaming_incremental_dedup",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < 13107 AS is_batch
+      FROM documents
+    ),
+    perfp AS (
+      SELECT fp, COUNT(*) AS n_occ, MIN(doc_id) AS first_doc_id
+      FROM base WHERE is_batch GROUP BY fp
+    ),
+    idx AS (SELECT DISTINCT fp FROM base WHERE NOT is_batch),
+    keeper AS (
+      SELECT p.fp, p.n_occ, b.source, (i.fp IS NOT NULL) AS ex
+      FROM perfp p
+      JOIN base b ON b.doc_id = p.first_doc_id
+      LEFT JOIN idx i ON p.fp = i.fp
+    )
+    SELECT source,
+           COUNT(*) AS n_unique_fps,
+           CAST(SUM(n_occ - 1) AS BIGINT) AS n_dup_occurrences,
+           CAST(SUM(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_vs_index,
+           CAST(SUM(CASE WHEN ex THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_new_unique
+    FROM keeper
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous fingerprint-index maintenance: the 20% delta batch
+    streams in over 2 micro-batches and the engine's state store carries
+    the per-fingerprint (occurrences, first doc) aggregate across them;
+    the drained complete-mode table is then classified against the static
+    index fingerprints and rolled up per keeper source.
+
+    Every streamed output is survivor-INDEPENDENT (count + min doc id per
+    fingerprint), so the result is deterministic regardless of how rows
+    land in micro-batches — which is what makes a streaming op hash-
+    checkable at all. State is O(|delta fingerprints|), the index side
+    never streams, and at 100 TB/day this is the ingest-side dedup that
+    feeds the batch near-dup tier (``incremental_dedup_stats``)."""
+    from ..operators import text as T
+
+    with P.state_partitions(spark, 4):
+        stream = _doc_batch_stream(spark, sf_dir, mfpt=2)
+        agg = (
+            stream.select("doc_id", T.fingerprint("text").alias("fp"))
+            .groupBy("fp")
+            .agg(
+                F.count(F.lit(1)).alias("n_occ"),
+                F.min("doc_id").alias("first_doc_id"),
+            )
+        )
+        perfp = P.run_available_now(agg, output_mode="complete")
+
+    from .dedup_q import _INC_SPLIT
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        < _INC_SPLIT
+    )
+    keeper_src = docs.select(
+        F.col("doc_id").alias("first_doc_id"), "source"
+    )
+    idx = (
+        docs.filter(~is_batch)
+        .select(T.fingerprint("text").alias("fp"))
+        .distinct()
+        .withColumn("_ex", F.lit(1))
+    )
+    keeper = (
+        perfp.join(keeper_src, "first_doc_id")
+        .join(F.broadcast(idx), "fp", "left")
+    )
+    return (
+        keeper.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_fps"),
+            F.sum(F.col("n_occ") - 1).cast("long").alias("n_dup_occurrences"),
+            F.sum(F.col("_ex").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_exact_vs_index"),
+            F.sum(F.col("_ex").isNull().cast("long"))
+            .cast("long")
+            .alias("n_new_unique"),
+        )
+        .orderBy("source")
+    )
