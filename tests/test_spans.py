@@ -117,3 +117,26 @@ def test_incremental_dedup_classifies_planted_batch(spark, tmp_path):
     assert b.n_batch_internal == 1
     assert b.n_new_unique == 2
     assert "srcI" not in out  # index-only source has no batch rows
+
+
+def test_span_match_volume_respects_occurrence_cap_budget(spark, sf_dir):
+    """The occ-cap makes candidate volume provably linear: sum(occ^2) over
+    kept shingles <= cap * total kept occurrences. A regression that drops
+    the cap (or filters on doc-frequency instead of occurrences) breaks
+    the bound and reintroduces the quadratic blowup at 100 TB."""
+    from ethical_data_ingestion_spark.io import load_table
+    from ethical_data_ingestion_spark.operators.text import shingles_with_pos
+    from ethical_data_ingestion_spark.queries.spans_q import _OCC_CAP, _SPAN_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.explode(shingles_with_pos("text", _SPAN_K)).alias("ps")
+    ).select(F.col("ps.s").alias("s"))
+    occ = sh.groupBy("s").count().filter(F.col("count") <= _OCC_CAP)
+    row = occ.agg(
+        F.sum(F.col("count") * F.col("count")).alias("matches"),
+        F.sum("count").alias("kept"),
+    ).collect()[0]
+    # self-join volume (ordered pairs incl. self) is sum(occ^2); the cap
+    # bounds it by cap * kept occurrences
+    assert row.matches <= _OCC_CAP * row.kept
