@@ -104,6 +104,7 @@ HEADLINE = [
     "lang_id_confusion",
     "stratified_sample_stats",
     "weighted_sample_stats",
+    "sampled_revenue_estimate",
     "contamination_overlap",
     "benchmark_decontam_stats",
     "doc_length_histogram",

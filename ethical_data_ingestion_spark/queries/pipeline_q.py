@@ -476,3 +476,104 @@ def lexical_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing: answer an expensive aggregate from a
+# deterministic 1/64 sample and PRICE the estimator against ground truth.
+# Because the sample is hash-defined (md5 bucket, like every sampler in
+# this module), the estimate itself is a pure function of the data — both
+# engines compute the identical sample, estimate, and error, so even the
+# error column is hash-checked rather than asserted statistically.
+
+_AQP_BUCKETS = 1024  # of 65536: a 1/64 row sample
+
+
+@register(
+    "sampled_revenue_estimate",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT l_extendedprice * (1 - l_discount) AS rev,
+             ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                    CAST(l_linenumber AS VARCHAR)), 1, 4))::BIGINT
+               < {_AQP_BUCKETS} AS sampled
+      FROM lineitem
+    )
+    SELECT COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS revenue_exact,
+           ROUND(CAST(SUM(CASE WHEN sampled THEN CAST(rev AS DECIMAL(18,4))
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 * 65536.0 / {_AQP_BUCKETS}, 2) AS revenue_est,
+           ROUND(abs(CAST(SUM(CASE WHEN sampled THEN CAST(rev AS DECIMAL(18,4))
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     * 65536.0 / {_AQP_BUCKETS}
+                     - CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE))
+                 / CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS rel_err
+    FROM tagged
+    """,
+)
+def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based aggregate estimation (the AQP pattern): total revenue
+    from a 1/64 hash-sample, Horvitz-Thompson scaled, next to the exact
+    total and the realized relative error.
+
+    Shape at 100 TB: the sample predicate is a pure row-local hash — it
+    pushes into the scan's evaluated filter, reads every block but
+    aggregates 1/64 of the rows, and needs NO sample table, shuffle, or
+    coordination; the whole query is one map-side-combined pass producing
+    five scalars. Hash sampling (vs rand()) is what makes the estimate
+    reproducible across runs, engines, and partitionings — the property
+    the oracle hash-check exploits: the ERROR itself is deterministic.
+    Both sums accumulate in DECIMAL(18,4) — exact for a 2-decimal price
+    times a 2-decimal discount factor — so neither engine's fold order nor
+    rounding mode shows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # price has 2 decimals and discount 2, so the product has at most 4 —
+    # DECIMAL(18,4) is EXACT (no rounding step for engines to disagree on)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    sampled = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        < _AQP_BUCKETS
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = li.select(
+        rev.alias("rev"), sampled.alias("sampled")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("sampled").cast("long")).cast("long").alias("n_sampled"),
+        F.sum("rev").cast("double").alias("revenue_exact"),
+        (
+            F.sum(F.when(F.col("sampled"), F.col("rev")).otherwise(zero))
+            .cast("double")
+            * (65536.0 / _AQP_BUCKETS)
+        ).alias("_est_raw"),
+    )
+    return agg.select(
+        "n_total",
+        "n_sampled",
+        "revenue_exact",
+        F.round("_est_raw", 2).alias("revenue_est"),
+        F.round(
+            F.abs(F.col("_est_raw") - F.col("revenue_exact"))
+            / F.col("revenue_exact"),
+            4,
+        ).alias("rel_err"),
+    )

@@ -348,3 +348,17 @@ class TestStripHtml:
         # swallowing the rest of the document
         out = df.select(strip_html("html").alias("t")).collect()[0].t
         assert "keep" in out
+
+
+def test_sampled_estimate_error_shrinks_with_scale(spark):
+    """The 1/64 hash-sample estimator must land near truth at bench scale
+    (rel_err is deterministic, so this is a stable pin, not a flaky
+    statistical assertion)."""
+    from ethical_data_ingestion_spark.registry import QUERIES
+
+    row = QUERIES["sampled_revenue_estimate"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert row.n_total == 60_000
+    assert 0 < row.n_sampled < row.n_total
+    assert row.rel_err <= 0.10  # realized error at sf0.01 is ~3.5%
