@@ -145,6 +145,7 @@ HEADLINE = [
     "multimodal_meta_stats",
     "multimodal_frame_stats",
     "multimodal_byte_entropy",
+    "multimodal_neardup_simhash",
     "streaming_tumbling_hourly",
     "streaming_dedup_keys",
     "streaming_incremental_dedup",

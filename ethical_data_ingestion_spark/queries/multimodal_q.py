@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators import dedup as D
 from ..operators import multimodal as MM
 from ..operators.analytics import davg
 from ..registry import register
@@ -156,4 +157,88 @@ def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.groupBy("modality")
         .agg(F.count(F.lit(1)).alias("n_assets"), davg("e", "avg_entropy"))
         .orderBy("modality")
+    )
+
+
+@register(
+    "multimodal_neardup_simhash",
+    oracle=f"""
+    WITH assets AS ({_ASSETS_SQL}),
+    ch AS (
+      SELECT asset_id, modality,
+             list_distinct(list_transform(
+               range(1, CAST(ceil(length(hex(content)) / 32.0) AS BIGINT) + 1),
+               i -> substr(hex(content), (i - 1) * 32 + 1, 32))) AS chunks
+      FROM assets
+    ),
+    hs AS (
+      SELECT asset_id, modality,
+             list_transform(chunks,
+               t -> (('0x' || substr(md5(t), 1, 8))::UBIGINT)::BIGINT) AS hashes
+      FROM ch
+    ),
+    sig AS (
+      SELECT asset_id, modality,
+             CAST(list_sum(list_transform(range(0, 32),
+               b -> CASE WHEN list_sum(list_transform(hashes,
+                              h -> ((h >> b) & 1) * 2 - 1)) > 0
+                         THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+      FROM hs
+      WHERE len(hashes) > 0
+    )
+    SELECT a.asset_id AS id1, b.asset_id AS id2,
+           a.modality AS modality1, b.modality AS modality2,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.asset_id < b.asset_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ORDER BY id1, id2
+    """,
+)
+def multimodal_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level near-duplicate media detection: SimHash over distinct
+    16-byte content chunks (the content-defined stand-in for a perceptual
+    hash — the fixtures carry no real media, so chunk features play the
+    role pHash/chromaprint features play in production), Hamming ≤ 3,
+    candidates via the same lossless 8-bit pigeonhole blocking as the text
+    family.
+
+    This extends dedup from the text column to the BINARY columns: byte
+    chunks need no tokenizer, no normalization, and no decode, so the same
+    pipeline covers image/audio/video payloads uniformly. Shape at 100 TB:
+    hex+chunk is a linear scan, each chunk is hashed once, the 32 per-bit
+    sums combine map-side, and candidate volume is governed by block
+    collisions — never all-pairs (the brute-force oracle doubles as the
+    completeness proof for the blocking scheme)."""
+    assets = MM.as_assets(load_table(spark, sf_dir, "documents"))
+    chunks = assets.select(
+        "asset_id",
+        "modality",
+        F.expr(
+            "array_distinct(transform("
+            " sequence(0, CAST(ceil(length(hex(content)) / 32.0) AS INT) - 1),"
+            " i -> substring(hex(content), i * 32 + 1, 32)))"
+        ).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    pairs = D.simhash_pairs(
+        assets, "asset_id", "content", max_hamming=3, sets=chunks
+    )
+    mods = assets.select("asset_id", "modality")
+    return (
+        pairs.join(
+            mods.select(
+                F.col("asset_id").alias("id1"), F.col("modality").alias("modality1")
+            ),
+            "id1",
+        )
+        .join(
+            mods.select(
+                F.col("asset_id").alias("id2"), F.col("modality").alias("modality2")
+            ),
+            "id2",
+        )
+        .select(
+            "id1", "id2", "modality1", "modality2",
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("id1", "id2")
     )

@@ -227,6 +227,7 @@ def test_session_new_panels_on_empty_tables(spark, empty_sf_dir):
         "dsir_selection_stats",
         "semantic_dedup_stats",
         "incremental_dedup_stats",
+        "multimodal_neardup_simhash",
     ):
         rows = QUERIES[name](spark, empty_sf_dir).collect()
         assert rows == [], f"{name} on empty input returned {rows[:3]}"
