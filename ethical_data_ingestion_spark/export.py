@@ -100,21 +100,23 @@ def compact(
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(src)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    summary = fs.getContentSummary(jpath)
-    bytes_in = summary.getLength()
-    files_in = sum(
-        1
-        for st in fs.listStatus(jpath)
-        if st.isFile() and not st.getPath().getName().startswith("_")
-    )
+    bytes_in = fs.getContentSummary(jpath).getLength()
+
+    def _count_files(p) -> int:
+        # recursive, matching getContentSummary's recursive byte total —
+        # a hive-partitioned dir has its part-files in SUBdirectories,
+        # where a flat listStatus would count 0
+        it = fs.listFiles(p, True)
+        n = 0
+        while it.hasNext():
+            if not it.next().getPath().getName().startswith("_"):
+                n += 1
+        return n
+
+    files_in = _count_files(jpath)
     n_out = max(1, -(-bytes_in // max(target_bytes, 1)))
     df = spark.read.parquet(src)
     out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
     out.write.mode("overwrite").parquet(dst)
-    jdst = jvm.org.apache.hadoop.fs.Path(dst)
-    files_out = sum(
-        1
-        for st in fs.listStatus(jdst)
-        if st.isFile() and not st.getPath().getName().startswith("_")
-    )
+    files_out = _count_files(jvm.org.apache.hadoop.fs.Path(dst))
     return {"files_in": files_in, "bytes_in": bytes_in, "files_out": files_out}

@@ -277,12 +277,12 @@ def minhash_lsh_pairs(
     return _verify_jaccard(candidates, sets, id_col, threshold)
 
 
-def minhash_band_candidates(
-    sig: DataFrame, id_col: str, num_hashes: int, bands: int
-) -> DataFrame:
-    """Candidate pairs from LSH banding over a signature table (docs
-    sharing ANY band key collide) — exposed separately so stress tests
-    can measure band-collision volume against verified pairs."""
+def _banded(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band_idx, band_key) rows from a signature table — band j's key
+    is the md5 of its comma-joined signature rows. The single definition
+    both candidate generators (self-join and cross) share, so the band-key
+    hashing cannot silently diverge between them or from the oracle
+    fragment that mirrors it."""
     rows = num_hashes // bands
     band_cols = [
         F.md5(
@@ -290,12 +290,21 @@ def minhash_band_candidates(
         ).alias(f"b{j}")
         for j in range(bands)
     ]
-    banded = sig.select(F.col(id_col), *band_cols).select(
+    return sig.select(F.col(id_col), *band_cols).select(
         F.col(id_col),
         F.posexplode(F.array(*[F.col(f"b{j}") for j in range(bands)])).alias(
             "band_idx", "band_key"
         ),
     )
+
+
+def minhash_band_candidates(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Candidate pairs from LSH banding over a signature table (docs
+    sharing ANY band key collide) — exposed separately so stress tests
+    can measure band-collision volume against verified pairs."""
+    banded = _banded(sig, id_col, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -323,23 +332,8 @@ def minhash_band_candidates_cross(
     persistent artifact: ingesting a 0.1 % daily delta costs a band join
     of |delta|·bands rows against the stored index bands — not a rebuild
     of the corpus-wide self-join."""
-    rows = num_hashes // bands
-
-    def banded(sig: DataFrame) -> DataFrame:
-        band_cols = [
-            F.md5(
-                F.concat_ws(",", *[F.col(f"h{j * rows + r}") for r in range(rows)])
-            ).alias(f"b{j}")
-            for j in range(bands)
-        ]
-        return sig.select(F.col(id_col), *band_cols).select(
-            F.col(id_col),
-            F.posexplode(
-                F.array(*[F.col(f"b{j}") for j in range(bands)])
-            ).alias("band_idx", "band_key"),
-        )
-
-    a, b = banded(sig_new).alias("a"), banded(sig_index).alias("b")
+    a = _banded(sig_new, id_col, num_hashes, bands).alias("a")
+    b = _banded(sig_index, id_col, num_hashes, bands).alias("b")
     return (
         a.join(
             b,

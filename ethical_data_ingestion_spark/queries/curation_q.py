@@ -446,8 +446,11 @@ def dsir_selection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("nt"))
     )
-    tots = cr.agg(F.sum("nr").alias("tr")).crossJoin(
-        ct.agg(F.sum("nt").alias("tt"))
+    # coalesce both totals: an empty target domain must give tt=0 (finite
+    # smoothed weights, mirroring the oracle's COUNT(*)=0), not NULL-out
+    # every weight
+    tots = cr.agg(F.coalesce(F.sum("nr"), F.lit(0)).alias("tr")).crossJoin(
+        ct.agg(F.coalesce(F.sum("nt"), F.lit(0)).alias("tt"))
     )
     ratio = (
         cr.join(ct, "b", "left")

@@ -274,6 +274,19 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_SPLIT = 13107  # ceil(0.2 * 65536): ~20% of docs form the delta batch
 
 
+def _is_batch() -> F.Column:
+    """The delta-batch membership predicate (first 16 md5 bits of doc_id
+    below the split) — ONE definition shared by the batch query, the
+    streaming twin, and its spool builder, so the batch/streaming "delta"
+    can never desynchronize. Both oracles hard-code the same 13107."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        < _INC_SPLIT
+    )
+
+
 @register(
     "incremental_dedup_stats",
     oracle=f"""
@@ -383,18 +396,12 @@ def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is the session-shared pinned artifact (one corpus pass,
     ``_doc_sets``)."""
     docs = load_table(spark, sf_dir, "documents")
-    is_batch = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        < _INC_SPLIT
-    )
     base = materialize(
         docs.select(
             "doc_id",
             "source",
             T.fingerprint("text").alias("fp"),
-            is_batch.alias("is_batch"),
+            _is_batch().alias("is_batch"),
         )
     )
     sets = _doc_sets(spark, sf_dir)

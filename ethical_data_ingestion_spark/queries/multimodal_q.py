@@ -213,10 +213,15 @@ def multimodal_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = assets.select(
         "asset_id",
         "modality",
+        # empty content must yield an EMPTY chunk array: sequence(0, -1)
+        # descends ([0, -1]) rather than being empty, which would mint a
+        # phantom '' chunk the oracle (range-based, naturally empty) never
+        # sees — two empty payloads would then hamming-0 pair only in Spark
         F.expr(
-            "array_distinct(transform("
+            "CASE WHEN length(content) = 0 THEN array()"
+            " ELSE array_distinct(transform("
             " sequence(0, CAST(ceil(length(hex(content)) / 32.0) AS INT) - 1),"
-            " i -> substring(hex(content), i * 32 + 1, 32)))"
+            " i -> substring(hex(content), i * 32 + 1, 32))) END"
         ).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
     pairs = D.simhash_pairs(

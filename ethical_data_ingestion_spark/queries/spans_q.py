@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..materialize import materialize
-from ..operators.text import shingles_with_pos
+from ..operators.text import normalize_text, shingles_with_pos
 from ..registry import register
 
 _SPAN_K = 3  # shingle width; detected spans are ≥ k tokens
@@ -57,6 +57,7 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     sh AS (
       SELECT doc_id, i AS pos, array_to_string(t[i:i+{_SPAN_K - 1}], ' ') AS s
       FROM toks, unnest(range(1, greatest(len(t) - {_SPAN_K - 1}, 1) + 1)) AS u(i)
+      WHERE len(t) >= {_SPAN_K}
     ),
     occ AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_OCC_CAP}),
     rare AS (SELECT sh.doc_id, sh.pos, sh.s FROM sh JOIN occ USING (s)),
@@ -104,8 +105,12 @@ def ngram_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pin the positional-shingle explode: it feeds the occurrence filter
     # AND both sides of the self-join, and Catalyst does not share common
     # subtrees across joins — unpinned, the parse+explode runs 3×.
+    # docs shorter than k produce one TRUNCATED shingle; matching on it
+    # would report a "span" of k tokens inside a sub-k document (and tie
+    # with genuine k-token spans in the top-25), so sub-k docs are out
     sh = materialize(
-        docs.select(
+        docs.filter(F.size(F.split(normalize_text("text"), " ")) >= _SPAN_K)
+        .select(
             "doc_id", F.explode(shingles_with_pos("text", _SPAN_K)).alias("ps")
         ).select("doc_id", F.col("ps.pos").alias("pos"), F.col("ps.s").alias("s"))
     )

@@ -446,18 +446,12 @@ _DOCS_DDL = "doc_id bigint, source string, text string"
 
 
 def _doc_batch_stream(spark: SparkSession, sf_dir: str, mfpt: int | None) -> DataFrame:
-    from .dedup_q import _INC_SPLIT
+    from .dedup_q import _is_batch
 
     key = (sf_dir,)
     if key not in _DOC_SPOOL_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        is_batch = (
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-            ).cast("long")
-            < _INC_SPLIT
-        )
-        batch = docs.filter(is_batch).select("doc_id", "source", "text")
+        batch = docs.filter(_is_batch()).select("doc_id", "source", "text")
         _DOC_SPOOL_CACHE[key] = P.spool(
             batch, scratch_dir("eds_doc_stream_src_"), n_files=4, ts_col="doc_id"
         )
@@ -527,20 +521,14 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         perfp = P.run_available_now(agg, output_mode="complete")
 
-    from .dedup_q import _INC_SPLIT
+    from .dedup_q import _is_batch
 
     docs = load_table(spark, sf_dir, "documents")
-    is_batch = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        < _INC_SPLIT
-    )
     keeper_src = docs.select(
         F.col("doc_id").alias("first_doc_id"), "source"
     )
     idx = (
-        docs.filter(~is_batch)
+        docs.filter(~_is_batch())
         .select(T.fingerprint("text").alias("fp"))
         .distinct()
         .withColumn("_ex", F.lit(1))

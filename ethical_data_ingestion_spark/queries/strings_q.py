@@ -272,7 +272,9 @@ def hll_union_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = (
         per.agg(
-            F.sum("n_rows").alias("n_rows"),
+            # empty table: sum is NULL and the union estimate is NULL —
+            # coalesce to the oracle's (0, TRUE) row instead of NULLs
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"),
             F.hll_sketch_estimate(F.hll_union_agg("sk"))
             .cast("double")
             .alias("est"),
@@ -284,9 +286,10 @@ def hll_union_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("__union__").alias("grp"),
             "n_rows",
             "n_orders_exact",
-            (
+            F.coalesce(
                 F.abs(F.col("est") - F.col("n_orders_exact"))
-                <= 0.05 * F.col("n_orders_exact")
+                <= 0.05 * F.col("n_orders_exact"),
+                F.col("n_orders_exact") == 0,
             ).alias("hll_within_5pct"),
         )
     )

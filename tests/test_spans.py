@@ -59,12 +59,13 @@ def test_two_disjoint_spans_counted_separately(spark, tmp_path):
     assert row.total_span_tokens == 12  # 7 + 5
 
 
-def test_docs_shorter_than_k_do_not_crash(spark, tmp_path):
+def test_docs_shorter_than_k_are_excluded_not_crashing(spark, tmp_path):
+    # sub-k docs produce only a TRUNCATED shingle; matching on it would
+    # claim a k-token span inside a 2-token document, so they are out of
+    # scope entirely (exact dedup already covers identical short docs)
     _write_docs(spark, str(tmp_path), ["one two", "one two", "zz"])
     out = ngram_span_overlap(spark, str(tmp_path)).collect()
-    # the two identical 2-token docs share their single truncated shingle
-    assert len(out) == 1
-    assert (out[0].doc_a, out[0].doc_b) == (0, 1)
+    assert out == []
 
 
 def test_shingles_with_pos_positions_are_one_based_and_ordered(spark):
