@@ -96,6 +96,7 @@ HEADLINE = [
     "robust_value_stats",
     "order_revenue_reconciliation",
     "price_drift_psi",
+    "price_drift_ks",
     "text_quality_stats",
     "token_count_bpe",
     "word_frequency_topk",

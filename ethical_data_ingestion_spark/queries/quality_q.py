@@ -877,3 +877,113 @@ def price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term").over(Window.partitionBy()).cast("double"), 6
         ).alias("psi_total"),
     ).orderBy("bin")
+
+
+@register(
+    "price_drift_ks",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS tag
+      FROM orders
+    ),
+    pv AS (
+      SELECT v, CAST(SUM(tag) AS BIGINT) AS c1,
+             CAST(SUM(1 - tag) AS BIGINT) AS c2
+      FROM t GROUP BY v
+    ),
+    c AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v) AS cum1,
+             SUM(c2) OVER (ORDER BY v) AS cum2
+      FROM pv
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n_a, CAST(SUM(c2) AS BIGINT) AS n_b,
+             COUNT(*) AS n_values
+      FROM pv
+    )
+    SELECT tot.n_a, tot.n_b, tot.n_values,
+           ROUND(MAX(ABS(c.cum1::DOUBLE / tot.n_a - c.cum2::DOUBLE / tot.n_b)), 6)
+             AS ks_stat
+    FROM c, tot
+    GROUP BY tot.n_a, tot.n_b, tot.n_values
+    """,
+)
+def price_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the price
+    distributions of urgent/high-priority orders and the rest — the
+    distribution-shift detector that complements ``price_drift_psi``
+    (PSI needs pre-frozen bins and saturates; KS is bin-free and exact).
+
+    Distributed shape (the part DuckDB gets for free from its single-node
+    sort): the empirical CDFs need a GLOBAL cumulative sum in value order,
+    and a single unbounded window would funnel the table through one
+    partition. Same cure as ``_global_ranks``: range-repartition on the
+    value, aggregate per-partition (c1, c2) subtotals — a |partitions|-row
+    histogram, the documented scalar-stat driver pattern, never data rows
+    — broadcast prefix offsets back, and run partition-LOCAL cumulative
+    windows on top. Ties across samples step both CDFs at once because
+    counts aggregate per distinct value before ranking."""
+    orders = load_table(spark, sf_dir, "orders")
+    tag = (
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    )
+    pv = (
+        orders.select(F.col("o_totalprice").alias("v"), tag.alias("tag"))
+        .groupBy("v")
+        .agg(
+            F.sum("tag").cast("long").alias("c1"),
+            F.sum(1 - F.col("tag")).cast("long").alias("c2"),
+        )
+    )
+    nparts = max(spark.sparkContext.defaultParallelism // 2, 8)
+    parts = materialize(
+        pv.repartitionByRange(nparts, "v").withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    hist = {
+        r["pid"]: (r["s1"], r["s2"])
+        for r in parts.groupBy("pid")
+        .agg(F.sum("c1").alias("s1"), F.sum("c2").alias("s2"))
+        .collect()
+    }
+    offsets, a1, a2 = {}, 0, 0
+    for pid in sorted(hist):
+        offsets[pid] = (a1, a2)
+        a1 += hist[pid][0]
+        a2 += hist[pid][1]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, o1, o2) for pid, (o1, o2) in offsets.items()],
+            "pid int, o1 long, o2 long",
+        )
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = parts.join(off_df, "pid").select(
+        (F.sum("c1").over(w) + F.col("o1")).alias("cum1"),
+        (F.sum("c2").over(w) + F.col("o2")).alias("cum2"),
+    )
+    n_values = parts.count()
+    return ranked.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.lit(a1)
+                    - F.col("cum2").cast("double") / F.lit(a2)
+                )
+            ),
+            6,
+        ).alias("ks_stat")
+    ).select(
+        F.lit(a1).alias("n_a"),
+        F.lit(a2).alias("n_b"),
+        F.lit(n_values).alias("n_values"),
+        "ks_stat",
+    )

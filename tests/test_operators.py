@@ -362,3 +362,24 @@ def test_sampled_estimate_error_shrinks_with_scale(spark):
     assert row.n_total == 60_000
     assert 0 < row.n_sampled < row.n_total
     assert row.rel_err <= 0.10  # realized error at sf0.01 is ~3.5%
+
+
+def test_ks_drift_detects_planted_shift(spark, tmp_path):
+    """A location-shifted split must produce a large KS statistic; the
+    fixture's random priority split produces a near-zero one."""
+    from ethical_data_ingestion_spark.queries.quality_q import price_drift_ks
+
+    rows = [
+        (i, "1-URGENT" if i < 500 else "5-LOW",
+         float(100 + (i % 100)) if i < 500 else float(500 + (i % 100)))
+        for i in range(1000)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = price_drift_ks(spark, str(tmp_path)).collect()[0]
+    assert out.n_a == 500 and out.n_b == 500
+    assert out.ks_stat == 1.0  # fully disjoint supports
+
+    fixture = price_drift_ks(spark, "/root/testdata/sf0.01").collect()[0]
+    assert fixture.ks_stat < 0.05  # random split: no drift
