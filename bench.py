@@ -73,6 +73,7 @@ HEADLINE = [
     "suppliers_without_recent_sales",
     "pivot_status_by_priority",
     "running_value_by_user",
+    "copurchase_brand_pairs",
     "json_extract_stats",
     "window_tumbling_daily",
     "window_sliding_6h",

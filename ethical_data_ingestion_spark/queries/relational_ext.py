@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..materialize import materialize
 from ..operators.analytics import davg, dsum
 from ..registry import register
 
@@ -343,4 +344,72 @@ def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_ok.alias("hll_within_bounds"),
         _band("le50", "lt50", 0.45, 0.55).alias("p50_within_rank_bounds"),
         _band("le95", "lt95", 0.93, 0.97).alias("p95_within_rank_bounds"),
+    )
+
+
+@register(
+    "copurchase_brand_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    ),
+    tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items)
+    SELECT brand_a, brand_b, support,
+           ROUND(support::DOUBLE / tot.n_orders, 6) AS support_ratio
+    FROM pairs, tot
+    ORDER BY support DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+)
+def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: top-25 part-brand pairs that
+    appear together in one order, with per-order support counts — the
+    frequent-itemset (k=2) pass behind recommendation and affinity
+    analysis.
+
+    Shape at 100 TB: the part dimension BROADCASTS into the fact scan;
+    the pair stage is a self-equi-join ON THE ORDER KEY — both sides
+    arrive hash-partitioned by okey from the distinct, so the join is
+    co-located and pair volume is Σ C(basket, 2), bounded by basket
+    size (single-digit in TPC-H shapes), never |orders|². Support
+    counts combine map-side; the top-25 is TakeOrderedAndProject. The
+    distinct-per-(order, brand) projection first is what keeps multi-
+    lineitem brands from inflating support."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # pinned: three consumers (both self-join sides + the order total) —
+    # unpinned, the fact join + distinct would run three times
+    items = materialize(
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = items.select("okey", F.col("brand").alias("brand_a"))
+    b = items.select("okey", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    tot = items.agg(F.countDistinct("okey").alias("n_orders"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("n_orders"), 6
+            ).alias("support_ratio"),
+        )
+        .orderBy(F.desc("support"), "brand_a", "brand_b")
+        .limit(25)
     )

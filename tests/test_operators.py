@@ -383,3 +383,15 @@ def test_ks_drift_detects_planted_shift(spark, tmp_path):
 
     fixture = price_drift_ks(spark, "/root/testdata/sf0.01").collect()[0]
     assert fixture.ks_stat < 0.05  # random split: no drift
+
+
+def test_copurchase_pairs_support_is_bounded_and_ordered(spark, sf_dir):
+    from ethical_data_ingestion_spark.registry import QUERIES
+
+    rows = QUERIES["copurchase_brand_pairs"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    supports = [r.support for r in rows]
+    assert supports == sorted(supports, reverse=True)
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert 0 < r.support_ratio <= 1.0
