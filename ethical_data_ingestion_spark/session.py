@@ -36,7 +36,16 @@ def scratch_dir(prefix: str) -> str:
         base = "/dev/shm/eds_scratch"
     if base is not None:
         os.makedirs(base, exist_ok=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    # scratch is ephemeral BY CONTRACT (streaming checkpoints/spools live
+    # only as long as their queries, i.e. this process) — reclaim at exit
+    # so long-lived hosts and repeated bench runs don't accumulate
+    # hundreds of dead dirs in the RAM tmpfs
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, d, True)
+    return d
 
 
 def get_spark(
