@@ -112,6 +112,7 @@ HEADLINE = [
     "doc_length_histogram",
     "train_test_split_stats",
     "chunk_dedup_stats",
+    "training_shard_manifest",
     "unigram_kl_quality",
     "source_topp_curation",
     "dsir_selection_stats",

@@ -577,3 +577,110 @@ def sampled_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard layout planning: assign documents (in stable doc_id
+# order) to contiguous token-budget shards and emit the shard manifest —
+# the step between "corpus is curated" and "write webdataset-style
+# shards for the trainer", where each shard's manifest row is what the
+# data loader indexes.
+
+_SHARD_TOKENS = 4096  # token budget per shard
+
+
+@register(
+    "training_shard_manifest",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                 ' ')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS cum_excl
+      FROM d
+    ),
+    tagged AS (
+      SELECT doc_id, n_tok,
+             CAST(cum_excl // {_SHARD_TOKENS} AS BIGINT) AS shard_id
+      FROM c
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM tagged
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sharding by cumulative token offset: a document
+    starting at global token offset t lands in shard floor(t / budget),
+    so shards are contiguous doc_id ranges of ~budget tokens, and the
+    manifest (docs, tokens, id range per shard) is what a loader needs to
+    index the corpus without scanning it.
+
+    The global cumulative offset is the same distributed prefix-sum shape
+    as ``price_drift_ks``: range-repartition on doc_id, per-partition
+    token subtotals (a |partitions|-row histogram to the driver — the
+    scalar-stat pattern), broadcast prefix offsets, partition-local
+    cumulative windows. No single-partition window, no data-row driver
+    traffic; at 100 TB the manifest rollup is |shards| rows, and the
+    assignment column is exactly what a downstream
+    ``write.partitionBy("shard_id")`` consumes to lay the shards down."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), "\\s+", " ")), " "))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    nparts = max(spark.sparkContext.defaultParallelism // 2, 8)
+    parts = materialize(
+        d.repartitionByRange(nparts, "doc_id").withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    hist = {
+        r["pid"]: r["s"]
+        for r in parts.groupBy("pid").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(hist):
+        offsets[pid] = acc
+        acc += hist[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, off long"
+        )
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = parts.join(off_df, "pid").select(
+        "doc_id",
+        "n_tok",
+        (
+            (F.sum("n_tok").over(w) + F.col("off") - F.col("n_tok"))
+            / F.lit(_SHARD_TOKENS)
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return (
+        tagged.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )

@@ -395,3 +395,27 @@ def test_copurchase_pairs_support_is_bounded_and_ordered(spark, sf_dir):
     for r in rows:
         assert r.brand_a < r.brand_b
         assert 0 < r.support_ratio <= 1.0
+
+
+def test_shard_manifest_is_contiguous_and_budget_shaped(spark, sf_dir):
+    from ethical_data_ingestion_spark.io import load_table
+    from ethical_data_ingestion_spark.queries.pipeline_q import (
+        _SHARD_TOKENS,
+        training_shard_manifest,
+    )
+
+    rows = training_shard_manifest(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    max_len = docs.selectExpr(
+        "max(size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))) m"
+    ).collect()[0].m
+    assert sum(r.n_docs for r in rows) == n_docs
+    # shards cover contiguous, non-overlapping doc_id ranges in order
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.last_doc < cur.first_doc
+        assert prev.shard_id + 1 == cur.shard_id
+    # start-offset assignment: every shard but the last holds budget
+    # tokens give or take one document
+    for r in rows[:-1]:
+        assert _SHARD_TOKENS - max_len <= r.n_tokens <= _SHARD_TOKENS + max_len
