@@ -34,15 +34,24 @@ _PPM = 1_000_000
 
 def _oracle_sql() -> str:
     """Ten chained CTEs, one per PageRank round — generated, not
-    hand-written, so the Spark loop and the SQL mirror can't drift."""
+    hand-written, so the Spark loop and the SQL mirror can't drift.
+
+    Every SUM is wrapped in ``CAST(... AS BIGINT)``: DuckDB promotes
+    ``SUM(BIGINT)`` to HUGEINT (int128), and an int128 column reaching
+    the driver's value-hasher through Arrow/numpy can hash differently
+    from Spark's int64 even when the decimal values are identical. The
+    values themselves always fit in 63 bits (ranks sum to ~1e12 total),
+    so the cast is lossless — it only pins the physical type.
+    """
     base = f"(SELECT ({_BASE_NUM} * {_SCALE}::BIGINT) // ({_PPM}::BIGINT * n) FROM params)"
     rounds = []
     for i in range(1, _ITERS + 1):
         rounds.append(
             f"""r{i} AS (
       SELECT e.dst AS node,
-             {base} + SUM((r.rank * {_DAMP_NUM}) // ({_PPM}::BIGINT * d.deg))
-               AS rank
+             CAST({base}
+                  + SUM((r.rank * {_DAMP_NUM}) // ({_PPM}::BIGINT * d.deg))
+                  AS BIGINT) AS rank
       FROM edges e
       JOIN r{i - 1} r ON e.src = r.node
       JOIN deg d ON e.src = d.node
@@ -68,8 +77,8 @@ def _oracle_sql() -> str:
     {rounds_sql}
     SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
              AS node_type,
-           node // 2 AS entity_id,
-           rank AS rank_1e12
+           CAST(node // 2 AS BIGINT) AS entity_id,
+           CAST(rank AS BIGINT) AS rank_1e12
     FROM r{_ITERS}
     ORDER BY rank DESC, node
     LIMIT 20

@@ -800,7 +800,9 @@ _PSI_SMOOTH = 1
                8) AS DECIMAL(18,8)) AS term
       FROM counts, tot
     )
-    SELECT bin, ref_n, cur_n,
+    SELECT bin,
+           CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(cur_n AS BIGINT) AS cur_n,
            CAST(term AS DOUBLE) AS psi_term,
            ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS psi_total
     FROM terms

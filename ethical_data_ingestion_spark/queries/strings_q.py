@@ -159,7 +159,9 @@ _BUCKET_EXPR = (
                       % {_CMS_W}
       GROUP BY t.word, t.freq
     )
-    SELECT word, freq, cms_est, cms_est - freq AS overcount
+    SELECT word, freq,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - freq AS BIGINT) AS overcount
     FROM est
     ORDER BY freq DESC, word
     """,
