@@ -1,0 +1,177 @@
+"""Embedder-seam queries: documents.text → embedding → kNN, end to end.
+
+Round-4 verdict item 2: the repo consumed the ``embeddings`` fixture
+everywhere but had no producer for the reference's ``embedding FLOAT[]``
+column (``ethical_crawler.py:842``). These queries exercise the
+:mod:`..operators.embed` seam end-to-end — embed ``documents.text`` with
+the deterministic hashed-projection stand-in, then feed the produced
+vectors through the same kNN machinery the ``embeddings``-table queries
+use.
+
+Hash-exactness design: the stand-in emits INTEGER-count components
+(exact in float32/double), so dot products and squared norms are exact
+integers in both engines, and ``cos = D / (sqrt(A)·sqrt(B))`` is a
+single float expression over exact integers — bit-identical across
+Spark's ``zip_with`` fold and the DuckDB mirror's bucket-join SUM. That
+upgrades the whole embed→kNN pipeline to a full value-hash check; only
+the LSH variant stays rows-only (approximate), with recall bounded in
+``tests/test_embed.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..materialize import shared
+from ..operators import embed as E
+from ..operators import similarity as S
+from ..registry import register
+
+_DIM = 64
+_N_QUERIES = 10
+_K = 5
+
+# DuckDB twin of operators/embed.hashed_projection_model: same
+# tokenization idiom as the rest of the suite, same md5 hex-slice
+# bucket/sign derivations as the CMS and LSH oracles.
+_HASHED_CNTS_CTE = f"""
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                    ' ')) AS word
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(word), 1, 8))::BIGINT % {_DIM} AS bucket,
+             CASE WHEN ('0x' || substring(md5(word), 9, 1))::INTEGER % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks WHERE word <> ''
+    ),
+    cnts AS (
+      SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS c
+      FROM tb GROUP BY doc_id, bucket
+    )"""
+
+
+def _embedded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared pinned (doc_id, embedding) table — the model
+    artifact every downstream consumer reads, embedded once per suite
+    (same reuse pattern as the k-means assignment table)."""
+    return shared(
+        ("embed_docs", sf_dir, _DIM),
+        spark,
+        lambda: E.embed_texts(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            dim=_DIM,
+        ).select("doc_id", "embedding"),
+    )
+
+
+@register(
+    "embedding_pipeline_stats",
+    oracle=f"""
+    WITH {_HASHED_CNTS_CTE},
+    per AS (
+      SELECT doc_id,
+             COUNT(*) FILTER (WHERE c <> 0) AS nnz,
+             SUM(c * c) AS norm2
+      FROM cnts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.nnz, 0) AS INTEGER) AS nnz,
+           CAST(COALESCE(p.norm2, 0) AS BIGINT) AS norm2,
+           ROUND(sqrt(CAST(COALESCE(p.norm2, 0) AS DOUBLE)), 6) AS l2
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def embedding_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document embedding profile (non-zero components, exact Σx²,
+    L2 norm) straight off the embedder seam — proves the produced
+    ``array<float>`` column is component-exact against an independent
+    SQL derivation of the same feature hashing, doc by doc."""
+    emb = _embedded_docs(spark, sf_dir)
+    norm2 = E.embedding_norm2("embedding")
+    return emb.select(
+        "doc_id",
+        E.embedding_nnz("embedding").cast("int").alias("nnz"),
+        norm2.alias("norm2"),
+        F.round(F.sqrt(norm2.cast("double")), 6).alias("l2"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "embed_knn_e2e",
+    oracle=f"""
+    WITH {_HASHED_CNTS_CTE},
+    norms AS (
+      SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM cnts GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT q.doc_id AS query_id, b.doc_id AS vec_id,
+             q.n2 AS qn2, b.n2 AS bn2
+      FROM norms q, norms b
+      WHERE q.doc_id < {_N_QUERIES} AND b.doc_id <> q.doc_id
+    ),
+    dots AS (
+      SELECT qc.doc_id AS query_id, bc.doc_id AS vec_id,
+             CAST(SUM(qc.c * bc.c) AS BIGINT) AS dotp
+      FROM cnts qc JOIN cnts bc ON qc.bucket = bc.bucket
+      WHERE qc.doc_id < {_N_QUERIES} AND bc.doc_id <> qc.doc_id
+      GROUP BY qc.doc_id, bc.doc_id
+    ),
+    scored AS (
+      SELECT p.query_id, p.vec_id,
+             ROUND(CAST(COALESCE(d.dotp, 0) AS DOUBLE)
+                   / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(p.bn2 AS DOUBLE))),
+                   6) AS cos
+      FROM pairs p LEFT JOIN dots d USING (query_id, vec_id)
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """,
+)
+def embed_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text in, neighbors out: embed ``documents.text`` through the seam,
+    then exact cosine top-{_K} for the first {_N_QUERIES} documents as
+    probes — the full produce-then-search pipeline the reference gestures
+    at but never wires, value-hash-checked end to end.
+
+    The oracle's dot products come from a bucket equi-join on the sparse
+    counts (missing pairs coalesce to 0); Spark's come from the dense
+    ``zip_with`` fold — both exact integers, so the cosines agree bitwise
+    before rounding.
+    """
+    emb = _embedded_docs(spark, sf_dir)
+    base = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
+    queries = emb.filter(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    out = S.knn_bruteforce(base, queries, k=_K)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register("embed_knn_lsh")  # approximate → rows-only; recall bounded in tests
+def embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for the embedded corpus: hyperplane-LSH top-{_K} over
+    the seam-produced vectors — candidate generation is the (table,
+    bucket) equi-join, so per-query cost is bucket-sized, not
+    corpus-sized. Recall vs :func:`embed_knn_e2e`'s exact truth is
+    bounded in ``tests/test_embed.py``."""
+    emb = _embedded_docs(spark, sf_dir)
+    base = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
+    queries = emb.filter(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    out = S.knn_lsh(base, queries, k=_K, dim=_DIM, n_tables=8, n_bits=4)
+    return out.withColumn("rank", F.col("rank").cast("int"))

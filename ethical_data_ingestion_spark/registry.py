@@ -52,6 +52,7 @@ def _load_everything() -> None:
         relational_tpch,
         relational_tpch2,
         dedup_q,
+        embed_q,
         multimodal_q,
         pipeline_q,
         privacy_q,
