@@ -100,6 +100,19 @@ def compact(
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(src)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # The read below is LAZY: mode('overwrite') on dst deletes dst's
+    # files before the scan of src runs, so compacting in place (or into
+    # a subdirectory of src) would destroy the very part-files the job
+    # is about to read. Refuse loudly instead of losing data; in-place
+    # compaction must stage to a scratch dir and rename.
+    src_q = str(fs.makeQualified(jpath))
+    dst_q = str(fs.makeQualified(jvm.org.apache.hadoop.fs.Path(dst)))
+    if dst_q == src_q or dst_q.startswith(src_q.rstrip("/") + "/"):
+        raise ValueError(
+            f"compact destination {dst_q!r} equals or is inside source "
+            f"{src_q!r}; overwrite would delete the source part-files the "
+            "lazy read depends on — stage to a separate dir and rename"
+        )
     bytes_in = fs.getContentSummary(jpath).getLength()
 
     def _count_files(p) -> int:

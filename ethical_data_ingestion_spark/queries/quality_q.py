@@ -910,6 +910,7 @@ def price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MAX(ABS(c.cum1::DOUBLE / tot.n_a - c.cum2::DOUBLE / tot.n_b)), 6)
              AS ks_stat
     FROM c, tot
+    WHERE tot.n_a > 0 AND tot.n_b > 0
     GROUP BY tot.n_a, tot.n_b, tot.n_values
     """,
 )
@@ -957,6 +958,15 @@ def price_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         offsets[pid] = (a1, a2)
         a1 += hist[pid][0]
         a2 += hist[pid][1]
+    if a1 == 0 or a2 == 0:
+        # A one-sided (or empty) input has no two-sample statistic: the
+        # CDF denominators below would be 0, Spark would emit a NULL
+        # ks_stat row while the oracle's division-by-zero behaves
+        # differently — short-circuit to an EMPTY result, mirrored by the
+        # oracle's WHERE n_a > 0 AND n_b > 0 guard.
+        return spark.createDataFrame(
+            [], "n_a long, n_b long, n_values long, ks_stat double"
+        )
     off_df = F.broadcast(
         spark.createDataFrame(
             [(pid, o1, o2) for pid, (o1, o2) in offsets.items()],

@@ -10,6 +10,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from ethical_data_ingestion_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_MED = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
@@ -30,3 +31,11 @@ def spark(tmp_path_factory):
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def sf_dir_med():
+    """The bench-scale fixture dir, for tests that deliberately pin a
+    larger scale factor (sampling error, KS drift) — centralized here so
+    a checkout-layout change touches one line."""
+    return SF_DIR_MED

@@ -98,3 +98,22 @@ def test_compact_respects_target_size(spark, tmp_path):
     stats = compact(spark, src, dst, target_bytes=total // 4 + 1, shuffle=True)
     assert 2 <= stats["files_out"] <= 8
     assert spark.read.parquet(dst).count() == 50_000
+
+
+def test_compact_refuses_in_place_overwrite(spark, tmp_path):
+    """dst == src (or nested inside src) would delete the source files
+    the still-lazy read depends on — must raise, not lose data."""
+    import pytest
+
+    from ethical_data_ingestion_spark.export import compact
+
+    src = str(tmp_path / "t")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="inside source|equals"):
+        compact(spark, src, src)
+    with pytest.raises(ValueError, match="inside source|equals"):
+        compact(spark, src, src + "/sub")
+    # sibling with a shared name PREFIX is fine (prefix check must be
+    # path-segment-aware)
+    stats = compact(spark, src, src + "_out")
+    assert stats["files_out"] >= 1

@@ -350,21 +350,19 @@ class TestStripHtml:
         assert "keep" in out
 
 
-def test_sampled_estimate_error_shrinks_with_scale(spark):
+def test_sampled_estimate_error_shrinks_with_scale(spark, sf_dir_med):
     """The 1/64 hash-sample estimator must land near truth at bench scale
     (rel_err is deterministic, so this is a stable pin, not a flaky
     statistical assertion)."""
     from ethical_data_ingestion_spark.registry import QUERIES
 
-    row = QUERIES["sampled_revenue_estimate"](
-        spark, "/root/testdata/sf0.01"
-    ).collect()[0]
+    row = QUERIES["sampled_revenue_estimate"](spark, sf_dir_med).collect()[0]
     assert row.n_total == 60_000
     assert 0 < row.n_sampled < row.n_total
     assert row.rel_err <= 0.10  # realized error at sf0.01 is ~3.5%
 
 
-def test_ks_drift_detects_planted_shift(spark, tmp_path):
+def test_ks_drift_detects_planted_shift(spark, tmp_path, sf_dir_med):
     """A location-shifted split must produce a large KS statistic; the
     fixture's random priority split produces a near-zero one."""
     from ethical_data_ingestion_spark.queries.quality_q import price_drift_ks
@@ -381,7 +379,7 @@ def test_ks_drift_detects_planted_shift(spark, tmp_path):
     assert out.n_a == 500 and out.n_b == 500
     assert out.ks_stat == 1.0  # fully disjoint supports
 
-    fixture = price_drift_ks(spark, "/root/testdata/sf0.01").collect()[0]
+    fixture = price_drift_ks(spark, sf_dir_med).collect()[0]
     assert fixture.ks_stat < 0.05  # random split: no drift
 
 

@@ -149,7 +149,7 @@ def empty_sf_dir(spark, tmp_path_factory):
     """A fixture dir whose documents/embeddings tables are empty but
     schema-identical to the real ones."""
     d = tmp_path_factory.mktemp("empty_sf")
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "orders"):
         df = load_table(spark, "/root/testdata/sf0.001", t)
         df.limit(0).coalesce(1).write.parquet(str(d / f"{t}.parquet"))
     return str(d)
@@ -228,6 +228,10 @@ def test_session_new_panels_on_empty_tables(spark, empty_sf_dir):
         "semantic_dedup_stats",
         "incremental_dedup_stats",
         "multimodal_neardup_simhash",
+        "price_drift_ks",
+        "embedding_pipeline_stats",
+        "embed_knn_e2e",
+        "embed_knn_lsh",
     ):
         rows = QUERIES[name](spark, empty_sf_dir).collect()
         assert rows == [], f"{name} on empty input returned {rows[:3]}"
