@@ -13,6 +13,9 @@ unique tie-break so the returned *set* is deterministic.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,9 +30,37 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["flagship_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _rotation_order(names: list[str]) -> list[str]:
+    """Order queries least-recently-driver-verified first.
+
+    The driver's correctness gate samples a fixed-size prefix of this
+    dict, so a static registration order would leave the same ~70
+    queries permanently outside the hard (driver-side) signal — the
+    round-4 verdict asked for exactly this rotation. Queries that have
+    never appeared in a CORRECTNESS_r*.json go first (registration order
+    preserved within a group), then least-recently-sampled; every query
+    still passes the full local gate (tests/test_oracle_gate.py) every
+    CI run regardless of position. Falls back to registration order if
+    no round files are readable.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(path.rsplit("_r", 1)[-1].split(".")[0])
+            for q in json.load(open(path)):
+                last_seen[q] = rnd
+        except Exception:  # malformed round file: ignore, keep rotating
+            continue
+    reg_pos = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last_seen.get(n, -1), reg_pos[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY §2 (+ extensions)."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY §2 (+ extensions),
+    least-recently-driver-verified first (see :func:`_rotation_order`)."""
+    q = registry.QUERIES
+    return {name: q[name] for name in _rotation_order(list(q))}
 
 
 def oracle_sql() -> dict[str, str]:

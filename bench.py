@@ -143,6 +143,9 @@ HEADLINE = [
     "product_quantization_stats",
     "embedding_kmeans_stats",
     "semantic_dedup_stats",
+    "embedding_pipeline_stats",
+    "embed_knn_e2e",
+    "embed_knn_lsh",
     "sequence_packing_stats",
     "corpus_mixing_stats",
     "multimodal_meta_stats",

@@ -253,12 +253,24 @@ def hll_union_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride along only to price the sketch — at the design point you keep the
     sketch column and drop the exact pass."""
     li = load_table(spark, sf_dir, "lineitem")
-    # pin the 3-row per-group sketch table: the union row consumes it
-    # again for the merge, and unpinned that re-runs the corpus agg
+    # ONE corpus-scale pass total: group by (flag, orderkey) WITH a row
+    # count — map-side combined, so the shuffle carries ~|orders|·|flags|
+    # partial rows, and the pinned pair table then answers everything:
+    # per-group row counts (Σc), per-group exact distincts (COUNT(*)),
+    # the per-group sketches (HLL is duplicate-insensitive, so sketching
+    # the pair set builds the identical sketch), and the global exact
+    # distinct (distinct of the pair set, not the corpus). The previous
+    # shape paid TWO full countDistinct passes plus a counting scan over
+    # the raw table for the same answers.
+    pairsd = materialize(
+        li.groupBy("l_returnflag", "l_orderkey").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
     per = materialize(
-        li.groupBy("l_returnflag").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        pairsd.groupBy("l_returnflag").agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_orders_exact"),
             F.hll_sketch_agg("l_orderkey").alias("sk"),
         )
     )
@@ -282,7 +294,9 @@ def hll_union_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est"),
         )
         .crossJoin(
-            li.agg(F.countDistinct("l_orderkey").alias("n_orders_exact"))
+            pairsd.agg(
+                F.countDistinct("l_orderkey").alias("n_orders_exact")
+            )
         )
         .select(
             F.lit("__union__").alias("grp"),

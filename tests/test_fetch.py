@@ -12,6 +12,7 @@ server into the Spark catalog.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -337,3 +338,31 @@ def test_point_fetch_is_robots_gated(server):
     # a different, allowed dataset still fetches through the same cache
     item = fetch_dataset_nyc(tr, "abcd-001", limiter=_FAST(), robots=robots)
     assert item is not None
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_LIVE") != "1",
+    reason="live-network smoke; opt in with SPARK_GRAFT_LIVE=1",
+)
+def test_live_nyc_discovery_smoke():
+    """Opt-in LIVE smoke against the real NYC Open Data endpoint (round-4
+    verdict item 7): the default test path exercises the fetch layer only
+    through the local fixture server, which can't catch bit-rot in the
+    real transport/endpoint contract (TLS, redirects, schema drift).
+    One metadata page, one robots fetch — within the source's published
+    rate limit and robots rules by construction."""
+    from ethical_data_ingestion_spark.sources.fetch import (
+        HttpTransport,
+        RobotsCache,
+        discover_nyc,
+        robots_transport,
+    )
+
+    transport = HttpTransport()
+    robots = RobotsCache(robots_transport(transport))
+    items = discover_nyc(transport, robots=robots, page_size=3, max_pages=1)
+    assert len(items) == 3
+    source, payload = items[0]
+    assert source == "NYC Open Data"
+    parsed = json.loads(payload)
+    assert parsed["id"] and parsed["name"]
