@@ -521,6 +521,18 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         perfp = P.run_available_now(agg, output_mode="complete")
 
+    return _classify_perfp(spark, sf_dir, perfp)
+
+
+def _classify_perfp(
+    spark: SparkSession, sf_dir: str, perfp: DataFrame
+) -> DataFrame:
+    """Classify a drained (fp, n_occ, first_doc_id) table against the
+    static index and roll up per keeper source — shared by the streaming
+    drain and its batch twin (tools/streaming_decomp.py), so the
+    decomposition's two measurements differ ONLY in who maintained the
+    per-fingerprint aggregate."""
+    from ..operators import text as T
     from .dedup_q import _is_batch
 
     docs = load_table(spark, sf_dir, "documents")
