@@ -146,6 +146,10 @@ HEADLINE = [
     "embedding_pipeline_stats",
     "embed_knn_e2e",
     "embed_knn_lsh",
+    "chunk_embed_topk",
+    "domain_cap_sampling",
+    "padding_efficiency_stats",
+    "quality_filter_ensemble",
     "sequence_packing_stats",
     "corpus_mixing_stats",
     "multimodal_meta_stats",

@@ -494,3 +494,153 @@ def dsir_selection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 widening: two more batching/curation operators every large-scale
+# training pipeline runs.
+
+_DOMAIN_CAP = 15    # max docs kept per source (binds: fixture sources have 25)
+_BATCH_B = 16       # sequences per training batch in the padding panel
+
+
+@register(
+    "domain_cap_sampling",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           ROUND(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN n_tok ELSE 0 END)::DOUBLE
+                 / SUM(n_tok)::DOUBLE, 6) AS token_keep_ratio
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def domain_cap_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap (the CommonCrawl-pipeline "no domain may
+    contribute more than N documents" rule): rank each source's documents
+    by a deterministic content-independent hash (md5 of the doc id — an
+    unbiased uniform draw that is reproducible across engines and runs,
+    unlike RAND()) and keep the first {_DOMAIN_CAP}. Reports the doc and
+    token mass retained per source.
+
+    Scale shape: one window partitioned BY SOURCE (parallel across
+    domains; a skewed mega-domain is one partition's sort of its own doc
+    ids, not a global sort) feeding a map-side-combined rollup — no
+    global ordering anywhere. At 100 TB the same plan caps billions of
+    docs across millions of domains in one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    d = docs.select(
+        "source",
+        T.n_tokens("text").alias("n_tok"),
+        F.row_number().over(w).alias("rk"),
+    )
+    kept = F.col("rk") <= _DOMAIN_CAP
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.round(
+                F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).cast("double")
+                / F.sum("n_tok").cast("double"),
+                6,
+            ).alias("token_keep_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "padding_efficiency_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tok,
+             CAST(floor(log2(greatest(n_tok, 1))) AS BIGINT) AS bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY CAST(floor(log2(greatest(n_tok, 1))) AS BIGINT)
+               ORDER BY doc_id) AS rk
+      FROM d
+    ),
+    batches AS (
+      SELECT bucket, (rk - 1) // {_BATCH_B} AS batch_id,
+             COUNT(*) AS n_in_batch,
+             MAX(n_tok) AS batch_max,
+             CAST(SUM(n_tok) AS BIGINT) AS batch_used
+      FROM bucketed GROUP BY bucket, batch_id
+    )
+    SELECT bucket,
+           CAST(SUM(n_in_batch) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_batches,
+           CAST(SUM(batch_max * n_in_batch) AS BIGINT) AS padded_tokens,
+           CAST(SUM(batch_used) AS BIGINT) AS used_tokens,
+           ROUND(1.0 - SUM(batch_used)::DOUBLE
+                 / SUM(batch_max * n_in_batch)::DOUBLE, 6) AS padding_waste
+    FROM batches
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def padding_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch packing audit: documents are bucketed by
+    log2 token length, batched {_BATCH_B} at a time in doc-id order
+    within the bucket, and each batch pads to its own longest sequence —
+    the panel reports the padding waste per bucket, the number an
+    inference/training scheduler tunes bucket boundaries against
+    (complementing ``sequence_packing_stats``, which packs greedily
+    WITHOUT padding).
+
+    All integer arithmetic; the only windows are partitioned by bucket
+    (parallel, bounded), and the rollup is map-side combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", T.n_tokens("text").alias("n_tok"))
+    bucket = F.floor(F.log2(F.greatest("n_tok", F.lit(1)))).cast("long")
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    bucketed = d.select("doc_id", "n_tok", bucket.alias("bucket")).withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / _BATCH_B).cast("long")
+    )
+    batches = bucketed.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_in_batch"),
+        F.max("n_tok").alias("batch_max"),
+        F.sum("n_tok").cast("long").alias("batch_used"),
+    )
+    return (
+        batches.groupBy("bucket")
+        .agg(
+            F.sum("n_in_batch").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum(F.col("batch_max") * F.col("n_in_batch"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.sum("batch_used").cast("long").alias("used_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("batch_used").cast("double")
+                / F.sum(F.col("batch_max") * F.col("n_in_batch")).cast("double"),
+                6,
+            ).alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )

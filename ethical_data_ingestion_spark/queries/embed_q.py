@@ -175,3 +175,174 @@ def embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = S.knn_lsh(base, queries, k=_K, dim=_DIM, n_tables=8, n_bits=4)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 widening: RAG-style chunk indexing end-to-end.
+
+_CHUNK_SIZE = 32   # tokens per chunk
+_CHUNK_STRIDE = 16 # sliding-window stride (50% overlap)
+_CHUNK_KEYMUL = 1024  # ckey = doc_id*KEYMUL + chunk_idx; fixture docs ≤ 99
+                      # tokens → chunk_idx ≤ 6, far under the KEYMUL bound
+_RAG_QUERIES = 5
+_RAG_K = 3
+
+
+@register(
+    "chunk_embed_topk",
+    oracle=f"""
+    WITH dtoks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, s // {_CHUNK_STRIDE} AS cidx,
+             doc_id * {_CHUNK_KEYMUL} + s // {_CHUNK_STRIDE} AS ckey,
+             t[s + 1 : s + {_CHUNK_SIZE}] AS ct
+      FROM dtoks, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS u(s)
+    ),
+    ccnt AS (
+      SELECT ckey,
+             ('0x' || substring(md5(word), 1, 8))::BIGINT % {_DIM} AS bucket,
+             CAST(SUM(CASE WHEN ('0x' || substring(md5(word), 9, 1))::INTEGER % 2 = 0
+                           THEN 1 ELSE -1 END) AS BIGINT) AS c
+      FROM (SELECT ckey, unnest(ct) AS word FROM chunks)
+      WHERE word <> ''
+      GROUP BY 1, 2
+    ),
+    cnorm AS (
+      SELECT ckey, CAST(SUM(c * c) AS BIGINT) AS n2
+      FROM ccnt GROUP BY ckey HAVING SUM(c * c) > 0
+    ),
+    {_HASHED_CNTS_CTE.strip().lstrip()},
+    qnorm AS (
+      SELECT doc_id AS query_id, CAST(SUM(c * c) AS BIGINT) AS qn2
+      FROM cnts WHERE doc_id < {_RAG_QUERIES}
+      GROUP BY doc_id HAVING SUM(c * c) > 0
+    ),
+    pairs AS (
+      SELECT q.query_id, ch.ckey, q.qn2, cn.n2
+      FROM qnorm q, chunks ch JOIN cnorm cn USING (ckey)
+      WHERE ch.doc_id <> q.query_id
+    ),
+    dots AS (
+      SELECT qc.doc_id AS query_id, cc.ckey,
+             CAST(SUM(qc.c * cc.c) AS BIGINT) AS dotp
+      FROM cnts qc JOIN ccnt cc ON qc.bucket = cc.bucket
+      WHERE qc.doc_id < {_RAG_QUERIES}
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.query_id, p.ckey,
+             ROUND(CAST(COALESCE(d.dotp, 0) AS DOUBLE)
+                   / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(p.n2 AS DOUBLE))),
+                   6) AS cos
+      FROM pairs p LEFT JOIN dots d USING (query_id, ckey)
+    ),
+    ranked AS (
+      SELECT query_id, ckey, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, ckey) AS rank
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(ckey // {_CHUNK_KEYMUL} AS BIGINT) AS doc_id,
+           CAST(ckey % {_CHUNK_KEYMUL} AS BIGINT) AS chunk_idx,
+           cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_RAG_K}
+    ORDER BY query_id, rank
+    """,
+)
+def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG indexing end-to-end: slide a {_CHUNK_SIZE}-token window
+    (stride {_CHUNK_STRIDE}) over every document, embed each CHUNK
+    through the seam, and retrieve the top-{_RAG_K} chunks per query
+    document (first {_RAG_QUERIES} docs, full-text embeddings) by exact
+    cosine — chunk-granular retrieval being what an actual RAG index
+    serves, since a relevant passage lives inside a document, not at it.
+
+    Chunks whose hashed signature cancels to the zero vector are dropped
+    on BOTH sides (unsearchable under cosine; HAVING Σc² > 0 in the
+    mirror). Same integer-exactness argument as ``embed_knn_e2e``:
+    counts are small integers, dots/norms exact, one float expression
+    per cosine — hash-checked, not rows-only.
+
+    Scale shape: chunking is a generator explode (no shuffle), chunk
+    embedding is the same Arrow-batched map as document embedding, and
+    retrieval broadcasts the query vectors against the chunk table —
+    the chunk index itself would be the LSH/IVF variant at production
+    query volume (see ``embed_knn_lsh``)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.regexp_replace(F.lower("text"), "\\s+", " ")), " ").alias("t")
+    )
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(_CHUNK_STRIDE))
+            ).alias("s"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            (F.col("doc_id") * _CHUNK_KEYMUL
+             + (F.col("s") / _CHUNK_STRIDE).cast("long")).alias("ckey"),
+            F.concat_ws(
+                " ", F.slice("t", F.col("s") + 1, _CHUNK_SIZE)
+            ).alias("text"),
+        )
+    )
+    cemb = E.embed_texts(chunks, dim=_DIM).withColumn(
+        "n2", E.embedding_norm2("embedding")
+    ).filter(F.col("n2") > 0)
+    q = (
+        _embedded_docs(spark, sf_dir)
+        .filter(F.col("doc_id") < _RAG_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+        .withColumn("qn2", E.embedding_norm2("qv"))
+        .filter(F.col("qn2") > 0)
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qv").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cemb.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "ckey",
+            F.round(
+                dot
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("n2").cast("double"))
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("ckey"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RAG_K)
+        .select(
+            "query_id",
+            F.expr(f"ckey div {_CHUNK_KEYMUL}").alias("doc_id"),
+            (F.col("ckey") % _CHUNK_KEYMUL).cast("long").alias("chunk_idx"),
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -471,3 +471,91 @@ def corpus_mixing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 widening: fixed-weight quality-filter ensemble.
+
+_ENS_TAU = 0.6  # decision threshold; calibrated so both classes occur
+
+
+@register(
+    "quality_filter_ensemble",
+    oracle=f"""
+    WITH f AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tok,
+             ROUND({_sw_count(_EN)}::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE, 6) AS swr,
+             ROUND(length(replace(text, ' ', ''))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE, 6) AS alen,
+             ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE, 6) AS ttr
+      FROM documents
+    ),
+    z AS (
+      SELECT source,
+             ROUND(1.2 * swr + 0.8 * ttr
+                   + 0.4 * least(1.0, n_tok / 128.0)
+                   - 0.08 * abs(alen - 5.0), 6) AS z
+      FROM f
+    )
+    SELECT source,
+           (z >= {_ENS_TAU}) AS passed,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(z AS DECIMAL(18,6))) AS DOUBLE) / COUNT(z), 4)
+             AS avg_score
+    FROM z
+    GROUP BY source, passed
+    ORDER BY source, passed
+    """,
+)
+def quality_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier (the deterministic stand-in
+    for a fastText/logreg quality model): four cheap signals — stopword
+    ratio, type-token ratio, capped length, mean-token-length deviation —
+    combined with frozen weights into one score, thresholded into a
+    keep/drop decision, rolled up per (source, decision).
+
+    Engine-exactness: each feature is a single rounded division of
+    integers; the combination is evaluated in the IDENTICAL operation
+    order on both engines (left-associated weighted sum), so the score —
+    and therefore the boundary decision — is bit-deterministic, no
+    epsilon band needed. Per-doc scores pass through DECIMAL before the
+    averaging sum (order-insensitive). A production deployment swaps the
+    frozen weights for trained ones; the plan (one projection, one
+    rollup, no shuffle beyond the group-by) is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = [s for lang, s in T.LANG_STOPWORDS if lang == "en"][0]
+    n_tok = T.n_tokens("text")
+    ttr = F.round(
+        F.size(F.array_distinct(T.tokens("text"))).cast("double")
+        / n_tok.cast("double"),
+        6,
+    )
+    f = docs.select(
+        "source",
+        n_tok.alias("n_tok"),
+        T.stopword_ratio("text", en).alias("swr"),
+        T.avg_token_len("text").alias("alen"),
+        ttr.alias("ttr"),
+    )
+    z = f.select(
+        "source",
+        F.round(
+            F.lit(1.2) * F.col("swr")
+            + F.lit(0.8) * F.col("ttr")
+            + F.lit(0.4)
+            * F.least(F.lit(1.0), F.col("n_tok") / F.lit(128.0))
+            - F.lit(0.08) * F.abs(F.col("alen") - F.lit(5.0)),
+            6,
+        ).alias("z"),
+    )
+    return (
+        z.groupBy("source", (F.col("z") >= _ENS_TAU).alias("passed"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("z", "avg_score"),
+        )
+        .orderBy("source", "passed")
+    )

@@ -229,6 +229,10 @@ def test_session_new_panels_on_empty_tables(spark, empty_sf_dir):
         "incremental_dedup_stats",
         "multimodal_neardup_simhash",
         "price_drift_ks",
+        "domain_cap_sampling",
+        "padding_efficiency_stats",
+        "quality_filter_ensemble",
+        "chunk_embed_topk",
         "embedding_pipeline_stats",
         "embed_knn_e2e",
         "embed_knn_lsh",
