@@ -26,6 +26,7 @@ from ..materialize import materialize, unpin
 from ..registry import register
 
 _ITERS = 10
+_PIN_EVERY = 5           # rounds chained per materialization (see loop)
 _SCALE = 10**12          # rank unit: 1e-12
 _DAMP_NUM = 850_000      # 0.85 in ppm
 _BASE_NUM = 150_000      # 0.15 in ppm
@@ -128,16 +129,22 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The edge⋈degree table is consumed by all 10 rounds — pin it ONCE,
     # coalesced so each round schedules a handful of right-sized tasks
     # instead of 32 tiny ones (measured at sf0.1: 32 parts 6.7s → 8 parts
-    # 5.5–6.1s for the full loop; a fully lazy 10-round DAG was tried and
-    # is SLOWER, 7.8–13.8s, because AQE re-plans every stage of the deep
-    # tree — per-round pinning also keeps the plan O(1) per round).
+    # 5.5–6.1s for the full loop).
     with_deg = materialize(
         edges.join(deg, edges.src == deg.node)
         .select("src", "dst", "deg")
         .coalesce(8)
     )
+    # Pinning CADENCE (round-5 re-measurement at sf0.1, 16k nodes / 1.17M
+    # directed edges): per-round pinning pays one job + one driver
+    # round-trip per round (min-of-3: 3.3s); chaining _PIN_EVERY rounds
+    # into ONE job — the inner broadcasts become stages of that job —
+    # runs 2.4s at K=2, 2.2s at K=3, 2.0s at K=5. A fully lazy 10-round
+    # DAG stays SLOWER (7.8–13.8s: AQE re-plans every stage of the deep
+    # tree), so K bounds plan depth while amortizing job overhead; a
+    # task failure retries at most K rounds of work.
     prev = None
-    for _ in range(_ITERS):
+    for i in range(_ITERS):
         # ranks is |nodes| rows — broadcast explicitly; the localCheckpoint
         # leaf hides size stats from AQE, which would otherwise shuffle.
         r = F.broadcast(ranks)
@@ -145,14 +152,14 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
             F.expr(f"(rank * {_DAMP_NUM}) div ({_PPM}L * deg)").alias("share"),
         )
-        ranks = materialize(
-            contrib.groupBy(F.col("dst").alias("node")).agg(
-                (F.lit(base) + F.sum("share")).cast("long").alias("rank")
-            )
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(base) + F.sum("share")).cast("long").alias("rank")
         )
-        # previous round has no consumers now — keep pinned state O(1)
-        unpin(prev)
-        prev = ranks
+        if i % _PIN_EVERY == _PIN_EVERY - 1 or i == _ITERS - 1:
+            ranks = materialize(ranks)
+            # earlier pinned state has no consumers now — keep it O(1)
+            unpin(prev)
+            prev = ranks
     # top-20 selection tie-breaks on the RAW node id (identical to the
     # oracle's ORDER BY rank DESC, node), then projects the display shape.
     top = ranks.orderBy(F.desc("rank"), "node").limit(20)
