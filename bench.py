@@ -150,6 +150,7 @@ HEADLINE = [
     "domain_cap_sampling",
     "padding_efficiency_stats",
     "quality_filter_ensemble",
+    "bpe_merge_candidates",
     "sequence_packing_stats",
     "corpus_mixing_stats",
     "multimodal_meta_stats",
@@ -165,6 +166,7 @@ HEADLINE = [
     "streaming_purchase_click_join",
     "streaming_enriched_segments",
     "streaming_anomaly_windows",
+    "streaming_topk_trending",
 ]
 
 

@@ -563,3 +563,64 @@ def _classify_perfp(
         )
         .orderBy("source")
     )
+
+
+@register(
+    "streaming_topk_trending",
+    oracle="""
+    WITH expanded AS (
+      SELECT e.*, date_trunc('hour', ts) - INTERVAL (h) HOUR AS window_start
+      FROM events e, range(0, 2) r(h)
+      WHERE date_trunc('hour', ts) - INTERVAL (h) HOUR + INTERVAL 2 HOUR > ts
+    ),
+    win AS (
+      SELECT window_start, event_type, COUNT(*) AS n_events
+      FROM expanded GROUP BY window_start, event_type
+    ),
+    ranked AS (
+      SELECT window_start, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type) AS rank
+      FROM win
+    )
+    SELECT window_start, event_type, n_events, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 2
+    ORDER BY window_start, rank
+    """,
+)
+def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending panel: the STREAMING ENGINE maintains overlapping
+    2-hour/1-hour-slide windows per event type (each event expands to 2
+    open windows inside the TimeWindow generator; windowed JVM state
+    handed off across micro-batches), and the drained table yields the
+    top-2 event types per window — the "what's hot right now" feed every
+    event product serves. Completes the windowed-drain set: tumbling
+    (``streaming_tumbling_hourly``), session (``streaming_sessions_*``),
+    and now sliding.
+
+    The rank screen runs batch-side on the |windows|·|types| drained
+    table (in production: per-trigger via foreachBatch on the updating
+    state); count ties break on the type name on both engines, so the
+    top-2 set is deterministic."""
+    with P.state_partitions(spark, 4):
+        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
+        wm = stream.withColumn("ts", P.as_instant("ts")).withWatermark(
+            "ts", "0 seconds"
+        )
+        agg = wm.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        win = P.run_available_now(agg, output_mode="complete")
+    win = win.select(
+        P.as_ntz("w.start").alias("window_start"), "event_type", "n_events"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        win.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 2)
+        .orderBy("window_start", "rank")
+    )

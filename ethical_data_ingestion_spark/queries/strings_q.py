@@ -310,3 +310,67 @@ def hll_union_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return groups.unionByName(merged).orderBy("grp")
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH vocab AS (
+      SELECT word, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS weight,
+             CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+      FROM vocab, unnest(range(1, len(word))) AS r(i)
+      GROUP BY 1
+    )
+    SELECT pair, weight, n_words
+    FROM pairs
+    ORDER BY weight DESC, pair
+    LIMIT 25
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of BPE tokenizer TRAINING: weight every adjacent
+    character pair by its corpus occurrence count (Σ over vocabulary of
+    word-frequency × within-word occurrences) and rank the top-25 — the
+    pair a trainer would merge first, plus the next candidates. Sennrich
+    et al.'s algorithm iterates this count-merge loop; the count is the
+    distributed-scale part (one vocabulary aggregation + one generator
+    explode over words — corpus text is scanned ONCE for the vocab, and
+    everything after runs on |vocab| rows, the same collapse the CMS
+    panel uses).
+
+    Words shorter than 2 characters generate no pairs; the explicit
+    length filter also dodges Spark's descending ``sequence(1, 0)``
+    (DuckDB's ``range(1, 1)`` is empty — an engine divergence that would
+    otherwise emit phantom pairs). Ties in the merge ranking break
+    lexicographically on the pair in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        vocab.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("i"),
+        )
+        .select(
+            F.expr("substring(word, i, 2)").alias("pair"), "word", "freq"
+        )
+        .groupBy("pair")
+        .agg(
+            F.sum("freq").cast("long").alias("weight"),
+            F.countDistinct("word").alias("n_words"),
+        )
+    )
+    return pairs.orderBy(F.desc("weight"), "pair").limit(25)

@@ -233,6 +233,7 @@ def test_session_new_panels_on_empty_tables(spark, empty_sf_dir):
         "padding_efficiency_stats",
         "quality_filter_ensemble",
         "chunk_embed_topk",
+        "bpe_merge_candidates",
         "embedding_pipeline_stats",
         "embed_knn_e2e",
         "embed_knn_lsh",
