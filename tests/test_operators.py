@@ -417,3 +417,84 @@ def test_shard_manifest_is_contiguous_and_budget_shaped(spark, sf_dir):
     # tokens give or take one document
     for r in rows[:-1]:
         assert _SHARD_TOKENS - max_len <= r.n_tokens <= _SHARD_TOKENS + max_len
+
+
+def test_domain_cap_binds_and_preserves_mass(spark, sf_dir):
+    from ethical_data_ingestion_spark.queries.curation_q import (
+        _DOMAIN_CAP,
+        domain_cap_sampling,
+    )
+
+    rows = domain_cap_sampling(spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_kept < r.n_docs for r in rows), "cap never bound"
+    for r in rows:
+        assert r.n_kept == min(r.n_docs, _DOMAIN_CAP)
+        assert 0 < r.tokens_kept <= r.tokens_total
+        # ratio column is rounded to 6 decimals
+        assert abs(r.token_keep_ratio - r.tokens_kept / r.tokens_total) < 5e-7
+
+
+def test_padding_waste_is_nonnegative_and_bounded(spark, sf_dir):
+    from ethical_data_ingestion_spark.queries.curation_q import (
+        padding_efficiency_stats,
+    )
+
+    rows = padding_efficiency_stats(spark, sf_dir).collect()
+    assert rows
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == 500  # every doc lands in exactly one bucket
+    for r in rows:
+        assert r.used_tokens <= r.padded_tokens
+        assert 0.0 <= r.padding_waste < 0.5  # log2 buckets bound max/min < 2
+        assert r.n_batches == -(-r.n_docs // 16)
+
+
+def test_quality_ensemble_partitions_the_corpus(spark, sf_dir):
+    from ethical_data_ingestion_spark.queries.text_q import (
+        quality_filter_ensemble,
+    )
+
+    rows = quality_filter_ensemble(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == 500
+    decisions = {r.passed for r in rows}
+    assert decisions == {True, False}, "threshold must split the corpus"
+
+
+def test_chunk_embed_topk_prefers_neardup_chunks(spark, sf_dir):
+    """Query docs belong to near-dup clusters in the fixture; their top
+    chunk should score far above random (cos close to 1 for at least one
+    query), and ranks must be 1..3 per query."""
+    from ethical_data_ingestion_spark.registry import QUERIES
+
+    rows = QUERIES["chunk_embed_topk"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(r.doc_id != q for r in rs)
+    assert max(r.cos for r in rows) > 0.8
+
+
+def test_bpe_merge_candidates_counts_exactly(spark, sf_dir):
+    """Cross-check the top pair's weight against a direct Python count
+    over the corpus — the estimator is exact, not approximate."""
+    from collections import Counter
+
+    from ethical_data_ingestion_spark.io import load_table
+    from ethical_data_ingestion_spark.registry import QUERIES
+
+    rows = QUERIES["bpe_merge_candidates"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    counts = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    top = rows[0]
+    assert counts[top.pair] == top.weight
+    assert top.weight == max(counts.values())

@@ -174,6 +174,24 @@ def _twins(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
             .orderBy("event_type")
         )
 
+    def trending():
+        win = (
+            ev()
+            .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        )
+        from pyspark.sql import Window as W
+
+        r = W.partitionBy("window_start").orderBy(
+            F.desc("n_events"), "event_type"
+        )
+        return (
+            win.withColumn("rank", F.row_number().over(r).cast("int"))
+            .filter(F.col("rank") <= 2)
+            .orderBy("window_start", "rank")
+        )
+
     def incr_dedup():
         from ethical_data_ingestion_spark.operators import text as T
         from ethical_data_ingestion_spark.queries.dedup_q import _is_batch
@@ -202,6 +220,7 @@ def _twins(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
         "streaming_purchase_click_join": interval_join,
         "streaming_enriched_segments": enriched,
         "streaming_anomaly_windows": anomaly,
+        "streaming_topk_trending": trending,
         "streaming_incremental_dedup": incr_dedup,
     }
 
