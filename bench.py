@@ -151,6 +151,7 @@ HEADLINE = [
     "padding_efficiency_stats",
     "quality_filter_ensemble",
     "bpe_merge_candidates",
+    "dataset_diff_stats",
     "sequence_packing_stats",
     "corpus_mixing_stats",
     "multimodal_meta_stats",

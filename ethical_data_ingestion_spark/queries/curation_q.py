@@ -644,3 +644,103 @@ def padding_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "dataset_diff_stats",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, text,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 100 AS hb
+      FROM documents
+    ),
+    v1 AS (
+      SELECT doc_id, source, md5(text) AS fp FROM h WHERE hb < 80
+    ),
+    v2 AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN hb % 5 = 0 THEN text || ' [rev2]' ELSE text END)
+               AS fp
+      FROM h WHERE hb >= 10
+    ),
+    d AS (
+      SELECT COALESCE(v1.source, v2.source) AS source,
+             CASE
+               WHEN v1.doc_id IS NULL THEN 'added'
+               WHEN v2.doc_id IS NULL THEN 'removed'
+               WHEN v1.fp <> v2.fp THEN 'changed'
+               ELSE 'unchanged'
+             END AS status
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unchanged
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dataset_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: reconcile two corpus snapshots by primary key
+    + content fingerprint and report added/removed/changed/unchanged per
+    source — the audit every versioned-dataset release runs (and the
+    row-level complement of ``order_revenue_reconciliation``'s aggregate
+    drift attribution).
+
+    The two snapshots are carved DETERMINISTICALLY from the one fixture
+    (md5 buckets: v1 = buckets <80, v2 = buckets ≥10 with every 5th
+    bucket's text revised), so the diff exercises all four statuses with
+    an engine-exact construction. Plan shape: one full-outer hash join on
+    the key with md5 fingerprints computed in the scan projections —
+    content never crosses the shuffle, only (key, fp) — then a map-side
+    combined rollup. At 100 TB both snapshots shuffle once on the key;
+    with both snapshots bucketed on the key (``catalog.save_bucketed``)
+    the join runs shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    hb = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    h = docs.select("doc_id", "source", "text", hb.alias("hb"))
+    v1 = h.filter(F.col("hb") < 80).select(
+        F.col("doc_id").alias("id1"),
+        F.col("source").alias("src1"),
+        F.md5("text").alias("fp1"),
+    )
+    v2 = h.filter(F.col("hb") >= 10).select(
+        F.col("doc_id").alias("id2"),
+        F.col("source").alias("src2"),
+        F.md5(
+            F.when(
+                F.col("hb") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("fp2"),
+    )
+    d = v1.join(v2, v1.id1 == v2.id2, "full_outer").select(
+        F.coalesce("src1", "src2").alias("source"),
+        F.when(F.col("id1").isNull(), "added")
+        .when(F.col("id2").isNull(), "removed")
+        .when(F.col("fp1") != F.col("fp2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            *[
+                F.sum((F.col("status") == s).cast("long"))
+                .cast("long")
+                .alias(f"n_{s}")
+                for s in ("added", "removed", "changed", "unchanged")
+            ]
+        )
+        .orderBy("source")
+    )

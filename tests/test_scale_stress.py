@@ -234,6 +234,7 @@ def test_session_new_panels_on_empty_tables(spark, empty_sf_dir):
         "quality_filter_ensemble",
         "chunk_embed_topk",
         "bpe_merge_candidates",
+        "dataset_diff_stats",
         "embedding_pipeline_stats",
         "embed_knn_e2e",
         "embed_knn_lsh",
