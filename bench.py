@@ -152,6 +152,8 @@ HEADLINE = [
     "quality_filter_ensemble",
     "bpe_merge_candidates",
     "dataset_diff_stats",
+    "join_skew_report",
+    "corr_matrix_lineitem",
     "sequence_packing_stats",
     "corpus_mixing_stats",
     "multimodal_meta_stats",

@@ -999,3 +999,164 @@ def price_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_values).alias("n_values"),
         "ks_stat",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 widening: join-planning and profiling panels.
+
+#: (table, key column) pairs every big join in the suite shuffles on —
+#: the keys whose skew decides task stragglers at 100 TB.
+_SKEW_COLS = [
+    ("events", "user_id"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+]
+
+
+def _skew_sql_one(tbl: str, col: str) -> str:
+    return f"""
+      SELECT '{tbl}.{col}' AS key_col,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+             ROUND(MAX(cnt)::DOUBLE * COUNT(*)::DOUBLE / SUM(cnt)::DOUBLE, 4)
+               AS skew_factor,
+             ROUND(MAX(cnt)::DOUBLE / SUM(cnt)::DOUBLE, 6) AS top_key_share
+      FROM (SELECT {col}, COUNT(*) AS cnt FROM {tbl} GROUP BY {col})
+    """
+
+
+@register(
+    "join_skew_report",
+    oracle="SELECT * FROM ("
+    + " UNION ALL ".join(_skew_sql_one(t, c) for t, c in _SKEW_COLS)
+    + ") ORDER BY key_col",
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report: for every key the suite's big joins shuffle
+    on — row count, distinct keys, the hottest key's row count, the skew
+    factor (max/mean key size), and the hottest key's share of the table.
+    This is the panel a 100-TB job author reads BEFORE picking a join
+    strategy: skew_factor near 1 ⇒ plain shuffle join; tens ⇒ AQE skew
+    splitting suffices; hundreds+ ⇒ reach for ``operators/skew.py``'s
+    explicit salting. (The fixtures are deliberately skewed on
+    ``events.user_id`` — the salted-join demos exist because of it.)
+
+    One aggregation per key column (map-side combined — the shuffle
+    carries one row per distinct key), then a second tiny agg per column;
+    columns are independent and union at the end. max/mean and top-share
+    are single divisions of exact integers, rounded identically in the
+    mirror."""
+    outs = []
+    for tbl, col in _SKEW_COLS:
+        per = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        outs.append(
+            per.agg(
+                F.lit(f"{tbl}.{col}").alias("key_col"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("cnt").cast("long").alias("max_key_rows"),
+                F.round(
+                    F.max("cnt").cast("double")
+                    * F.count(F.lit(1)).cast("double")
+                    / F.sum("cnt").cast("double"),
+                    4,
+                ).alias("skew_factor"),
+                F.round(
+                    F.max("cnt").cast("double") / F.sum("cnt").cast("double"),
+                    6,
+                ).alias("top_key_share"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("key_col")
+
+
+#: lineitem numeric columns correlated pairwise; 2-decimal money/rate
+#: values, so decimal accumulation keeps every sum EXACT.
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_sql() -> str:
+    sums = ",\n             ".join(
+        f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c},\n"
+        f"             CAST(SUM(CAST({c} AS DECIMAL(18,2))"
+        f" * CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS ss_{c}"
+        for c in _CORR_COLS
+    )
+    xs = ",\n             ".join(
+        f"CAST(SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)))"
+        f" AS DOUBLE) AS sp_{a}_{b}"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    )
+    pair_rows = " UNION ALL ".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+              ROUND((n * sp_{a}_{b} - s_{a} * s_{b})
+                    / (sqrt(n * ss_{a} - s_{a} * s_{a})
+                       * sqrt(n * ss_{b} - s_{b} * s_{b})), 6) AS corr
+            FROM sums"""
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    )
+    return f"""
+    WITH sums AS (
+      SELECT COUNT(*)::DOUBLE AS n,
+             {sums},
+             {xs}
+      FROM lineitem
+    )
+    SELECT * FROM ({pair_rows}) ORDER BY col_a, col_b
+    """
+
+
+@register("corr_matrix_lineitem", oracle=_corr_sql())
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between lineitem's numeric columns
+    in ONE scan — the feature-relevance profile a modeling pipeline runs
+    before training. All accumulation is DECIMAL-EXACT (2-decimal inputs,
+    4-decimal products — partition-order-proof), so the correlation is a
+    deterministic double expression over exact sums, identical on both
+    engines and safe to hash after rounding; a naive double Σxy would
+    hash-flicker with partition order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec[c]).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(dec[c] * dec[c]).cast("double").alias(f"ss_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(dec[a] * dec[b]).cast("double").alias(f"sp_{a}_{b}"))
+    sums = li.agg(*aggs)
+    n = F.col("n")
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            n.alias("n"),
+            F.round(
+                (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+                / (
+                    F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                    * F.sqrt(n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+                ),
+                6,
+            ).alias("corr"),
+        )
+        for a, b in pairs
+    ]
+    return (
+        sums.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.col_a", "r.col_b", "r.n", "r.corr")
+        .orderBy("col_a", "col_b")
+    )
