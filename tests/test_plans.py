@@ -255,3 +255,41 @@ def test_session_new_queries_keep_their_scale_shapes(spark, sf_dir):
     # hll union: one scan, one agg exchange; sketches merge map-side
     df = _q(spark, sf_dir, "hll_union_cardinality")
     assert plans.shuffle_count(df) <= 4
+
+
+def test_round5_queries_keep_their_scale_shapes(spark, sf_dir):
+    """Plan pins for the round-5 additions."""
+    # domain cap: the window partitions by source — no single-partition
+    # global sort; the only wide ops are source-keyed
+    df = _q(spark, sf_dir, "domain_cap_sampling")
+    plan = plans.formatted_plan(df)
+    assert "Cartesian" not in plan
+    assert "partitionBy" not in plan or "source" in plan
+
+    # padding audit: bucket-partitioned window only, map-side-combined agg
+    df = _q(spark, sf_dir, "padding_efficiency_stats")
+    assert "Cartesian" not in plans.formatted_plan(df)
+
+    # ensemble: one projection + one rollup — no join at all
+    df = _q(spark, sf_dir, "quality_filter_ensemble")
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan
+    assert plans.shuffle_count(df) <= 2  # groupBy + final order
+
+    # skew report: per-column aggs, never a join
+    df = _q(spark, sf_dir, "join_skew_report")
+    assert "Join" not in plans.formatted_plan(df)
+
+    # corr matrix: ONE scan of lineitem (single-row agg, then explode)
+    df = _q(spark, sf_dir, "corr_matrix_lineitem")
+    assert len(plans.read_schemas(df)) == 1
+
+    # diff: the full-outer join must move only (key, fingerprint) — the
+    # text column is consumed by md5 inside the scan-side projection
+    df = _q(spark, sf_dir, "dataset_diff_stats")
+    plan = plans.formatted_plan(df)
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+    # chunk retrieval: query side broadcasts; no shuffled cartesian
+    df = _q(spark, sf_dir, "chunk_embed_topk")
+    assert plans.broadcast_join_count(df) >= 1
