@@ -26,7 +26,7 @@ from ..materialize import materialize, unpin
 from ..registry import register
 
 _ITERS = 10
-_PIN_EVERY = 5           # rounds chained per materialization (see loop)
+_PIN_EVERY = 2           # rounds chained per materialization (see loop)
 _SCALE = 10**12          # rank unit: 1e-12
 _DAMP_NUM = 850_000      # 0.85 in ppm
 _BASE_NUM = 150_000      # 0.15 in ppm
@@ -135,14 +135,16 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "deg")
         .coalesce(8)
     )
-    # Pinning CADENCE (round-5 re-measurement at sf0.1, 16k nodes / 1.17M
-    # directed edges): per-round pinning pays one job + one driver
-    # round-trip per round (min-of-3: 3.3s); chaining _PIN_EVERY rounds
-    # into ONE job — the inner broadcasts become stages of that job —
-    # runs 2.4s at K=2, 2.2s at K=3, 2.0s at K=5. A fully lazy 10-round
-    # DAG stays SLOWER (7.8–13.8s: AQE re-plans every stage of the deep
-    # tree), so K bounds plan depth while amortizing job overhead; a
-    # task failure retries at most K rounds of work.
+    # Pinning CADENCE (round-5 measurements at sf0.1, 16k nodes / 1.17M
+    # directed edges): chaining _PIN_EVERY rounds into ONE job — the
+    # inner broadcasts become stages of that job — cuts job count and
+    # driver round-trips. In an ISOLATED session deeper chains win (K=1
+    # 3.3s → K=5 2.0s min-of-3), but in a loaded suite session the
+    # deep plan's codegen/AQE compile weight eats the gain (K=1/2/5 all
+    # ~3.3–3.6s, with K=5 paying the worst first-run outliers). K=2
+    # takes the job-count halving while keeping compile weight and
+    # failure-retry granularity small. A fully lazy 10-round DAG stays
+    # SLOWER everywhere (7.8–13.8s: AQE re-plans every stage).
     prev = None
     for i in range(_ITERS):
         # ranks is |nodes| rows — broadcast explicitly; the localCheckpoint
