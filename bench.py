@@ -154,6 +154,8 @@ HEADLINE = [
     "dataset_diff_stats",
     "join_skew_report",
     "corr_matrix_lineitem",
+    "tokenizer_vocab_coverage",
+    "cluster_balanced_sampling",
     "sequence_packing_stats",
     "corpus_mixing_stats",
     "multimodal_meta_stats",

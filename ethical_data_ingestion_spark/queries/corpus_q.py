@@ -702,3 +702,93 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_pairs",
         "n_drop",
     ).orderBy("cluster_id")
+
+
+@register(
+    "cluster_balanced_sampling",
+    oracle=f"""
+    WITH {{kmeans}},
+    sz AS (
+      SELECT cid, COUNT(*) AS n_points,
+             CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS quota
+      FROM a2 GROUP BY cid
+    ),
+    rk AS (
+      SELECT cid, vec_id, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+      FROM a2
+    ),
+    samp AS (
+      SELECT rk.cid, rk.vec_id, rk.label
+      FROM rk JOIN sz ON rk.cid = sz.cid
+      WHERE rk.r <= sz.quota
+    ),
+    lab AS (
+      SELECT cid, label, COUNT(*) AS c FROM samp GROUP BY cid, label
+    ),
+    major AS (
+      SELECT cid, label AS majority_label
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY cid ORDER BY c DESC, label) AS rn FROM lab)
+      WHERE rn = 1
+    )
+    SELECT sz.cid AS cluster_id,
+           sz.n_points,
+           sz.quota,
+           CAST((SELECT COUNT(*) FROM samp WHERE samp.cid = sz.cid) AS BIGINT)
+             AS n_sampled,
+           major.majority_label
+    FROM sz JOIN major ON sz.cid = major.cid
+    ORDER BY cluster_id
+    """.replace("{kmeans}", _sql_kmeans_cte()),
+)
+def cluster_balanced_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling from embedding space: draw ~√n vectors per
+    k-means cluster (sqrt-scaled quotas over-sample small clusters
+    relative to proportional draws — the cluster-balanced recipe that
+    keeps rare modes represented in a curated subset). Selection within
+    a cluster is the deterministic md5 rank (same content-independent
+    uniform draw as ``domain_cap_sampling``); the panel reports each
+    cluster's size, quota, realized sample, and the sample's majority
+    ground-truth label.
+
+    Reuses the session-shared pinned k-means assignment — a third
+    consumer of the one model artifact (after cluster stats and
+    SemDeDup), which is exactly how a production pipeline amortizes its
+    clustering. Windows partition by cluster id; everything else is
+    map-side rollup."""
+    a2 = _kmeans_a2_shared(spark, sf_dir).select("vec_id", "label", "cid")
+    sz = a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("quota"),
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    samp = (
+        a2.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(sz), "cid")
+        .filter(F.col("r") <= F.col("quota"))
+    )
+    lab = samp.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("c"))
+    wl = Window.partitionBy("cid").orderBy(F.desc("c"), "label")
+    major = (
+        lab.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("label").alias("majority_label"))
+    )
+    n_samp = samp.groupBy("cid").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        sz.join(n_samp, "cid")
+        .join(major, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_points",
+            "quota",
+            F.col("n_sampled").cast("long"),
+            "majority_label",
+        )
+        .orderBy("cluster_id")
+    )

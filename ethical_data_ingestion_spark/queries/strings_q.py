@@ -374,3 +374,73 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.orderBy(F.desc("weight"), "pair").limit(25)
+
+
+_VOCAB_N = 64  # frozen-vocabulary size for the coverage audit
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    freq AS (
+      SELECT word, COUNT(*) AS f FROM toks WHERE word <> '' GROUP BY word
+    ),
+    vocab AS (
+      SELECT word FROM freq ORDER BY f DESC, word LIMIT {_VOCAB_N}
+    )
+    SELECT t.source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.word = v.word
+    WHERE t.word <> ''
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: freeze the top-{_VOCAB_N} corpus words
+    as "the tokenizer vocabulary" and report each source's token count
+    and out-of-vocabulary rate — the panel that decides whether a
+    tokenizer trained on one distribution fits an incoming source (high
+    OOV ⇒ re-train or re-weight; pairs with ``bpe_merge_candidates``,
+    which builds the vocabulary this audits).
+
+    Scale shape: vocabulary selection is a TakeOrderedAndProject over
+    the word-frequency table; the coverage pass BROADCASTS the tiny
+    frozen vocab against the token stream (left join, no corpus
+    shuffle), then rolls up per source map-side. Frequency ties at the
+    vocabulary boundary break lexicographically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("source", F.explode(T.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), "word")
+        .limit(_VOCAB_N)
+        .select("word")
+        .withColumn("_in", F.lit(1))
+    )
+    oov = F.col("_in").isNull()
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov.cast("long")).cast("long").alias("n_oov"),
+            F.round(
+                F.sum(oov.cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

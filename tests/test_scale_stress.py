@@ -235,6 +235,8 @@ def test_session_new_panels_on_empty_tables(spark, empty_sf_dir):
         "chunk_embed_topk",
         "bpe_merge_candidates",
         "dataset_diff_stats",
+        "tokenizer_vocab_coverage",
+        "cluster_balanced_sampling",
         "embedding_pipeline_stats",
         "embed_knn_e2e",
         "embed_knn_lsh",
