@@ -107,11 +107,19 @@ def compact(
     # compaction must stage to a scratch dir and rename.
     src_q = str(fs.makeQualified(jpath))
     dst_q = str(fs.makeQualified(jvm.org.apache.hadoop.fs.Path(dst)))
-    if dst_q == src_q or dst_q.startswith(src_q.rstrip("/") + "/"):
+    # containment in EITHER direction destroys the source: dst inside src
+    # deletes the files mid-read; src inside dst is deleted by the
+    # recursive overwrite of dst before the scan runs.
+    if (
+        dst_q == src_q
+        or dst_q.startswith(src_q.rstrip("/") + "/")
+        or src_q.startswith(dst_q.rstrip("/") + "/")
+    ):
         raise ValueError(
-            f"compact destination {dst_q!r} equals or is inside source "
-            f"{src_q!r}; overwrite would delete the source part-files the "
-            "lazy read depends on — stage to a separate dir and rename"
+            f"compact destination {dst_q!r} overlaps source {src_q!r} "
+            "(equal or one contains the other); overwrite would delete the "
+            "source part-files the lazy read depends on — stage to a "
+            "separate dir and rename"
         )
     bytes_in = fs.getContentSummary(jpath).getLength()
 

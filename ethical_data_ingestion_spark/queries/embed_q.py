@@ -103,12 +103,26 @@ def embedding_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _searchable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded docs restricted to non-zero signatures: a zero vector is
+    unsearchable under cosine (Spark would score 0/0 = NaN, which sorts
+    ABOVE every real score under a descending order, while the oracle's
+    counts CTE simply has no rows for it) — filtered on BOTH sides, the
+    same rule ``chunk_embed_topk`` applies to chunks (mirror: HAVING
+    Σc² > 0). The shipped fixtures contain no such doc; the filter keeps
+    the pair correct when the corpus changes."""
+    return _embedded_docs(spark, sf_dir).filter(
+        E.embedding_norm2("embedding") > 0
+    )
+
+
 @register(
     "embed_knn_e2e",
     oracle=f"""
     WITH {_HASHED_CNTS_CTE},
     norms AS (
-      SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM cnts GROUP BY doc_id
+      SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM cnts
+      GROUP BY doc_id HAVING SUM(c * c) > 0
     ),
     pairs AS (
       SELECT q.doc_id AS query_id, b.doc_id AS vec_id,
@@ -152,7 +166,7 @@ def embed_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``zip_with`` fold — both exact integers, so the cosines agree bitwise
     before rounding.
     """
-    emb = _embedded_docs(spark, sf_dir)
+    emb = _searchable_docs(spark, sf_dir)
     base = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
     queries = emb.filter(F.col("doc_id") < _N_QUERIES).select(
         F.col("doc_id").alias("query_id"), "embedding"
@@ -168,7 +182,7 @@ def embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket) equi-join, so per-query cost is bucket-sized, not
     corpus-sized. Recall vs :func:`embed_knn_e2e`'s exact truth is
     bounded in ``tests/test_embed.py``."""
-    emb = _embedded_docs(spark, sf_dir)
+    emb = _searchable_docs(spark, sf_dir)
     base = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
     queries = emb.filter(F.col("doc_id") < _N_QUERIES).select(
         F.col("doc_id").alias("query_id"), "embedding"

@@ -417,7 +417,10 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), then rolls up per source map-side. Frequency ties at the
     vocabulary boundary break lexicographically in both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
+    # pinned: the explode feeds BOTH the vocabulary aggregation and the
+    # coverage join's probe side, and Catalyst does not share common
+    # subtrees across them — unpinned, the corpus parses twice
+    toks = materialize(
         docs.select("source", F.explode(T.tokens("text")).alias("word"))
         .filter(F.col("word") != "")
     )

@@ -109,11 +109,24 @@ def test_compact_refuses_in_place_overwrite(spark, tmp_path):
 
     src = str(tmp_path / "t")
     spark.range(10).write.parquet(src)
-    with pytest.raises(ValueError, match="inside source|equals"):
+    with pytest.raises(ValueError, match="overlaps"):
         compact(spark, src, src)
-    with pytest.raises(ValueError, match="inside source|equals"):
+    with pytest.raises(ValueError, match="overlaps"):
         compact(spark, src, src + "/sub")
     # sibling with a shared name PREFIX is fine (prefix check must be
     # path-segment-aware)
     stats = compact(spark, src, src + "_out")
     assert stats["files_out"] >= 1
+
+
+def test_compact_refuses_parent_dir_overwrite(spark, tmp_path):
+    """src inside dst is the other destructive direction: the recursive
+    overwrite of dst deletes src before the lazy read runs."""
+    import pytest
+
+    from ethical_data_ingestion_spark.export import compact
+
+    src = str(tmp_path / "t" / "staging")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="overlaps"):
+        compact(spark, src, str(tmp_path / "t"))
