@@ -102,6 +102,7 @@ HEADLINE = [
     "token_count_bpe",
     "word_frequency_topk",
     "text_repetition_stats",
+    "bigram_lm_perplexity",
     "doc_fingerprints",
     "lang_id_confusion",
     "stratified_sample_stats",
@@ -130,6 +131,7 @@ HEADLINE = [
     "bloom_decontam_stats",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
+    "minhash_recall_stats",
     "incremental_dedup_stats",
     "dedup_simhash",
     "neardup_clusters",

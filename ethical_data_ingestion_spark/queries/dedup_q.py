@@ -468,3 +468,108 @@ def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "minhash_recall_stats",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS h1s,
+             list_transform(shingles,
+               s -> ('0x' || substring(md5(s), 9, 8))::BIGINT) AS h2s
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               i -> list_min(list_transform(range(1, len(h1s) + 1),
+                 x -> (h1s[x] + i * h2s[x]) % 4294967296))) AS sig
+      FROM hs
+    ),
+    bands AS (
+      SELECT doc_id, j AS band_idx,
+             md5(array_to_string(
+               list_transform(sig[j*4+1:j*4+4], v -> CAST(v AS VARCHAR)),
+               ',')) AS band_key
+      FROM sig, range(0, 4) r(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    {_EXACT_JACCARD}
+    , truth AS (SELECT id1, id2 FROM jacc WHERE jaccard >= 0.8),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+             (SELECT COUNT(*) FROM cand) AS n_candidates,
+             (SELECT COUNT(*) FROM cand JOIN truth USING (id1, id2)) AS n_hits
+    )
+    SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN n_true_pairs = 0 THEN 1.0
+                ELSE ROUND(n_hits::DOUBLE / n_true_pairs::DOUBLE, 6)
+           END AS recall,
+           CASE WHEN n_candidates = 0 THEN 1.0
+                ELSE ROUND(n_hits::DOUBLE / n_candidates::DOUBLE, 6)
+           END AS candidate_precision
+    FROM agg
+    """,
+)
+def minhash_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality panel for the DEDUP family — the analogue of
+    ``knn_lsh_recall_stats`` on the similarity side: band-collision
+    candidates vs the exact-Jaccard truth set, reporting recall (what
+    fraction of true ≥0.8 pairs the 4×4 banding catches) and candidate
+    precision (how much of the candidate volume is real). These two
+    numbers ARE the LSH parameter trade — more bands buy recall with
+    candidate volume — and a pipeline re-tunes (bands, rows) against
+    exactly this panel on a corpus sample before a full run.
+
+    Everything derives from the session-shared shingle sets: signatures
+    and banding from the same md5 Carter-Wegman scheme the oracle
+    mirrors bit-for-bit, truth from the inverted-index exact join —
+    hash-checked end to end (empty corpus ⇒ vacuous 1.0s, mirrored)."""
+    sets = _doc_sets(spark, sf_dir)
+    sig = D._minhash_from_sets(sets, "doc_id", 16)
+    cands = materialize(D.minhash_band_candidates(sig, "doc_id", 16, 4))
+    truth = materialize(
+        _build_jaccard_pairs(spark, sf_dir).select("id1", "id2")
+    )
+    t = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    c = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    h = cands.join(truth, ["id1", "id2"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            F.when(F.col("n_true_pairs") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_true_pairs").cast("double"),
+                    6,
+                )
+            )
+            .alias("recall"),
+            F.when(F.col("n_candidates") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_candidates").cast("double"),
+                    6,
+                )
+            )
+            .alias("candidate_precision"),
+        )
+    )

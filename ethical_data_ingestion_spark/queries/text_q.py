@@ -559,3 +559,121 @@ def quality_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "passed")
     )
+
+
+_LM_A = 0.5  # add-k smoothing mass
+
+
+@register(
+    "bigram_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    v AS (
+      SELECT COUNT(DISTINCT word) AS v
+      FROM (SELECT unnest(t) AS word FROM toks)
+    ),
+    terms AS (
+      SELECT bg.doc_id, bg.source,
+             CAST(ROUND(
+               -ln((c12.c12 + {_LM_A}) / (c1.c1 + {_LM_A} * v.v)),
+               8) AS DECIMAL(18,8)) AS nll
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    ),
+    perdoc AS (
+      SELECT doc_id, source,
+             ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS ce
+      FROM terms GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_ce,
+           MIN(ce) AS min_ce,
+           MAX(ce) AS max_ce
+    FROM perdoc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model cross-entropy per document (add-{_LM_A}
+    smoothing), rolled up per source — the KenLM-style perplexity filter
+    every CCNet-descended pipeline runs, with the corpus itself as the
+    LM training set. High cross-entropy flags documents whose word
+    transitions the corpus finds surprising (boilerplate, shuffled text,
+    wrong language); pairs with ``unigram_kl_quality``, which scores the
+    marginal distribution where this scores the TRANSITIONS.
+
+    Scale shape: bigram extraction is a generator explode; model
+    estimation is two map-side-combined counts bounded by |bigram types|
+    and |vocab|; scoring joins the (small) model tables back to the
+    bigram stream on their keys. Float discipline is the suite's
+    ln-round-8→DECIMAL pattern, so per-doc sums are partition-order
+    proof; per-doc ce rounds to 6 before the source-level decimal
+    average."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    v = toks.select(F.explode("t").alias("word")).agg(
+        F.countDistinct("word").alias("v")
+    )
+    terms = (
+        bg.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                -F.log(
+                    (F.col("c12") + _LM_A)
+                    / (F.col("c1") + _LM_A * F.col("v"))
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("nll"),
+        )
+    )
+    perdoc = terms.groupBy("doc_id", "source").agg(
+        F.round(
+            F.sum("nll").cast("double") / F.count(F.lit(1)), 6
+        ).alias("ce")
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("ce", "avg_ce"),
+            F.min("ce").alias("min_ce"),
+            F.max("ce").alias("max_ce"),
+        )
+        .orderBy("source")
+    )

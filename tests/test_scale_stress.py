@@ -237,12 +237,19 @@ def test_session_new_panels_on_empty_tables(spark, empty_sf_dir):
         "dataset_diff_stats",
         "tokenizer_vocab_coverage",
         "cluster_balanced_sampling",
+        "bigram_lm_perplexity",
         "embedding_pipeline_stats",
         "embed_knn_e2e",
         "embed_knn_lsh",
     ):
         rows = QUERIES[name](spark, empty_sf_dir).collect()
         assert rows == [], f"{name} on empty input returned {rows[:3]}"
+    # the recall panel is a scalar summary: on an empty corpus it returns
+    # ONE vacuous row (0 pairs, recall/precision 1.0) on BOTH engines —
+    # its designed empty shape, not a leak of NULLs
+    rows = QUERIES["minhash_recall_stats"](spark, empty_sf_dir).collect()
+    assert len(rows) == 1 and rows[0].n_true_pairs == 0
+    assert rows[0].recall == 1.0 and rows[0].candidate_precision == 1.0
 
 
 @pytest.mark.slow
