@@ -103,6 +103,7 @@ HEADLINE = [
     "word_frequency_topk",
     "text_repetition_stats",
     "bigram_lm_perplexity",
+    "lexicon_screen_stats",
     "doc_fingerprints",
     "lang_id_confusion",
     "stratified_sample_stats",
@@ -141,6 +142,7 @@ HEADLINE = [
     "knn_cosine_lsh",
     "knn_lsh_recall_stats",
     "knn_cosine_ivf",
+    "contrastive_pair_mining",
     "embedding_quantization_stats",
     "product_quantization_stats",
     "embedding_kmeans_stats",

@@ -460,3 +460,102 @@ def product_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_CPM_ANCHORS = 10
+
+
+@register(
+    "contrastive_pair_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {_CPM_ANCHORS}
+    ),
+    b AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings
+    ),
+    scored AS (
+      SELECT q.anchor_id, q.anchor_label, b.vec_id, b.label,
+             ROUND(list_dot_product(qv, bv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(bv, bv))), 6) AS cos
+      FROM q, b WHERE b.vec_id <> q.anchor_id
+    ),
+    pos AS (
+      SELECT anchor_id, vec_id AS positive_id, cos AS positive_cos
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rn
+            FROM scored WHERE label = anchor_label)
+      WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor_id, vec_id AS hard_negative_id, cos AS hard_negative_cos
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rn
+            FROM scored WHERE label <> anchor_label)
+      WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.positive_id, p.positive_cos,
+           n.hard_negative_id, n.hard_negative_cos
+    FROM pos p JOIN neg n USING (anchor_id)
+    ORDER BY anchor_id
+    """,
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair mining for contrastive/metric learning: for each
+    anchor vector, the nearest SAME-label neighbor (the positive) and
+    the nearest DIFFERENT-label neighbor (the hard negative — the pair
+    that actually moves a contrastive loss, vs a random negative that is
+    already far). This is the batch-mining pass behind triplet/InfoNCE
+    dataset construction.
+
+    One broadcast of the anchor set against the corpus scan (same
+    shuffle-free shape as ``knn_cosine_bruteforce``); the per-anchor
+    argmaxes are label-partitioned window heads over the scored rows.
+    At index scale the scored set comes from the LSH/IVF candidate
+    paths instead of the full scan — the mining logic is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _CPM_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        S.as_double("embedding").alias("_qv"),
+    )
+    b = emb.select(
+        "vec_id", "label", S.as_double("embedding").alias("_bv")
+    )
+    scored = (
+        b.join(F.broadcast(q), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            F.round(S.cosine(F.col("_qv"), F.col("_bv")), 6).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), "vec_id")
+    pos = (
+        scored.filter(F.col("label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("positive_id"),
+            F.col("cos").alias("positive_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("hard_negative_id"),
+            F.col("cos").alias("hard_negative_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id").orderBy("anchor_id")

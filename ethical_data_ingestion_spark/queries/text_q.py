@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..materialize import materialize
 from ..operators import text as T
 from ..operators.analytics import davg
 from ..registry import register
@@ -674,6 +675,95 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("ce", "avg_ce"),
             F.min("ce").alias("min_ce"),
             F.max("ce").alias("max_ce"),
+        )
+        .orderBy("source")
+    )
+
+
+# lexicon rank window for the screen's stand-in blocklist (see below)
+_LEX_LO, _LEX_HI = 10, 12
+
+
+@register(
+    "lexicon_screen_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    freq AS (
+      SELECT word, COUNT(*) AS f FROM toks WHERE word <> '' GROUP BY word
+    ),
+    lex AS (
+      SELECT word FROM (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY f DESC, word) AS r FROM freq
+      ) WHERE r BETWEEN {_LEX_LO} AND {_LEX_HI}
+    ),
+    hits AS (
+      SELECT t.doc_id, t.source, COUNT(l.word) AS n_hits
+      FROM toks t LEFT JOIN lex l ON t.word = l.word
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           ROUND(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 6) AS flag_rate
+    FROM hits
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def lexicon_screen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist safety screen: flag documents containing any blocklist
+    term and report per-source flag rates and hit mass — the
+    lexicon-based tier (toxicity/NSFW/spam wordlists) every corpus
+    safety pipeline runs before model-based classifiers. The blocklist
+    here is a deterministic stand-in (corpus frequency ranks
+    {_LEX_LO}–{_LEX_HI}, so the fixture exercises non-zero rates without
+    shipping a real toxicity lexicon); a production run broadcasts its
+    actual wordlist into the same plan.
+
+    Scale shape: the lexicon is tiny — BROADCAST against the token
+    stream (left join, no corpus shuffle); per-doc hit counts combine
+    map-side, the per-source rollup is trivial. Document-level flags
+    rather than token redaction: the drop/keep decision is the
+    screen's product (redaction lives in ``operators/text.redact_pii``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = materialize(
+        docs.select(
+            "doc_id", "source", F.explode(T.tokens("text")).alias("word")
+        ).filter(F.col("word") != "")
+    )
+    from pyspark.sql import Window
+
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    lex = (
+        freq.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("f"), "word"))
+        )
+        .filter(F.col("r").between(_LEX_LO, _LEX_HI))
+        .select("word")
+        .withColumn("_hit", F.lit(1))
+    )
+    hits = (
+        toks.join(F.broadcast(lex), "word", "left")
+        .groupBy("doc_id", "source")
+        .agg(F.count("_hit").alias("n_hits"))
+    )
+    flagged = (F.col("n_hits") > 0).cast("long")
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flagged).cast("long").alias("n_flagged"),
+            F.sum("n_hits").cast("long").alias("total_hits"),
+            F.round(
+                F.sum(flagged).cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("flag_rate"),
         )
         .orderBy("source")
     )

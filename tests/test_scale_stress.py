@@ -238,6 +238,8 @@ def test_session_new_panels_on_empty_tables(spark, empty_sf_dir):
         "tokenizer_vocab_coverage",
         "cluster_balanced_sampling",
         "bigram_lm_perplexity",
+        "lexicon_screen_stats",
+        "contrastive_pair_mining",
         "embedding_pipeline_stats",
         "embed_knn_e2e",
         "embed_knn_lsh",
