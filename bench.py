@@ -85,6 +85,8 @@ HEADLINE = [
     "approx_order_stats",
     "gap_fill_daily",
     "moving_avg_7d",
+    "time_decay_scores",
+    "cusum_changepoint",
     "activity_bitmap_stats",
     "funnel_conversion",
     "retention_cohorts",

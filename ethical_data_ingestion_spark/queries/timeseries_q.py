@@ -423,3 +423,177 @@ def event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 widening: recency weighting and changepoint detection.
+
+#: Daily decay-weight table for a 7-day half-life, PRECOMPUTED in Python
+#: and embedded as the same decimal literals in both engines: libm exp()
+#: is not guaranteed correctly rounded, so evaluating exp per row risks
+#: last-ulp divergence at rounding boundaries; a shared literal table is
+#: deterministic by construction. 64 entries cover any fixture span;
+#: ages beyond the table decay to 0 (the weight is < 2e-3 by day 63).
+import math as _math
+
+_DECAY_WEIGHTS = [
+    round(_math.exp(-_math.log(2) / 7 * d), 10) for d in range(64)
+]
+
+
+def _decay_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {w!r}" for d, w in enumerate(_DECAY_WEIGHTS)
+    )
+    return f"CASE age_day {whens} ELSE 0.0 END"
+
+
+@register(
+    "time_decay_scores",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT CAST(floor(epoch(MAX(ts))) AS BIGINT) AS mx FROM events
+    ),
+    aged AS (
+      SELECT event_type, value,
+             CAST((anchor.mx - CAST(floor(epoch(ts)) AS BIGINT)) // 86400
+                  AS INTEGER) AS age_day
+      FROM events, anchor
+    ),
+    w AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(18,8)) AS pv,
+             CAST(ROUND(value * ({{decay_case}}), 8) AS DECIMAL(18,8)) AS wv
+      FROM aged
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(pv) AS DOUBLE), 4) AS plain_sum,
+           ROUND(CAST(SUM(wv) AS DOUBLE), 4) AS decayed_sum,
+           ROUND(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(pv) AS DOUBLE), 6)
+             AS freshness_ratio
+    FROM w
+    GROUP BY event_type
+    ORDER BY event_type
+    """.replace("{decay_case}", _decay_case_sql()),
+)
+def time_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay aggregates (7-day half-life at daily
+    granularity, anchored at the newest event): the recency-weighted
+    totals behind trending scores, decayed user affinities, and
+    freshness-weighted feature stores — where a plain SUM treats a
+    month-old event like today's. The freshness ratio (decayed/plain)
+    per type quantifies how front-loaded each type's value mass is.
+
+    Engine-exactness: ages are WHOLE days of whole seconds (DuckDB's
+    fractional ``epoch()`` floored to match Spark's truncating
+    ``unix_timestamp``), and the weights come from a precomputed literal
+    table shared by both engines — no per-row libm ``exp`` whose
+    last-ulp behavior differs across platforms. Weighted values round
+    to 8 and sum in DECIMAL (partition-order-proof). One map-side
+    combined pass; the anchor is a scalar aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.unix_timestamp(F.max("ts")).alias("mx"))
+    age_day = F.expr("(mx - unix_timestamp(ts)) div 86400").cast("int")
+    weight = F.element_at(
+        F.array(*[F.lit(w) for w in _DECAY_WEIGHTS]),
+        F.least(age_day, F.lit(len(_DECAY_WEIGHTS) - 1)) + 1,
+    )
+    # element_at covers ages 0..62; exact-age-63+ rows take the table's
+    # last entry on the Spark side vs 0.0 in SQL — guard to 0 beyond the
+    # table to match the mirror exactly
+    weight = F.when(age_day < len(_DECAY_WEIGHTS), weight).otherwise(F.lit(0.0))
+    w = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").cast("decimal(18,8)").alias("pv"),
+        F.round(F.col("value") * weight, 8).cast("decimal(18,8)").alias("wv"),
+    )
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("pv").cast("double"), 4).alias("plain_sum"),
+            F.round(F.sum("wv").cast("double"), 4).alias("decayed_sum"),
+            F.round(
+                F.sum("wv").cast("double") / F.sum("pv").cast("double"), 6
+            ).alias("freshness_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_days, CAST(SUM(x) AS BIGINT) AS total FROM daily
+    ),
+    pref AS (
+      SELECT day,
+             ROW_NUMBER() OVER (ORDER BY day) AS i,
+             SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cx
+      FROM daily
+    ),
+    s AS (
+      SELECT day,
+             CAST(tot.n_days * cx - pref.i * tot.total AS BIGINT) AS s_scaled
+      FROM pref, tot
+    )
+    SELECT (SELECT n_days FROM tot) AS n_days,
+           (SELECT total FROM tot) AS total_events,
+           day AS changepoint_day,
+           CAST(abs(s_scaled) AS BIGINT) AS max_cusum_scaled
+    FROM s
+    ORDER BY abs(s_scaled) DESC, day
+    LIMIT 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily event-count series: the
+    day where the cumulative deviation from the overall mean peaks — the
+    classic level-shift locator for "when did traffic change". Scaled to
+    stay INTEGER-exact: S'_d = n_days·Σ_{i≤d}x_i − d·total is n_days
+    times the usual CUSUM, so the argmax is identical and every value is
+    a BIGINT (no mean-as-double anywhere — the statistic itself is
+    hash-checked, not just the location).
+
+    The daily rollup is corpus-scale (map-side combined); everything
+    after runs on |days| rows, where the unbounded window is the
+    documented benign k-row case. Ties break on the earliest day in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    wd = Window.orderBy("day")
+    pref = daily.select(
+        "day",
+        F.row_number().over(wd).alias("i"),
+        F.sum("x").over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias("cx"),
+    )
+    s = pref.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_days",
+        "total",
+        (F.col("n_days") * F.col("cx") - F.col("i") * F.col("total"))
+        .cast("long")
+        .alias("s_scaled"),
+    )
+    return (
+        s.orderBy(F.abs(F.col("s_scaled")).desc(), "day")
+        .limit(1)
+        .select(
+            "n_days",
+            F.col("total").alias("total_events"),
+            F.col("day").alias("changepoint_day"),
+            F.abs(F.col("s_scaled")).cast("long").alias("max_cusum_scaled"),
+        )
+    )
