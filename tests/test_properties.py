@@ -143,3 +143,52 @@ def test_ntile_closed_form_matches_spark_ntile(spark, n, k):
         closed.alias("closed"), F.ntile(k).over(w).alias("native")
     ).filter(F.col("closed") != F.col("native"))
     assert out.count() == 0
+
+
+# --- hashed-projection embedder stand-in (operators/embed.py) ----------
+
+_doc_texts = st.lists(
+    st.text(alphabet="abcdef gh\t", min_size=0, max_size=80),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_doc_texts)
+def test_hashed_embedder_mass_conservation(texts):
+    """Pure-Python properties of the stand-in model (no Spark needed):
+    each token contributes exactly ±1 to exactly one bucket, so the sum
+    of |components| is ≤ token count (cancellation only reduces it) and
+    the L1 mass has token-count parity; nnz ≤ min(dim, tokens)."""
+    import numpy as np
+
+    from ethical_data_ingestion_spark.operators.embed import (
+        hashed_projection_model,
+    )
+
+    model = hashed_projection_model(dim=16)
+    out = model(texts)
+    assert out.shape == (len(texts), 16)
+    for t, vec in zip(texts, out):
+        n_tok = len(t.lower().split())
+        l1 = int(np.abs(vec).sum())
+        assert l1 <= n_tok
+        assert (n_tok - l1) % 2 == 0  # cancellation removes ±1 PAIRS
+        assert int((vec != 0).sum()) <= min(16, n_tok)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet="abc d", min_size=1, max_size=60))
+def test_hashed_embedder_batch_invariance(text):
+    """A text's vector must not depend on its batch neighbors — the
+    property that makes the Arrow-batched UDF deterministic under any
+    partitioning."""
+    from ethical_data_ingestion_spark.operators.embed import (
+        hashed_projection_model,
+    )
+
+    model = hashed_projection_model(dim=32)
+    alone = model([text])[0]
+    batched = model(["padding one", text, "padding two"])[1]
+    assert (alone == batched).all()
