@@ -42,18 +42,42 @@ def _rotation_order(names: list[str]) -> list[str]:
     still passes the full local gate (tests/test_oracle_gate.py) every
     CI run regardless of position. Falls back to registration order if
     no round files are readable.
+
+    Round-6 refinement (round-5 verdict item 1): a query whose MOST RECENT
+    driver row was red or errored sorts before everything else — it carries
+    an unconfirmed fix, the strongest claim on the hard signal. Previously a
+    failed query merely counted as "seen" and sat behind every never-seen
+    query for ~2-3 rounds.
     """
     here = os.path.dirname(os.path.abspath(__file__))
     last_seen: dict[str, int] = {}
+    failed_last: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             rnd = int(path.rsplit("_r", 1)[-1].split(".")[0])
-            for q in json.load(open(path)):
+            for q, row in json.load(open(path)).items():
                 last_seen[q] = rnd
+                if isinstance(row, dict):
+                    # "no_oracle" rows-only queries pass by design when the
+                    # Spark side produced rows; only hard mismatches / errors
+                    # count as red.
+                    if row.get("err") == "no_oracle":
+                        failed_last[q] = row.get("spark_rows") in (None, 0)
+                    else:
+                        ok = (
+                            row.get("err") is None
+                            and row.get("rows_match") is not False
+                            and row.get("schema_match") is not False
+                            and row.get("hash_match") is not False
+                        )
+                        failed_last[q] = not ok
         except Exception:  # malformed round file: ignore, keep rotating
             continue
     reg_pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last_seen.get(n, -1), reg_pos[n]))
+    return sorted(
+        names,
+        key=lambda n: (not failed_last.get(n, False), last_seen.get(n, -1), reg_pos[n]),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

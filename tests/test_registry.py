@@ -44,3 +44,50 @@ def test_oracle_sql_mentions_only_fixture_tables():
                 re.search(rf"\b{t}\b\s*(\(|AS\s*\()", sql, re.I)
                 or re.search(rf"(WITH|,)\s*(RECURSIVE\s+)?{t}\s*(\(.*?\))?\s+AS", sql, re.I | re.S)
             ), f"{name}: unknown table '{t}'"
+
+
+def test_rotation_pins_failed_queries_first(tmp_path, monkeypatch):
+    """A query whose most recent driver row was red sorts before never-seen
+    and green queries (round-5 verdict item 1)."""
+    import json
+
+    import __spark_entry__ as entry
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "green_q": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "spark_rows": 5, "oracle_rows": 5,
+                    "err": None},
+        "red_q": {"rows_match": True, "schema_match": True,
+                  "hash_match": False, "spark_rows": 5, "oracle_rows": 5,
+                  "err": None},
+        "rowsonly_q": {"rows_match": None, "schema_match": None,
+                       "hash_match": None, "spark_rows": 50,
+                       "oracle_rows": None, "err": "no_oracle"},
+        "err_q": {"rows_match": None, "schema_match": None,
+                  "hash_match": None, "spark_rows": None,
+                  "oracle_rows": None, "err": "boom"},
+    }))
+    monkeypatch.setattr(
+        entry.os.path, "dirname", lambda _p: str(tmp_path))
+    order = entry._rotation_order(
+        ["green_q", "red_q", "rowsonly_q", "err_q", "never_q"])
+    # red + errored first (registration order within the group), then
+    # never-seen, then the greens (rows-only with rows counts as green)
+    assert order[:2] == ["red_q", "err_q"]
+    assert order[2] == "never_q"
+    assert set(order[3:]) == {"green_q", "rowsonly_q"}
+
+
+def test_rotation_later_green_clears_earlier_red(tmp_path, monkeypatch):
+    import json
+
+    import __spark_entry__ as entry
+
+    red = {"rows_match": True, "schema_match": True, "hash_match": False,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    green = dict(red, hash_match=True)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({"q": red}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"q": green}))
+    monkeypatch.setattr(entry.os.path, "dirname", lambda _p: str(tmp_path))
+    order = entry._rotation_order(["q", "never_q"])
+    assert order == ["never_q", "q"]
