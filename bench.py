@@ -5,7 +5,12 @@ Runs the headline query suite at ``$SPARK_GRAFT_SF_DIR`` (default
 ONE JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": ...}
+     "queries": {}, "queries_file": "BENCH.json", "sf": ...}
+
+The per-query timing map is written to ``BENCH.json`` (same payload plus
+``queries``); the stdout line carries totals only so it stays under the
+driver's tail buffer (round-5 verdict item 7 — BENCH_r05 had
+``parsed: null`` from line-length truncation).
 
 Timings are end-to-end per query: plan → execute → collect (results are
 small by construction; collect is the driver contract's own terminal step).
@@ -297,13 +302,18 @@ def main() -> None:
         "first_run_total": round(sum(first_pass.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    payload = json.dumps(out)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
         "w",
     ) as fh:
-        fh.write(payload + "\n")
-    os.write(real_stdout_fd, (payload + "\n").encode())
+        fh.write(json.dumps(out) + "\n")
+    # stdout line: suite totals only. The full 135-query map makes the line
+    # ~4.5 KB, which overflows the driver's tail buffer and left BENCH_r05
+    # with ``parsed: null`` (round-5 verdict item 7); the per-query map
+    # lives in BENCH.json next to this script, referenced here by name.
+    stdout_line = dict(out, queries={}, queries_file="BENCH.json",
+                       n_queries=len(timings))
+    os.write(real_stdout_fd, (json.dumps(stdout_line) + "\n").encode())
     os.close(real_stdout_fd)
 
 

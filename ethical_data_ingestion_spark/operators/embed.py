@@ -32,6 +32,7 @@ properties make it the right test double:
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Callable
 
 import numpy as np
@@ -49,8 +50,8 @@ ModelFn = Callable[[list[str]], np.ndarray]
 def hashed_projection_model(dim: int = DEFAULT_DIM) -> ModelFn:
     """Deterministic stand-in model: signed hashed bag-of-words.
 
-    Tokenization is lowercase whitespace-split (empties dropped) — the
-    exact Python twin of the repo's SQL idiom
+    Tokenization is lowercase ASCII-whitespace-split (empties dropped) —
+    the exact Python twin of the repo's SQL idiom
     ``string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ')``.
     Per token: ``bucket = int(md5[:8], 16) % dim``,
     ``sign = +1 if int(md5[8], 16) even else -1`` (same hex-slice
@@ -60,10 +61,18 @@ def hashed_projection_model(dim: int = DEFAULT_DIM) -> ModelFn:
     component engine-exact.
     """
 
+    # ASCII whitespace ONLY, matching what \s means to RE2 (DuckDB) and
+    # Java regex (Spark SQL) — Python str.split() would also split on
+    # Unicode whitespace (NBSP, U+0085, …) and silently produce different
+    # vectors than the SQL twin on such texts (round-5 advice).
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
     def model(texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), dim), dtype=np.float32)
         for i, t in enumerate(texts):
-            for tok in (t or "").lower().split():
+            for tok in ws.split((t or "").lower()):
+                if not tok:
+                    continue
                 h = hashlib.md5(tok.encode()).hexdigest()
                 b = int(h[:8], 16) % dim
                 out[i, b] += 1.0 if int(h[8], 16) % 2 == 0 else -1.0

@@ -202,6 +202,28 @@ _RAG_QUERIES = 5
 _RAG_K = 3
 
 
+def _packed_ckey(doc_id: F.Column, chunk_idx: F.Column) -> F.Column:
+    """``doc_id * _CHUNK_KEYMUL + chunk_idx`` with a LOUD guard: a document
+    longer than ``_CHUNK_KEYMUL * _CHUNK_STRIDE`` tokens would yield
+    ``chunk_idx >= _CHUNK_KEYMUL`` and silently alias into another doc's
+    key space, corrupting retrieval (round-5 advice — the bound was only
+    asserted in a comment). ``raise_error`` fails the job at the first
+    offending chunk instead."""
+    return F.when(
+        chunk_idx < _CHUNK_KEYMUL, doc_id * _CHUNK_KEYMUL + chunk_idx
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "chunk_idx %s >= keyspace multiplier "
+                f"{_CHUNK_KEYMUL} for doc_id %s: raise _CHUNK_KEYMUL or key "
+                "on a (doc_id, chunk_idx) struct",
+                chunk_idx.cast("string"),
+                doc_id.cast("string"),
+            )
+        )
+    )
+
+
 @register(
     "chunk_embed_topk",
     oracle=f"""
@@ -309,8 +331,9 @@ def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 "doc_id",
-                (F.col("doc_id") * _CHUNK_KEYMUL
-                 + (F.col("s") / _CHUNK_STRIDE).cast("long")).alias("ckey"),
+                _packed_ckey(
+                    F.col("doc_id"), (F.col("s") / _CHUNK_STRIDE).cast("long")
+                ).alias("ckey"),
                 F.concat_ws(
                     " ", F.slice("t", F.col("s") + 1, _CHUNK_SIZE)
                 ).alias("text"),

@@ -700,8 +700,12 @@ _LEX_LO, _LEX_HI = 10, 12
       ) WHERE r BETWEEN {_LEX_LO} AND {_LEX_HI}
     ),
     hits AS (
+      -- word <> '' mirrors the Spark side's empty-token filter: a doc
+      -- whose text yields ONLY empty tokens must be absent from the
+      -- n_docs/flag_rate denominators on both engines (round-5 advice)
       SELECT t.doc_id, t.source, COUNT(l.word) AS n_hits
       FROM toks t LEFT JOIN lex l ON t.word = l.word
+      WHERE t.word <> ''
       GROUP BY t.doc_id, t.source
     )
     SELECT source,

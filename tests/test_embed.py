@@ -92,3 +92,46 @@ def test_embed_lsh_recall_vs_exact(spark, sf_dir):
     assert truth, "exact path returned nothing"
     recall = len(truth & got) / len(truth)
     assert recall >= 0.6, f"recall {recall:.2f} below bound"
+
+
+def test_stand_in_tokenizes_on_ascii_whitespace_only():
+    """The Python stand-in must split exactly where the SQL twin's \\s+
+    regex splits (ASCII whitespace in RE2/Java): Unicode whitespace like
+    NBSP is NOT a separator, so 'a\\u00a0b' is ONE token and embeds
+    differently from 'a b' (round-5 advice — str.split() would have
+    merged the two cases and diverged from the oracle mirror)."""
+    import numpy as np
+
+    model = E.hashed_projection_model(dim=64)
+    nbsp, spaced, onetok = model(["a b", "a b", "a b c"])
+    assert not np.array_equal(nbsp, spaced)
+    # the NBSP-joined token hashes as a single bucket hit: exactly one
+    # nonzero component of magnitude 1
+    assert int(np.abs(nbsp).sum()) == 1
+    # ASCII space still splits: 'a b c' = token 'a b' + token 'c'
+    assert int(np.abs(onetok).sum()) == 2
+
+
+def test_packed_ckey_guard_fails_loudly(spark):
+    """chunk_idx >= _CHUNK_KEYMUL must raise, not silently alias into a
+    neighboring doc's key space (round-5 advice)."""
+    import pytest
+    from pyspark.errors import PySparkRuntimeError
+    from pyspark.sql.utils import CapturedException
+
+    from ethical_data_ingestion_spark.queries.embed_q import (
+        _CHUNK_KEYMUL,
+        _packed_ckey,
+    )
+
+    ok = spark.range(5).select(
+        _packed_ckey(F.lit(7), F.col("id")).alias("ckey")
+    ).collect()
+    assert [r.ckey for r in ok] == [7 * _CHUNK_KEYMUL + i for i in range(5)]
+
+    bad = spark.range(1).select(
+        _packed_ckey(F.lit(7), F.lit(_CHUNK_KEYMUL)).alias("ckey")
+    )
+    with pytest.raises((CapturedException, PySparkRuntimeError, Exception)) as exc:
+        bad.collect()
+    assert "keyspace" in str(exc.value)
