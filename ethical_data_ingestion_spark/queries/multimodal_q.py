@@ -224,26 +224,14 @@ def multimodal_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> substring(hex(content), i * 32 + 1, 32))) END"
         ).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
+    # modality rides through the signature/candidate pipeline (carry=),
+    # so no join back to the asset table — the panel is the signature
+    # fold + ONE block-key equi-join + top-level sort, nothing else
     pairs = D.simhash_pairs(
-        assets, "asset_id", "content", max_hamming=3, sets=chunks
+        assets, "asset_id", "content", max_hamming=3, sets=chunks,
+        carry=("modality",),
     )
-    mods = assets.select("asset_id", "modality")
-    return (
-        pairs.join(
-            mods.select(
-                F.col("asset_id").alias("id1"), F.col("modality").alias("modality1")
-            ),
-            "id1",
-        )
-        .join(
-            mods.select(
-                F.col("asset_id").alias("id2"), F.col("modality").alias("modality2")
-            ),
-            "id2",
-        )
-        .select(
-            "id1", "id2", "modality1", "modality2",
-            F.col("hamming").cast("int").alias("hamming"),
-        )
-        .orderBy("id1", "id2")
-    )
+    return pairs.select(
+        "id1", "id2", "modality1", "modality2",
+        F.col("hamming").cast("int").alias("hamming"),
+    ).orderBy("id1", "id2")
