@@ -143,6 +143,7 @@ HEADLINE = [
     "incremental_dedup_stats",
     "dedup_simhash",
     "neardup_clusters",
+    "dedup_tier_attribution",
     "pagerank_trade_graph",
     "embedding_neardup_pairs",
     "knn_cosine_bruteforce",

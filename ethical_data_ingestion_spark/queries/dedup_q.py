@@ -573,3 +573,166 @@ def minhash_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("candidate_precision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-tier transitivity audit (round-6 widening): union the near-dup
+# tiers' pair tables into ONE cluster table with per-tier attribution —
+# the panel a curation team reads to decide which tier is doing the work
+# and which clusters exist only through transitive chains.
+
+_SIMHASH_SIG = """
+    hs2 AS (
+      SELECT doc_id,
+             list_transform(shingles, t -> (('0x' || substr(md5(t), 1, 8))::UBIGINT)::BIGINT) AS hashes
+      FROM sh
+    ),
+    ssig AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32),
+               b -> CASE WHEN list_sum(list_transform(hashes,
+                              h -> ((h >> b) & 1) * 2 - 1)) > 0
+                         THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+      FROM hs2
+    )"""
+
+
+@register(
+    "dedup_tier_attribution",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES}),
+    {_EXACT_JACCARD},
+    fps AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+    exact_pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    jacc_pairs AS (SELECT id1, id2 FROM jacc WHERE jaccard >= 0.8),
+    {_SIMHASH_SIG},
+    sim_pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ),
+    tiered AS (
+      SELECT id1, id2, 'exact' AS tier FROM exact_pairs
+      UNION ALL SELECT id1, id2, 'jaccard' FROM jacc_pairs
+      UNION ALL SELECT id1, id2, 'simhash' FROM sim_pairs
+    ),
+    edges AS (SELECT DISTINCT id1, id2 FROM tiered),
+    und AS (SELECT id1 AS src, id2 AS dst FROM edges
+            UNION SELECT id2 AS src, id1 AS dst FROM edges),
+    nodes AS (SELECT DISTINCT src AS id FROM und),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    csizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+               FROM comp GROUP BY cluster_id),
+    attrib AS (
+      SELECT c.cluster_id,
+             CAST(COUNT(*) FILTER (WHERE tier = 'exact') AS BIGINT) AS n_exact_pairs,
+             CAST(COUNT(*) FILTER (WHERE tier = 'jaccard') AS BIGINT) AS n_jaccard_pairs,
+             CAST(COUNT(*) FILTER (WHERE tier = 'simhash') AS BIGINT) AS n_simhash_pairs
+      FROM tiered t JOIN comp c ON t.id1 = c.id
+      GROUP BY c.cluster_id
+    )
+    SELECT s.cluster_id, s.cluster_size,
+           a.n_exact_pairs, a.n_jaccard_pairs, a.n_simhash_pairs,
+           CAST((CASE WHEN a.n_exact_pairs > 0 THEN 1 ELSE 0 END
+               + CASE WHEN a.n_jaccard_pairs > 0 THEN 1 ELSE 0 END
+               + CASE WHEN a.n_simhash_pairs > 0 THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_tiers,
+           CAST(a.n_exact_pairs + a.n_jaccard_pairs + a.n_simhash_pairs
+                < s.cluster_size * (s.cluster_size - 1) / 2 AS BOOLEAN)
+             AS has_transitive_members
+    FROM csizes s JOIN attrib a USING (cluster_id)
+    ORDER BY s.cluster_size DESC, s.cluster_id
+    """,
+)
+def dedup_tier_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tier duplicate-cluster audit: union the exact-fingerprint,
+    Jaccard ≥ 0.8, and SimHash ≤ 3 pair tables, resolve ONE set of
+    connected components over all of them, and attribute each cluster's
+    edge mass back to the tiers — the panel a curation team reads before
+    choosing survivors (which tier found this cluster? is it held
+    together by direct evidence, or only by transitive chains?).
+
+    ``has_transitive_members`` flags clusters whose union pair count is
+    below the complete-graph count C(size, 2): at least one member pair
+    is linked only through intermediate documents — exactly the clusters
+    a reviewer double-checks before dropping all-but-one, since a
+    transitive chain across tiers is weaker evidence than a direct pair
+    in any single tier.
+
+    Scale shape: the three pair tables are the session-shared artifacts
+    the individual tier queries already build (bucketed candidate
+    generation — never all-pairs); the union is linear in pair volume;
+    components use the same min-label propagation as ``neardup_clusters``
+    (O(diameter) rounds, shuffle keyed on node id); attribution is one
+    broadcast-size join from pairs to their id1's cluster label (both
+    endpoints share a cluster by construction). Oracle: the identical
+    transitive closure as a recursive CTE with per-tier counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", F.md5(T.normalize_text("text")).alias("fp"))
+    fa = fps.select(F.col("doc_id").alias("id1"), "fp")
+    fb = fps.select(F.col("doc_id").alias("id2"), "fp")
+    exact_pairs = fa.join(fb, "fp").filter(F.col("id1") < F.col("id2")).select(
+        "id1", "id2"
+    )
+    jacc_pairs = shared_get((*_PAIR_KEY, sf_dir), spark)
+    if jacc_pairs is None:
+        jacc_pairs = shared_publish(
+            (*_PAIR_KEY, sf_dir), spark, _build_jaccard_pairs(spark, sf_dir)
+        )
+    sim_pairs = D.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=3, sets=_doc_sets(spark, sf_dir)
+    )
+    tiered = materialize(
+        exact_pairs.withColumn("tier", F.lit("exact"))
+        .unionByName(
+            jacc_pairs.select("id1", "id2").withColumn("tier", F.lit("jaccard"))
+        )
+        .unionByName(
+            sim_pairs.select("id1", "id2").withColumn("tier", F.lit("simhash"))
+        )
+    )
+    comp = D.connected_components(
+        tiered.select("id1", "id2").distinct(), "id1", "id2"
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    attrib = (
+        tiered.join(comp, tiered.id1 == comp.id)
+        .groupBy("cluster_id")
+        .agg(
+            F.sum((F.col("tier") == "exact").cast("long")).alias("n_exact_pairs"),
+            F.sum((F.col("tier") == "jaccard").cast("long")).alias("n_jaccard_pairs"),
+            F.sum((F.col("tier") == "simhash").cast("long")).alias("n_simhash_pairs"),
+        )
+    )
+    return (
+        sizes.join(attrib, "cluster_id")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "n_exact_pairs",
+            "n_jaccard_pairs",
+            "n_simhash_pairs",
+            (
+                (F.col("n_exact_pairs") > 0).cast("int")
+                + (F.col("n_jaccard_pairs") > 0).cast("int")
+                + (F.col("n_simhash_pairs") > 0).cast("int")
+            ).cast("int").alias("n_tiers"),
+            (
+                F.col("n_exact_pairs")
+                + F.col("n_jaccard_pairs")
+                + F.col("n_simhash_pairs")
+                < F.col("cluster_size") * (F.col("cluster_size") - 1) / 2
+            ).alias("has_transitive_members"),
+        )
+        .orderBy(F.desc("cluster_size"), "cluster_id")
+    )

@@ -498,3 +498,29 @@ def test_bpe_merge_candidates_counts_exactly(spark, sf_dir):
     top = rows[0]
     assert counts[top.pair] == top.weight
     assert top.weight == max(counts.values())
+
+
+def test_tier_attribution_invariants(spark, sf_dir):
+    """Cross-tier cluster audit: structural invariants that hold on any
+    corpus — every cluster has >= 2 members (it exists because of at
+    least one pair), tier attribution is consistent with cluster size,
+    and the transitive flag is exactly 'union pair count < C(size, 2)'."""
+    from ethical_data_ingestion_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_tier_attribution"](spark, sf_dir).collect()
+    assert rows, "fixture corpus contains near-dup clusters"
+    for r in rows:
+        assert r.cluster_size >= 2
+        total = r.n_exact_pairs + r.n_jaccard_pairs + r.n_simhash_pairs
+        assert total >= 1
+        assert 1 <= r.n_tiers <= 3
+        complete = r.cluster_size * (r.cluster_size - 1) // 2
+        # per-tier pair lists are deduplicated pair sets, so each tier is
+        # bounded by the complete graph on the cluster
+        assert r.n_exact_pairs <= complete
+        assert r.n_jaccard_pairs <= complete
+        assert r.n_simhash_pairs <= complete
+        assert r.has_transitive_members == (total < complete)
+    # ordering contract: size-desc, cluster_id tie-break
+    keys = [(-r.cluster_size, r.cluster_id) for r in rows]
+    assert keys == sorted(keys)
