@@ -164,6 +164,7 @@ HEADLINE = [
     "quality_filter_ensemble",
     "bpe_merge_candidates",
     "dataset_diff_stats",
+    "dataset_snapshot_chain",
     "join_skew_report",
     "corr_matrix_lineitem",
     "tokenizer_vocab_coverage",

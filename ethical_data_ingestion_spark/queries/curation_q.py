@@ -744,3 +744,117 @@ def dataset_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-chain versioning (round 6, extending dataset_diff_stats from
+# one diff to the release HISTORY a versioned-dataset registry keeps).
+
+_CHAIN_VERSIONS = 4
+_CHAIN_TRANSITIONS = [(1, 2), (2, 3), (3, 4), (1, 4)]  # consecutive + long-range
+
+
+def _chain_member_sql(k: int) -> str:
+    return f"((hb + 17 * {k}) % 100 < 70)"
+
+
+def _chain_rev_sql(k: int) -> str:
+    return f"((hb + {k}) // 30)"
+
+
+@register(
+    "dataset_snapshot_chain",
+    oracle=f"""
+    WITH h AS (
+      SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % 100 AS hb
+      FROM documents
+    )
+    {" UNION ALL ".join(
+        f'''
+    SELECT 'v{a}->v{b}' AS transition,
+           CAST(SUM(CASE WHEN {_chain_member_sql(a)} THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+           CAST(SUM(CASE WHEN {_chain_member_sql(b)} THEN 1 ELSE 0 END) AS BIGINT) AS n_next,
+           CAST(SUM(CASE WHEN {_chain_member_sql(b)} AND NOT {_chain_member_sql(a)}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN {_chain_member_sql(a)} AND NOT {_chain_member_sql(b)}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN {_chain_member_sql(a)} AND {_chain_member_sql(b)}
+                         AND {_chain_rev_sql(a)} <> {_chain_rev_sql(b)}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN {_chain_member_sql(a)} AND {_chain_member_sql(b)}
+                         AND {_chain_rev_sql(a)} = {_chain_rev_sql(b)}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           ROUND(SUM(CASE WHEN {_chain_member_sql(a)} AND {_chain_member_sql(b)}
+                     THEN 1 ELSE 0 END)::DOUBLE
+                 / SUM(CASE WHEN {_chain_member_sql(a)} THEN 1 ELSE 0 END)::DOUBLE,
+                 6) AS retention_rate
+    FROM h'''
+        for a, b in _CHAIN_TRANSITIONS
+    )}
+    ORDER BY transition
+    """,
+)
+def dataset_snapshot_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-history churn panel over a chain of dataset snapshots:
+    per transition (three consecutive + the v1→v4 long-range row) the
+    added/removed/changed/unchanged counts and the retention rate — what
+    a dataset registry shows next to each release so consumers can see
+    how much of what they trained on last month still exists, and how
+    fast the corpus is churning.
+
+    The four versions are carved deterministically from the one fixture
+    (rolling 70% md5-bucket windows shifted 17 buckets per version, so
+    every transition genuinely adds AND removes; content revisions tick
+    when (hb + k) crosses a 30-bucket boundary), extending the
+    ``dataset_diff_stats`` construction from one diff to a chain.
+
+    Scale shape: because version membership and revision epoch derive
+    from the SAME row, the whole panel is ONE narrow scan — per-row
+    membership/revision expressions feed 4 × 6 conditional aggregates,
+    map-side combined to a handful of rows; no join, no shuffle beyond
+    the final 1-partition combine. A production registry diffing STORED
+    snapshots runs ``dataset_diff_stats``'s full-outer-join shape per
+    transition instead (bucketed on the key → shuffle-free); this panel
+    is the reporting layer on top of those diffs."""
+    docs = load_table(spark, sf_dir, "documents")
+    hb = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    h = docs.select(hb.alias("hb"))
+
+    def member(k: int) -> F.Column:
+        return (F.col("hb") + 17 * k) % 100 < 70
+
+    def rev(k: int) -> F.Column:
+        return F.expr(f"(hb + {k}) div 30")
+
+    parts = []
+    for a, b in _CHAIN_TRANSITIONS:
+        both = member(a) & member(b)
+        n_prev = F.sum(member(a).cast("long")).cast("long")
+        parts.append(
+            h.agg(
+                F.lit(f"v{a}->v{b}").alias("transition"),
+                n_prev.alias("n_prev"),
+                F.sum(member(b).cast("long")).cast("long").alias("n_next"),
+                F.sum((member(b) & ~member(a)).cast("long"))
+                .cast("long").alias("n_added"),
+                F.sum((member(a) & ~member(b)).cast("long"))
+                .cast("long").alias("n_removed"),
+                F.sum((both & (rev(a) != rev(b))).cast("long"))
+                .cast("long").alias("n_changed"),
+                F.sum((both & (rev(a) == rev(b))).cast("long"))
+                .cast("long").alias("n_unchanged"),
+                F.round(
+                    F.sum(both.cast("long")).cast("double")
+                    / n_prev.cast("double"),
+                    6,
+                ).alias("retention_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("transition")
