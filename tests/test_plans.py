@@ -304,3 +304,34 @@ def test_round5_queries_keep_their_scale_shapes(spark, sf_dir):
     # chunk retrieval: query side broadcasts; no shuffled cartesian
     df = _q(spark, sf_dir, "chunk_embed_topk")
     assert plans.broadcast_join_count(df) >= 1
+
+
+def test_round6_queries_keep_their_scale_shapes(spark, sf_dir):
+    """Plan pins for the round-6 additions and rewrites."""
+    # snapshot chain: pure scan-side expressions + conditional aggregates;
+    # a join (or a per-version re-shuffle) appearing here means the
+    # one-narrow-pass design regressed
+    df = _q(spark, sf_dir, "dataset_snapshot_chain")
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan
+    assert "Cartesian" not in plan
+
+    # tier attribution: every pair source is bucketed candidate generation
+    # — no cartesian anywhere in the union, components, or attribution
+    df = _q(spark, sf_dir, "dedup_tier_attribution")
+    assert "Cartesian" not in plans.formatted_plan(df)
+
+    # simhash fold: signatures are one narrow pass — the signature side of
+    # the block join must come from the pinned RDD (no explode + 32-way
+    # groupBy re-derivation, and no re-read of the corpus parquet)
+    df = _q(spark, sf_dir, "multimodal_neardup_simhash")
+    plan = plans.formatted_plan(df)
+    assert "Scan parquet" not in plan
+    assert "Cartesian" not in plan
+
+    # span islands: ONE pair-keyed exchange between the match join and the
+    # top-k — the window + double-groupBy shape (two extra exchanges of
+    # the full match-point stream) must not come back
+    df = _q(spark, sf_dir, "ngram_span_overlap")
+    assert plans.uses_take_ordered(df), "span top-k lost TakeOrderedAndProject"
+    assert "Window" not in plans.formatted_plan(df)
