@@ -675,30 +675,41 @@ def dedup_tier_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-size join from pairs to their id1's cluster label (both
     endpoints share a cluster by construction). Oracle: the identical
     transitive closure as a recursive CTE with per-tier counts."""
-    docs = load_table(spark, sf_dir, "documents")
-    fps = docs.select("doc_id", F.md5(T.normalize_text("text")).alias("fp"))
-    fa = fps.select(F.col("doc_id").alias("id1"), "fp")
-    fb = fps.select(F.col("doc_id").alias("id2"), "fp")
-    exact_pairs = fa.join(fb, "fp").filter(F.col("id1") < F.col("id2")).select(
-        "id1", "id2"
-    )
-    jacc_pairs = shared_get((*_PAIR_KEY, sf_dir), spark)
-    if jacc_pairs is None:
-        jacc_pairs = shared_publish(
-            (*_PAIR_KEY, sf_dir), spark, _build_jaccard_pairs(spark, sf_dir)
+    def _build_tiered() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        fps = docs.select(
+            "doc_id", F.md5(T.normalize_text("text")).alias("fp")
         )
-    sim_pairs = D.simhash_pairs(
-        docs, "doc_id", "text", max_hamming=3, sets=_doc_sets(spark, sf_dir)
-    )
-    tiered = materialize(
-        exact_pairs.withColumn("tier", F.lit("exact"))
-        .unionByName(
-            jacc_pairs.select("id1", "id2").withColumn("tier", F.lit("jaccard"))
+        fa = fps.select(F.col("doc_id").alias("id1"), "fp")
+        fb = fps.select(F.col("doc_id").alias("id2"), "fp")
+        exact_pairs = (
+            fa.join(fb, "fp").filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
         )
-        .unionByName(
-            sim_pairs.select("id1", "id2").withColumn("tier", F.lit("simhash"))
+        jacc_pairs = shared_get((*_PAIR_KEY, sf_dir), spark)
+        if jacc_pairs is None:
+            jacc_pairs = shared_publish(
+                (*_PAIR_KEY, sf_dir), spark, _build_jaccard_pairs(spark, sf_dir)
+            )
+        sim_pairs = D.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=3, sets=_doc_sets(spark, sf_dir)
         )
-    )
+        return (
+            exact_pairs.withColumn("tier", F.lit("exact"))
+            .unionByName(
+                jacc_pairs.select("id1", "id2")
+                .withColumn("tier", F.lit("jaccard"))
+            )
+            .unionByName(
+                sim_pairs.select("id1", "id2")
+                .withColumn("tier", F.lit("simhash"))
+            )
+        )
+
+    # The unioned pair table is itself a pipeline artifact (built once,
+    # read by cluster resolution, attribution, and any survivor-selection
+    # consumer) — session-shared like the jaccard pair table it contains.
+    tiered = shared(("tiered_pairs", sf_dir), spark, _build_tiered)
     comp = D.connected_components(
         tiered.select("id1", "id2").distinct(), "id1", "id2"
     )
