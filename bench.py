@@ -144,6 +144,7 @@ HEADLINE = [
     "dedup_simhash",
     "neardup_clusters",
     "dedup_tier_attribution",
+    "survivor_selection_stats",
     "pagerank_trade_graph",
     "embedding_neardup_pairs",
     "knn_cosine_bruteforce",

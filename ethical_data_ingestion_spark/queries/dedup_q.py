@@ -14,6 +14,7 @@ from ..materialize import materialize, shared, shared_get, shared_publish
 from ..operators import dedup as D
 from ..operators import text as T
 from ..registry import register
+from .text_q import QUALITY_Z_CTE
 
 
 def _doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,10 +598,10 @@ _SIMHASH_SIG = """
     )"""
 
 
-@register(
-    "dedup_tier_attribution",
-    oracle=f"""
-    WITH RECURSIVE sh AS ({_SHINGLES}),
+#: Everything from shingles through the per-doc cluster label — the
+#: shared prefix of both cross-tier oracles (attribution + survivor
+#: selection). Callers open with ``WITH RECURSIVE {_TIER_COMP_SQL}, ...``.
+_TIER_COMP_SQL = f"""sh AS ({_SHINGLES}),
     {_EXACT_JACCARD},
     fps AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
     exact_pairs AS (
@@ -628,7 +629,65 @@ _SIMHASH_SIG = """
       UNION
       SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id
     ),
-    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)"""
+
+
+def _tiered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared union of the three near-dup tiers' pair tables —
+    the pipeline artifact cluster resolution, attribution, and survivor
+    selection all read (built once, like the jaccard table it contains)."""
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        fps = docs.select(
+            "doc_id", F.md5(T.normalize_text("text")).alias("fp")
+        )
+        fa = fps.select(F.col("doc_id").alias("id1"), "fp")
+        fb = fps.select(F.col("doc_id").alias("id2"), "fp")
+        exact_pairs = (
+            fa.join(fb, "fp").filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+        )
+        jacc_pairs = shared_get((*_PAIR_KEY, sf_dir), spark)
+        if jacc_pairs is None:
+            jacc_pairs = shared_publish(
+                (*_PAIR_KEY, sf_dir), spark, _build_jaccard_pairs(spark, sf_dir)
+            )
+        sim_pairs = D.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=3, sets=_doc_sets(spark, sf_dir)
+        )
+        return (
+            exact_pairs.withColumn("tier", F.lit("exact"))
+            .unionByName(
+                jacc_pairs.select("id1", "id2")
+                .withColumn("tier", F.lit("jaccard"))
+            )
+            .unionByName(
+                sim_pairs.select("id1", "id2")
+                .withColumn("tier", F.lit("simhash"))
+            )
+        )
+
+    return shared(("tiered_pairs", sf_dir), spark, _build)
+
+
+def _tiered_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared (id, cluster_id) labels over the tiered pair union
+    — connected components run once per (session, corpus)."""
+    return shared(
+        ("tiered_comp", sf_dir),
+        spark,
+        lambda: D.connected_components(
+            _tiered_pairs(spark, sf_dir).select("id1", "id2").distinct(),
+            "id1",
+            "id2",
+        ),
+    )
+
+
+@register(
+    "dedup_tier_attribution",
+    oracle=f"""
+    WITH RECURSIVE {_TIER_COMP_SQL},
     csizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
                FROM comp GROUP BY cluster_id),
     attrib AS (
@@ -675,44 +734,8 @@ def dedup_tier_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-size join from pairs to their id1's cluster label (both
     endpoints share a cluster by construction). Oracle: the identical
     transitive closure as a recursive CTE with per-tier counts."""
-    def _build_tiered() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        fps = docs.select(
-            "doc_id", F.md5(T.normalize_text("text")).alias("fp")
-        )
-        fa = fps.select(F.col("doc_id").alias("id1"), "fp")
-        fb = fps.select(F.col("doc_id").alias("id2"), "fp")
-        exact_pairs = (
-            fa.join(fb, "fp").filter(F.col("id1") < F.col("id2"))
-            .select("id1", "id2")
-        )
-        jacc_pairs = shared_get((*_PAIR_KEY, sf_dir), spark)
-        if jacc_pairs is None:
-            jacc_pairs = shared_publish(
-                (*_PAIR_KEY, sf_dir), spark, _build_jaccard_pairs(spark, sf_dir)
-            )
-        sim_pairs = D.simhash_pairs(
-            docs, "doc_id", "text", max_hamming=3, sets=_doc_sets(spark, sf_dir)
-        )
-        return (
-            exact_pairs.withColumn("tier", F.lit("exact"))
-            .unionByName(
-                jacc_pairs.select("id1", "id2")
-                .withColumn("tier", F.lit("jaccard"))
-            )
-            .unionByName(
-                sim_pairs.select("id1", "id2")
-                .withColumn("tier", F.lit("simhash"))
-            )
-        )
-
-    # The unioned pair table is itself a pipeline artifact (built once,
-    # read by cluster resolution, attribution, and any survivor-selection
-    # consumer) — session-shared like the jaccard pair table it contains.
-    tiered = shared(("tiered_pairs", sf_dir), spark, _build_tiered)
-    comp = D.connected_components(
-        tiered.select("id1", "id2").distinct(), "id1", "id2"
-    )
+    tiered = _tiered_pairs(spark, sf_dir)
+    comp = _tiered_comp(spark, sf_dir)
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
@@ -746,4 +769,87 @@ def dedup_tier_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("has_transitive_members"),
         )
         .orderBy(F.desc("cluster_size"), "cluster_id")
+    )
+
+
+@register(
+    "survivor_selection_stats",
+    oracle=f"""
+    WITH RECURSIVE {_TIER_COMP_SQL},
+    {QUALITY_Z_CTE},
+    cz AS (
+      SELECT c.cluster_id, c.id, q.z
+      FROM comp c JOIN qz q ON q.doc_id = c.id
+    ),
+    ranked AS (
+      SELECT cluster_id, id, z,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY z DESC, id) AS rnb,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY id) AS rnl
+      FROM cz
+    ),
+    per AS (
+      SELECT b.cluster_id, b.z AS zb, l.z AS zl, s.n
+      FROM (SELECT cluster_id, z FROM ranked WHERE rnb = 1) b
+      JOIN (SELECT cluster_id, z FROM ranked WHERE rnl = 1) l
+        USING (cluster_id)
+      JOIN (SELECT cluster_id, COUNT(*) AS n FROM cz GROUP BY cluster_id) s
+        USING (cluster_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n) AS BIGINT) AS n_clustered_docs,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
+           ROUND(CAST(SUM(CAST(zl AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS q_keep_lowid,
+           ROUND(CAST(SUM(CAST(zb AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS q_keep_best,
+           ROUND(CAST(SUM(CAST(zb AS DECIMAL(18,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(zl AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS q_gain
+    FROM per
+    """,
+)
+def survivor_selection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-selection policy comparison over the cross-tier duplicate
+    clusters: for every cluster, compare the default keep-LOWEST-ID
+    survivor against keep-HIGHEST-QUALITY (the frozen-weight ensemble
+    score ``z``, tie-broken by lowest id) and report the total retained
+    quality mass under each policy — the number a curation team looks at
+    before deciding whether quality-aware survivor choice is worth the
+    extra scoring pass (``q_gain`` is exactly what switching buys).
+
+    Scale shape: reads the session-shared tiered pair clusters and the
+    per-doc score projection; both survivors come from ONE groupBy over
+    (cluster, member) rows — ``min(struct(id, z))`` picks the lowest-id
+    member, ``max(struct(z, -id))`` the best-quality member — no window,
+    no self-join; the final rollup is a single-row aggregate. Oracle:
+    the same selections via ROW_NUMBER windows over the recursive-CTE
+    clusters."""
+    from .text_q import quality_z_df
+
+    comp = _tiered_comp(spark, sf_dir)
+    z = quality_z_df(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("id"), "z"
+    )
+    cz = comp.join(z, "id")
+    per = cz.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.struct(F.col("z"), (-F.col("id")).alias("nid")))["z"].alias("zb"),
+        F.min(F.struct(F.col("id"), F.col("z")))["z"].alias("zl"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("n").cast("long").alias("n_clustered_docs"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dropped"),
+        F.round(
+            F.sum(F.col("zl").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("q_keep_lowid"),
+        F.round(
+            F.sum(F.col("zb").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("q_keep_best"),
+        F.round(
+            F.sum(F.col("zb").cast("decimal(18,6)")).cast("double")
+            - F.sum(F.col("zl").cast("decimal(18,6)")).cast("double"),
+            6,
+        ).alias("q_gain"),
     )

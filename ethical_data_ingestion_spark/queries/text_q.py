@@ -479,6 +479,63 @@ def corpus_mixing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ENS_TAU = 0.6  # decision threshold; calibrated so both classes occur
 
+#: Per-document quality-score CTEs (``qf`` → ``qz(doc_id, source, z)``) —
+#: the doc-level form of ``quality_filter_ensemble``'s frozen-weight score,
+#: shared with cross-module consumers (dedup survivor selection). Keep the
+#: expressions in lockstep with the ensemble oracle below.
+QUALITY_Z_CTE = f"""qf AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tok,
+             ROUND({_sw_count(_EN)}::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE, 6) AS swr,
+             ROUND(length(replace(text, ' ', ''))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE, 6) AS alen,
+             ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE, 6) AS ttr
+      FROM documents
+    ),
+    qz AS (
+      SELECT doc_id, source,
+             ROUND(1.2 * swr + 0.8 * ttr
+                   + 0.4 * least(1.0, n_tok / 128.0)
+                   - 0.08 * abs(alen - 5.0), 6) AS z
+      FROM qf
+    )"""
+
+
+def quality_z_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, z): the frozen-weight quality score per document —
+    the Spark twin of :data:`QUALITY_Z_CTE`, and the per-doc core of
+    ``quality_filter_ensemble`` (same expressions, same operation order,
+    so scores are bit-deterministic across engines)."""
+    en = [s for lang, s in T.LANG_STOPWORDS if lang == "en"][0]
+    n_tok = T.n_tokens("text")
+    ttr = F.round(
+        F.size(F.array_distinct(T.tokens("text"))).cast("double")
+        / n_tok.cast("double"),
+        6,
+    )
+    f = docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        T.stopword_ratio("text", en).alias("swr"),
+        T.avg_token_len("text").alias("alen"),
+        ttr.alias("ttr"),
+    )
+    return f.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.lit(1.2) * F.col("swr")
+            + F.lit(0.8) * F.col("ttr")
+            + F.lit(0.4)
+            * F.least(F.lit(1.0), F.col("n_tok") / F.lit(128.0))
+            - F.lit(0.08) * F.abs(F.col("alen") - F.lit(5.0)),
+            6,
+        ).alias("z"),
+    )
+
 
 @register(
     "quality_filter_ensemble",
@@ -527,31 +584,7 @@ def quality_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     frozen weights for trained ones; the plan (one projection, one
     rollup, no shuffle beyond the group-by) is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    en = [s for lang, s in T.LANG_STOPWORDS if lang == "en"][0]
-    n_tok = T.n_tokens("text")
-    ttr = F.round(
-        F.size(F.array_distinct(T.tokens("text"))).cast("double")
-        / n_tok.cast("double"),
-        6,
-    )
-    f = docs.select(
-        "source",
-        n_tok.alias("n_tok"),
-        T.stopword_ratio("text", en).alias("swr"),
-        T.avg_token_len("text").alias("alen"),
-        ttr.alias("ttr"),
-    )
-    z = f.select(
-        "source",
-        F.round(
-            F.lit(1.2) * F.col("swr")
-            + F.lit(0.8) * F.col("ttr")
-            + F.lit(0.4)
-            * F.least(F.lit(1.0), F.col("n_tok") / F.lit(128.0))
-            - F.lit(0.08) * F.abs(F.col("alen") - F.lit(5.0)),
-            6,
-        ).alias("z"),
-    )
+    z = quality_z_df(docs).select("source", "z")
     return (
         z.groupBy("source", (F.col("z") >= _ENS_TAU).alias("passed"))
         .agg(
