@@ -734,8 +734,8 @@ _LEX_LO, _LEX_HI = 10, 12
     ),
     hits AS (
       -- word <> '' mirrors the Spark side's empty-token filter: a doc
-      -- whose text yields ONLY empty tokens must be absent from the
-      -- n_docs/flag_rate denominators on both engines (round-5 advice)
+      -- whose text yields ONLY empty tokens must be excluded in both
+      -- engines' n_docs/flag_rate denominators (round-5 advice)
       SELECT t.doc_id, t.source, COUNT(l.word) AS n_hits
       FROM toks t LEFT JOIN lex l ON t.word = l.word
       WHERE t.word <> ''
