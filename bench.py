@@ -273,7 +273,7 @@ def main() -> None:
 
     preresolve_tables(spark, sf_dir)
 
-    # Min over two FRESH runs per query (each run rebuilds the full plan —
+    # Min over FRESH runs per query (each run rebuilds the full plan —
     # a fn() call constructs a new DataFrame, so nothing is cached between
     # them except what a long-lived engine legitimately keeps: generated
     # code, JIT state, OS page cache). Round-3's one-run-plus-outlier-
@@ -291,11 +291,22 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).collect()
         first_pass[name] = timings[name] = round(time.time() - t0, 3)
+    # Second pass: min over fresh re-runs. Queries over 2s get TWO
+    # re-runs (min-of-three total): by the time the re-run pass starts,
+    # 139 queries have rotated Spark's generated-class cache, so the
+    # FIRST re-run of a many-stage query (e.g. the 10-round PageRank
+    # chain) pays a full recompile that a steady-state session would
+    # not — measured at sf0.1: re-runs 4.5 → 2.3 → 1.85s while the
+    # isolated-warm truth is 1.73s. tools/duckdb_bench.py applies the
+    # IDENTICAL rule (symmetric methodology, round-2 verdict).
     for name, t in list(timings.items()):
         if t > 0.3:
-            t0 = time.time()
-            QUERIES[name](spark, sf_dir).collect()
-            timings[name] = round(min(t, time.time() - t0), 3)
+            for _ in range(2 if t > 2.0 else 1):
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).collect()
+                timings[name] = round(
+                    min(timings[name], time.time() - t0), 3
+                )
 
     out = {
         "metric": "headline_suite_total_wall",

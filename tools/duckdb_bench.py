@@ -53,11 +53,16 @@ def main() -> None:
         t0 = time.time()
         con.execute(ORACLE_SQL[name]).fetchall()
         first_pass[name] = timings[name] = round(time.time() - t0, 3)
+    # min over fresh re-runs; queries over 2s get two re-runs (min-of-
+    # three total) — the IDENTICAL rule bench.py applies on the Spark
+    # side (symmetric methodology; see the comment there for why the
+    # first re-run of a heavy query under-measures a steady-state engine)
     for name, t in list(timings.items()):
         if t > 0.3:
-            t0 = time.time()
-            con.execute(ORACLE_SQL[name]).fetchall()
-            timings[name] = round(min(t, time.time() - t0), 3)
+            for _ in range(2 if t > 2.0 else 1):
+                t0 = time.time()
+                con.execute(ORACLE_SQL[name]).fetchall()
+                timings[name] = round(min(timings[name], time.time() - t0), 3)
 
     print(
         json.dumps(
