@@ -524,3 +524,37 @@ def test_tier_attribution_invariants(spark, sf_dir):
     # ordering contract: size-desc, cluster_id tie-break
     keys = [(-r.cluster_size, r.cluster_id) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_snapshot_chain_invariants(spark, sf_dir):
+    """Churn algebra that holds for any corpus: rows balance
+    (n_next = n_prev - n_removed + n_added; changed+unchanged = survivors),
+    retention is (changed+unchanged)/n_prev, and all four transitions
+    (three consecutive + v1->v4 long-range) are present."""
+    from ethical_data_ingestion_spark.registry import QUERIES
+
+    rows = {r.transition: r for r in
+            QUERIES["dataset_snapshot_chain"](spark, sf_dir).collect()}
+    assert set(rows) == {"v1->v2", "v2->v3", "v3->v4", "v1->v4"}
+    for r in rows.values():
+        survivors = r.n_changed + r.n_unchanged
+        assert r.n_prev == survivors + r.n_removed
+        assert r.n_next == survivors + r.n_added
+        assert r.n_added > 0 and r.n_removed > 0  # windows genuinely roll
+        assert abs(r.retention_rate - survivors / r.n_prev) < 1e-6
+
+
+def test_survivor_selection_best_at_least_lowid(spark, sf_dir):
+    """Keep-best-quality can never retain LESS quality mass than
+    keep-lowest-id (it maximizes per cluster), and the doc accounting
+    matches the tier-attribution cluster table."""
+    from ethical_data_ingestion_spark.registry import QUERIES
+
+    r = QUERIES["survivor_selection_stats"](spark, sf_dir).collect()[0]
+    assert r.n_clusters >= 1
+    assert r.n_clustered_docs == r.n_clusters + r.n_dropped
+    assert r.q_keep_best >= r.q_keep_lowid
+    assert abs(r.q_gain - round(r.q_keep_best - r.q_keep_lowid, 6)) < 1e-9
+    tiers = QUERIES["dedup_tier_attribution"](spark, sf_dir).collect()
+    assert r.n_clusters == len(tiers)
+    assert r.n_clustered_docs == sum(t.cluster_size for t in tiers)
