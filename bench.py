@@ -152,6 +152,7 @@ HEADLINE = [
     "knn_lsh_recall_stats",
     "knn_cosine_ivf",
     "contrastive_pair_mining",
+    "embedding_drift_stats",
     "embedding_quantization_stats",
     "product_quantization_stats",
     "embedding_kmeans_stats",

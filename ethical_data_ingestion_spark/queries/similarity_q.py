@@ -559,3 +559,153 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pos.join(neg, "anchor_id").orderBy("anchor_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 widening: embedding-distribution drift monitor.
+
+_DRIFT_DIM = 64
+
+
+@register(
+    "embedding_drift_stats",
+    oracle=f"""
+    WITH halves AS (
+      SELECT label,
+             CASE WHEN ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 2 = 0
+                  THEN 'ref' ELSE 'cur' END AS half,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    comps AS (
+      SELECT label, half, i AS dim, ROUND(v[i], 6) AS x
+      FROM halves, unnest(range(1, {_DRIFT_DIM} + 1)) AS u(i)
+    ),
+    cent AS (
+      SELECT label, half, dim,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c,
+             COUNT(*) AS n
+      FROM comps GROUP BY label, half, dim
+    ),
+    paired AS (
+      SELECT r.label, r.dim, r.c AS cr, q.c AS cq
+      FROM (SELECT * FROM cent WHERE half = 'ref') r
+      JOIN (SELECT * FROM cent WHERE half = 'cur') q
+        USING (label, dim)
+    ),
+    shift AS (
+      SELECT label,
+             ROUND(sqrt(SUM((cr - cq) * (cr - cq))), 6) AS centroid_l2_shift,
+             ROUND(SUM(cr * cq)
+                   / (sqrt(SUM(cr * cr)) * sqrt(SUM(cq * cq))), 6)
+               AS centroid_cos
+      FROM paired GROUP BY label
+    ),
+    pop AS (
+      SELECT label,
+             CAST(COUNT(*) FILTER (WHERE half = 'ref') AS BIGINT) AS n_ref,
+             CAST(COUNT(*) FILTER (WHERE half = 'cur') AS BIGINT) AS n_cur
+      FROM halves GROUP BY label
+    )
+    SELECT p.label, p.n_ref, p.n_cur,
+           s.centroid_l2_shift, s.centroid_cos,
+           ROUND(abs(p.n_ref::DOUBLE / (SELECT SUM(n_ref) FROM pop)
+                     - p.n_cur::DOUBLE / (SELECT SUM(n_cur) FROM pop)), 6)
+             AS share_drift
+    FROM pop p JOIN shift s USING (label)
+    ORDER BY p.label
+    """,
+)
+def embedding_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split the vector table into
+    deterministic 'reference' and 'current' halves (md5 parity on vec_id —
+    standing in for last release vs this release) and report, per label,
+    the centroid L2 shift, centroid cosine, and population-share drift —
+    the panel an embedding-pipeline owner watches to catch a model or
+    corpus change silently moving the vector space (the vector-space
+    sibling of ``price_drift_psi``/``price_drift_ks``).
+
+    Hash-exactness with float inputs: each component is rounded to 6
+    decimals FIRST, then summed in DECIMAL(28,6) — associative, so the
+    per-(label, half, dim) means are partition-order-proof and identical
+    across engines; every downstream expression is a fixed-order fold
+    over those exact means.
+
+    Scale shape: one scan; ``posexplode`` fans each vector into (label,
+    half, dim, component) rows whose aggregation combines map-side, so
+    the shuffle carries |labels|·2·dim partial rows per task — never
+    vector data; everything after the centroid table is arithmetic on a
+    few hundred rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+        ).cast("long") % 2 == 0,
+        F.lit("ref"),
+    ).otherwise(F.lit("cur"))
+    halves = emb.select(
+        "label", half.alias("half"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    comps = halves.select(
+        "label", "half",
+        F.posexplode("v").alias("dim0", "x0"),
+    ).select(
+        "label", "half",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round("x0", 6).alias("x"),
+    )
+    cent = comps.groupBy("label", "half", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    r = cent.filter(F.col("half") == "ref").select(
+        "label", "dim", F.col("c").alias("cr")
+    )
+    q = cent.filter(F.col("half") == "cur").select(
+        "label", "dim", F.col("c").alias("cq")
+    )
+    paired = r.join(q, ["label", "dim"])
+    shift = paired.groupBy("label").agg(
+        F.round(
+            F.sqrt(F.sum((F.col("cr") - F.col("cq")) * (F.col("cr") - F.col("cq")))),
+            6,
+        ).alias("centroid_l2_shift"),
+        F.round(
+            F.sum(F.col("cr") * F.col("cq"))
+            / (
+                F.sqrt(F.sum(F.col("cr") * F.col("cr")))
+                * F.sqrt(F.sum(F.col("cq") * F.col("cq")))
+            ),
+            6,
+        ).alias("centroid_cos"),
+    )
+    pop = halves.groupBy("label").agg(
+        F.sum((F.col("half") == "ref").cast("long")).cast("long").alias("n_ref"),
+        F.sum((F.col("half") == "cur").cast("long")).cast("long").alias("n_cur"),
+    )
+    tot = F.broadcast(
+        pop.agg(
+            F.sum("n_ref").cast("double").alias("tr"),
+            F.sum("n_cur").cast("double").alias("tc"),
+        )
+    )
+    return (
+        pop.join(shift, "label")
+        .crossJoin(tot)
+        .select(
+            "label", "n_ref", "n_cur", "centroid_l2_shift", "centroid_cos",
+            F.round(
+                F.abs(
+                    F.col("n_ref").cast("double") / F.col("tr")
+                    - F.col("n_cur").cast("double") / F.col("tc")
+                ),
+                6,
+            ).alias("share_drift"),
+        )
+        .orderBy("label")
+    )
