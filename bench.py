@@ -122,6 +122,7 @@ HEADLINE = [
     "train_test_split_stats",
     "chunk_dedup_stats",
     "training_shard_manifest",
+    "training_order_shuffle_stats",
     "unigram_kl_quality",
     "source_topp_curation",
     "dsir_selection_stats",

@@ -858,3 +858,89 @@ def dataset_snapshot_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("transition")
+
+
+# ---------------------------------------------------------------------------
+# Round-6: training-order shuffle quality.
+
+_SHUF_SEED = "#42"
+
+
+@register(
+    "training_order_shuffle_stats",
+    oracle=f"""
+    WITH ord AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR) || '{_SHUF_SEED}') AS ok
+      FROM documents
+    ),
+    seq AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (ORDER BY ok, doc_id) - 1 AS rn
+      FROM ord
+    ),
+    runs AS (
+      SELECT source,
+             rn - ROW_NUMBER() OVER (PARTITION BY source ORDER BY rn) AS grp
+      FROM seq
+    ),
+    rlen AS (
+      SELECT source, grp, COUNT(*) AS run_len FROM runs GROUP BY source, grp
+    )
+    SELECT source,
+           CAST(SUM(run_len) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           ROUND(SUM(run_len)::DOUBLE / COUNT(*)::DOUBLE, 4) AS mean_run
+    FROM rlen
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def training_order_shuffle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality audit of the seeded training order: lay the corpus
+    out in its deterministic shuffled order (md5(doc_id + seed) — the
+    same keyed permutation a data loader uses for reproducible epochs)
+    and measure per-source clumping: number of same-source runs, longest
+    run, mean run length. Long same-source runs mean consecutive batches
+    are correlated — the silent training pathology a shuffle audit
+    catches before a loss curve does.
+
+    Scale shape: global positions come from the TeraSort-style
+    prefix-offset ranking (``quality_q._global_ranks`` — range exchange
+    + per-partition row numbers + broadcast offsets; no single-partition
+    window anywhere), then runs are gaps-and-islands under a
+    source-partitioned window and two map-side-combined rollups. Oracle:
+    the identical permutation via one ROW_NUMBER (single-node engine —
+    a global window is fine THERE; the Spark side is the distributed
+    form of the same ranking)."""
+    from .quality_q import _global_ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    ord_ = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUF_SEED))).alias("ok"),
+    )
+    ranked, _n = _global_ranks(ord_, "ok", "doc_id")
+    w = Window.partitionBy("source").orderBy("rn")
+    runs = ranked.select(
+        "source", (F.col("rn") - F.row_number().over(w)).alias("grp")
+    )
+    rlen = runs.groupBy("source", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        rlen.groupBy("source")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.round(
+                F.sum("run_len").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("mean_run"),
+        )
+        .orderBy("source")
+    )
