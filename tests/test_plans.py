@@ -335,3 +335,25 @@ def test_round6_queries_keep_their_scale_shapes(spark, sf_dir):
     df = _q(spark, sf_dir, "ngram_span_overlap")
     assert plans.uses_take_ordered(df), "span top-k lost TakeOrderedAndProject"
     assert "Window" not in plans.formatted_plan(df)
+
+    # shuffle audit: every window must be PARTITIONED (pid for the
+    # prefix-offset ranking, source for the runs) — a bare global
+    # row_number here is the single-partition funnel the prefix-offset
+    # design exists to avoid
+    df = _q(spark, sf_dir, "training_order_shuffle_stats")
+    plan = plans.formatted_plan(df)
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.startswith(("pid", "source")), (
+            f"unpartitioned window sneaked in: {spec[:80]}"
+        )
+
+    # drift monitor: component aggregation is hash-keyed on
+    # (label, half, dim) — no vector-array column may cross a shuffle
+    # (the explode projects components before any exchange)
+    df = _q(spark, sf_dir, "embedding_drift_stats")
+    plan = plans.formatted_plan(df)
+    assert "Cartesian" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1) and " v#" not in m.group(1)
