@@ -99,6 +99,13 @@ def get_spark(
         # the temp-file location — cluster deployments point it at SSD.
         .config("spark.local.dir", scratch_dir("eds_local_"))
         .config("spark.ui.enabled", "false")
+        # A session serving this suite compiles hundreds of distinct
+        # plans; the default 100-entry generated-class cache rotates, so
+        # a many-stage query's re-run pays a full recompile (~2.5s for
+        # the 10-round PageRank chain at sf0.1 — measured). Production
+        # sessions multiplexing many queries want the same headroom;
+        # class metadata cost is trivial next to one recompile.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
