@@ -853,3 +853,170 @@ def survivor_selection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("q_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (round-6 widening): the MOSS local-fingerprint
+# scheme (Schleimer, Wilkerson, Aiken, SIGMOD 2003) — the fifth near-dup
+# tier, and the one that localizes WHERE two documents overlap rather than
+# just scoring whole-document similarity. Hash every token k-gram, slide a
+# window of w hashes, keep each window's minimum: the guarantee is that any
+# shared run of >= w + k - 1 tokens contributes at least one shared
+# fingerprint, at an expected density of 2/(w+1) — a tunable, bounded
+# fraction of the corpus, unlike full shingle inverted indexes.
+
+#: token k-gram size for winnowing.
+_WIN_K = 5
+#: winnowing window (fingerprint density ~= 2 / (_WIN_W + 1)).
+_WIN_W = 4
+#: "stop fingerprint" cut: drop fingerprints present in more than this many
+#: documents (boilerplate / ubiquitous phrases), exactly as MOSS does.
+_WIN_CAP = 50
+#: minimum shared fingerprints before a pair is considered at all.
+_WIN_MIN_SHARED = 3
+#: containment threshold: shared / min(|A|, |B|) fingerprints.
+_WIN_CONTAIN = 0.5
+
+
+@register(
+    "winnowing_overlap_pairs",
+    oracle=f"""
+    WITH wtoks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), welig AS (
+      SELECT doc_id, t FROM wtoks WHERE len(t) >= {_WIN_K + _WIN_W - 1}
+    ), whash AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(t) - {_WIN_K} + 2),
+               i -> ('0x' || substring(
+                        md5(array_to_string(t[i:i + {_WIN_K} - 1], ' ')),
+                        1, 8))::BIGINT
+             ) AS h
+      FROM welig
+    ), wfp AS (
+      SELECT DISTINCT doc_id, fp
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(h) - {_WIN_W} + 2),
+                 i -> list_min(h[i:i + {_WIN_W} - 1])
+               )) AS fp
+        FROM whash
+      )
+    ), wkept AS (
+      SELECT doc_id, fp FROM wfp
+      QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {_WIN_CAP}
+    ), wsizes AS (
+      SELECT doc_id, COUNT(*) AS nfp FROM wkept GROUP BY doc_id
+    ), wpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fp
+      FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.shared_fp,
+           sa.nfp AS nfp_a, sb.nfp AS nfp_b,
+           ROUND(p.shared_fp::DOUBLE
+                 / LEAST(sa.nfp, sb.nfp)::DOUBLE, 4) AS containment
+    FROM wpairs p
+    JOIN wsizes sa ON sa.doc_id = p.doc_a
+    JOIN wsizes sb ON sb.doc_id = p.doc_b
+    WHERE p.shared_fp >= {_WIN_MIN_SHARED}
+      AND p.shared_fp::DOUBLE
+          / LEAST(sa.nfp, sb.nfp)::DOUBLE >= {_WIN_CONTAIN}
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint overlap pairs: documents sharing >= 50% of the
+    smaller side's selected fingerprints (and at least {_WIN_MIN_SHARED}
+    absolute) — the MOSS-style near-dup tier that detects LOCAL overlap
+    (a copied paragraph inside an otherwise-different document), which the
+    whole-document MinHash/SimHash tiers dilute away. Reference scope:
+    ethical_crawler.py:842's declared-unused dedup surface, extended per
+    the winnowing paper's public algorithm.
+
+    Scale shape: fingerprint selection is a per-row Catalyst fold (no
+    explode until the ~2/(w+1)-density selected set), the "stop
+    fingerprint" frequency cap bounds every join bucket at {_WIN_CAP}
+    docs (so candidate volume is O(n_fp * cap), never quadratic in corpus
+    size), and the pair table is an equi-join on fp — the identical
+    bucketed-candidates shape as the MinHash tier, co-partitioned by fp.
+    The hash-array projection is pinned before the window selection so
+    Catalyst cannot re-inline the md5 chain per reference (same trap as
+    the SimHash fold), and the kept-fingerprint table is pinned once and
+    consumed by both join sides and the size table."""
+    docs = load_table(spark, sf_dir, "documents")
+    elig = docs.select("doc_id", T.tokens("text").alias("t")).filter(
+        F.size("t") >= _WIN_K + _WIN_W - 1
+    )
+    hashed = materialize(
+        elig.select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - _WIN_K + 1),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, _WIN_K))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            ).alias("h"),
+        )
+    )
+    fps = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("h") - _WIN_W + 1),
+                    lambda i: F.array_min(F.slice(F.col("h"), i, _WIN_W)),
+                )
+            )
+        ).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    kept = materialize(
+        fps.withColumn(
+            "dfreq", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("dfreq") <= _WIN_CAP)
+        .select("doc_id", "fp")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= _WIN_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("nfp_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nfp_b"))
+    contain = F.col("shared_fp").cast("double") / F.least(
+        "nfp_a", "nfp_b"
+    ).cast("double")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(contain >= _WIN_CONTAIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            "nfp_a",
+            "nfp_b",
+            F.round(contain, 4).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -804,3 +804,124 @@ def lexicon_screen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub audit (round-6 widening): promote the redact_pii operator
+# (operators/text.py) from unit-test-only to an oracle-checked corpus
+# panel. The fixture corpus contains no PII by construction, so the panel
+# injects DETERMINISTIC synthetic PII (keyed on doc_id residues, mirrored
+# verbatim in the oracle) before scrubbing — the fixture-exercise idiom the
+# DP-noise panel already uses: production swaps the injection for the raw
+# crawl text, nothing else changes.
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=r"""
+    WITH aug AS (
+      SELECT source,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' call 555-123-4567' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' id 123-45-6789' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' pay 4111 1111 1111 1111' ELSE '' END AS t
+      FROM documents
+    ), per AS (
+      SELECT source,
+             length(t) AS len_raw,
+             length(regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        '(?:\+?\d{1,2}[\s.-])?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}', '<PHONE>', 'g'),
+                        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                        '\b(?:\d[ -]?){13,19}\b', '<CARD>', 'g')) AS len_red,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             len(regexp_extract_all(t, '(?:\+?\d{1,2}[\s.-])?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}')) AS n_phone,
+             len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+             len(regexp_extract_all(t, '\b(?:\d[ -]?){13,19}\b')) AS n_card
+      FROM aug
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_email + n_phone + n_ssn + n_card > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(SUM(n_ssn) AS BIGINT) AS n_ssn,
+           CAST(SUM(n_card) AS BIGINT) AS n_card,
+           CAST(SUM(len_raw - len_red) AS BIGINT) AS chars_removed,
+           ROUND(SUM(CASE WHEN n_email + n_phone + n_ssn + n_card > 0
+                          THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 4) AS pct_flagged
+    FROM per
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: per-source match counts per PII class, documents
+    flagged, and characters removed by redaction — the release-gate panel
+    a corpus runs before text leaves the quarantine zone (the scrubbing
+    itself is operators/text.redact_pii, SURVEY #45 posture; reference
+    scope: the compliance/audit stance of ethical_crawler.py:612-660).
+    Synthetic PII is injected deterministically by doc_id residue so the
+    fixture exercises non-zero rates; the oracle mirrors the injection.
+
+    Scale shape: one linear scan — the counts (regexp_count) and the
+    redaction (chained regexp_replace) are Catalyst expressions computed
+    in the SAME projection, so auditing costs no second pass over the
+    corpus; the rollup is a per-source groupBy with map-side partials.
+    No Python in the row path, no shuffle beyond the final tiny rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 11 == 0, F.lit(" id 123-45-6789")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" pay 4111 1111 1111 1111")).otherwise(
+            F.lit("")
+        ),
+    )
+    per = docs.select(
+        "source",
+        F.length(aug).alias("len_raw"),
+        F.length(T.redact_pii(aug)).alias("len_red"),
+        *T.pii_counts(aug),
+    )
+    hit = (
+        F.col("n_email") + F.col("n_phone") + F.col("n_ssn") + F.col("n_card")
+        > 0
+    ).cast("long")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(hit).alias("docs_flagged"),
+            F.sum("n_email").alias("n_email"),
+            F.sum("n_phone").alias("n_phone"),
+            F.sum("n_ssn").alias("n_ssn"),
+            F.sum("n_card").alias("n_card"),
+            F.sum(F.col("len_raw") - F.col("len_red")).alias("chars_removed"),
+            F.round(
+                F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("pct_flagged"),
+        )
+        .orderBy("source")
+    )
