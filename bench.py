@@ -111,6 +111,7 @@ HEADLINE = [
     "text_repetition_stats",
     "bigram_lm_perplexity",
     "lexicon_screen_stats",
+    "pii_scrub_stats",
     "doc_fingerprints",
     "lang_id_confusion",
     "stratified_sample_stats",
@@ -145,6 +146,7 @@ HEADLINE = [
     "dedup_simhash",
     "neardup_clusters",
     "dedup_tier_attribution",
+    "winnowing_overlap_pairs",
     "survivor_selection_stats",
     "pagerank_trade_graph",
     "embedding_neardup_pairs",

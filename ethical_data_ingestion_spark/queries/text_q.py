@@ -816,6 +816,30 @@ def lexicon_screen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # crawl text, nothing else changes.
 
 
+def _pii_augmented_text() -> "F.Column":
+    """The deterministic synthetic-PII injection (doc_id-residue keyed),
+    shared by the panel and its idempotence test."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 11 == 0, F.lit(" id 123-45-6789")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" pay 4111 1111 1111 1111")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
 @register(
     "pii_scrub_stats",
     oracle=r"""
@@ -879,25 +903,7 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; the rollup is a per-source groupBy with map-side partials.
     No Python in the row path, no shuffle beyond the final tiny rollup."""
     docs = load_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    aug = F.concat(
-        F.col("text"),
-        F.when(
-            did % 5 == 0,
-            F.concat(
-                F.lit(" reach user"),
-                did.cast("string"),
-                F.lit("@example.com"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when(did % 7 == 0, F.lit(" call 555-123-4567")).otherwise(
-            F.lit("")
-        ),
-        F.when(did % 11 == 0, F.lit(" id 123-45-6789")).otherwise(F.lit("")),
-        F.when(did % 13 == 0, F.lit(" pay 4111 1111 1111 1111")).otherwise(
-            F.lit("")
-        ),
-    )
+    aug = _pii_augmented_text()
     per = docs.select(
         "source",
         F.length(aug).alias("len_raw"),
