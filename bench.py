@@ -164,6 +164,7 @@ HEADLINE = [
     "embed_knn_e2e",
     "embed_knn_lsh",
     "chunk_embed_topk",
+    "semantic_decontam_stats",
     "domain_cap_sampling",
     "padding_efficiency_stats",
     "quality_filter_ensemble",

@@ -24,8 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..materialize import shared
+from ..materialize import materialize, shared
 from ..operators import embed as E
+from ..operators.analytics import davg
 from ..operators import similarity as S
 from ..registry import register
 
@@ -399,4 +400,145 @@ def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (round-6 widening): the embedding-space
+# complement of the 8-gram/Bloom decontam family — flags training
+# documents whose nearest benchmark document exceeds a cosine threshold,
+# catching paraphrased leakage the exact n-gram screens miss (the
+# SemDeDup/decontam combination every eval-hygiene pipeline runs).
+
+#: benchmark probe shard: src0 docs below this id (~256 docs at sf>=0.01)
+#: — benchmark suites are inherently small and screened shard-by-shard.
+_SD_BENCH_MAXID = 2560
+#: cosine flag threshold, tuned on the fixture corpus (p95 of the
+#: max-cos distribution sits at ~0.90; real deployments tune per corpus).
+_SD_TAU = 0.9
+
+
+@register(
+    "semantic_decontam_stats",
+    oracle=f"""
+    WITH {_HASHED_CNTS_CTE},
+    nrm AS (
+      SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2
+      FROM cnts GROUP BY doc_id HAVING SUM(c * c) > 0
+    ),
+    bset AS (
+      SELECT n.doc_id, n.n2 FROM nrm n JOIN documents d USING (doc_id)
+      WHERE d.source = 'src0' AND d.doc_id < {_SD_BENCH_MAXID}
+    ),
+    tset AS (
+      SELECT n.doc_id, d.source, n.n2 FROM nrm n JOIN documents d USING (doc_id)
+      WHERE d.source <> 'src0'
+    ),
+    dotv AS (
+      SELECT tc.doc_id AS tid, bc.doc_id AS bid,
+             CAST(SUM(tc.c * bc.c) AS BIGINT) AS dotp
+      FROM cnts tc JOIN tset t ON t.doc_id = tc.doc_id
+      JOIN cnts bc ON tc.bucket = bc.bucket
+      JOIN bset b ON b.doc_id = bc.doc_id
+      GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT p.doc_id AS tid, p.source,
+             MAX(CAST(COALESCE(d.dotp, 0) AS DOUBLE)
+                 / sqrt(CAST(b.n2 AS DOUBLE)))
+             / sqrt(CAST(p.n2 AS DOUBLE)) AS m
+      FROM tset p CROSS JOIN bset b
+      LEFT JOIN dotv d ON d.tid = p.doc_id AND d.bid = b.doc_id
+      GROUP BY p.doc_id, p.source, p.n2
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN m >= {_SD_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           ROUND(SUM(CASE WHEN m >= {_SD_TAU} THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 4) AS flag_rate,
+           ROUND(CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / COUNT(m), 4)
+             AS avg_max_cos,
+           ROUND(MAX(m), 6) AS max_cos
+    FROM mx GROUP BY source ORDER BY source
+    """,
+)
+def semantic_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: per training source, how
+    many documents have cosine >= {_SD_TAU} to SOME document in the
+    benchmark probe shard (src0, doc_id < {_SD_BENCH_MAXID}), plus the
+    max-similarity profile. Complements ``benchmark_decontam_stats`` /
+    ``bloom_decontam_stats`` (exact 8-gram leakage) with the paraphrase
+    tier. Reference scope: ethical_crawler.py:842's declared embedding
+    surface, extended per the eval-hygiene practice in public LLM
+    pipelines.
+
+    Scale shape: the benchmark side of a decontam screen is SMALL by
+    nature (eval suites, not corpora) — it is collected once (k-row
+    driver collect, same class as the k-means centroid artifact) and
+    shipped into a single narrow projection as an array literal; each
+    training document computes its max scaled dot against the shard in
+    ONE whole-stage-codegen fold — no join, no shuffle, no row blowup
+    (the 12M-pair intermediate a cross-join scoring would materialize at
+    sf0.1 never exists). The only exchange is the final per-source
+    rollup. The division order (dot / sqrt(bench_n2), then
+    / sqrt(train_n2)) is mirrored exactly in the oracle so both engines
+    round the identical doubles; dots and norms are integer-exact."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = _embedded_docs(spark, sf_dir).join(docs, "doc_id")
+    n2 = E.embedding_norm2("embedding")
+    bench = (
+        emb.filter(
+            (F.col("source") == "src0") & (F.col("doc_id") < _SD_BENCH_MAXID)
+        )
+        .filter(n2 > 0)
+        .select("doc_id", "embedding")
+        .collect()
+    )
+    bvecs = [[float(x) for x in r.embedding] for r in bench]
+    sbn = [math.sqrt(sum(x * x for x in v)) for v in bvecs]
+    bv_lit, sbn_lit = F.lit(bvecs), F.lit(sbn)
+    train = materialize(
+        emb.filter(F.col("source") != "src0")
+        .filter(n2 > 0)
+        .select(
+            "source",
+            S.as_double("embedding").alias("_tv"),
+            n2.cast("double").alias("_n2"),
+        )
+    )
+    scaled_max = F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(bvecs))),
+        F.lit(float("-inf")),
+        lambda acc, i: F.greatest(
+            acc,
+            F.aggregate(
+                F.zip_with(
+                    F.col("_tv"), F.element_at(bv_lit, i), lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.element_at(sbn_lit, i),
+        ),
+    )
+    per = train.select(
+        "source", (scaled_max / F.sqrt("_n2")).alias("m")
+    ).filter(F.lit(len(bvecs) > 0))
+    flag = (F.col("m") >= _SD_TAU).cast("long")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flag).alias("n_flagged"),
+            F.round(
+                F.sum(flag).cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("flag_rate"),
+            davg(F.col("m"), "avg_max_cos"),
+            F.round(F.max("m"), 6).alias("max_cos"),
+        )
+        .orderBy("source")
     )
