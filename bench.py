@@ -112,6 +112,7 @@ HEADLINE = [
     "bigram_lm_perplexity",
     "lexicon_screen_stats",
     "pii_scrub_stats",
+    "tokenizer_fertility_stats",
     "doc_fingerprints",
     "lang_id_confusion",
     "stratified_sample_stats",

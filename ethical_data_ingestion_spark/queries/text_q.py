@@ -931,3 +931,58 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "tokenizer_fertility_stats",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, '{T.TOKEN_RE}')) AS n_bpe,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           ROUND(SUM(n_bpe)::DOUBLE / SUM(n_words)::DOUBLE, 4) AS fertility,
+           ROUND(SUM(n_chars)::DOUBLE / SUM(n_bpe)::DOUBLE, 4)
+             AS chars_per_token
+    FROM per GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish tokens per whitespace word
+    and characters per token, per language bucket — the panel that drives
+    tokenizer/vocab selection for a multilingual corpus (high fertility =
+    the tokenizer fragments that language, inflating training cost per
+    byte of signal). Pure Catalyst regexp/split expressions (the tiktoken
+    seam, SURVEY #45); the per-language rollup is exact-integer ratios so
+    the oracle divides identical numbers.
+
+    Scale shape: one linear scan, per-language map-side partials, final
+    |langs|-row exchange — nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.n_tokens("text")).cast("long").alias("total_words"),
+            F.sum(T.n_tokens_bpe("text")).cast("long").alias(
+                "total_bpe_tokens"
+            ),
+            F.round(
+                F.sum(T.n_tokens_bpe("text")).cast("double")
+                / F.sum(T.n_tokens("text")).cast("double"),
+                4,
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.length("text")).cast("double")
+                / F.sum(T.n_tokens_bpe("text")).cast("double"),
+                4,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
