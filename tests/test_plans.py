@@ -357,3 +357,37 @@ def test_round6_queries_keep_their_scale_shapes(spark, sf_dir):
     assert "Cartesian" not in plan
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in m.group(1) and " v#" not in m.group(1)
+
+
+def test_round6_hygiene_panels_keep_their_scale_shapes(spark, sf_dir):
+    """Plan pins for the round-6 hygiene panels (winnowing, PII scrub,
+    semantic decontam, tokenizer fertility)."""
+    # winnowing: fingerprint selection is pinned (no re-derivation of the
+    # md5 k-gram chain per join side — no parquet re-scan), candidates are
+    # an fp equi-join (never cartesian)
+    df = _q(spark, sf_dir, "winnowing_overlap_pairs")
+    plan = plans.formatted_plan(df)
+    assert "Scan parquet" not in plan
+    assert "Cartesian" not in plan
+
+    # PII scrub: ONE linear scan — counts and redaction in the same
+    # projection, no join, only the per-source rollup + order exchanges
+    df = _q(spark, sf_dir, "pii_scrub_stats")
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan
+    assert plans.shuffle_count(df) <= 2
+
+    # semantic decontam: the benchmark shard is a broadcast LITERAL inside
+    # a codegen fold — after the pinned train projection there is no join
+    # of any kind and only the rollup + order exchanges
+    df = _q(spark, sf_dir, "semantic_decontam_stats")
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan
+    assert "Cartesian" not in plan
+    assert plans.shuffle_count(df) <= 2
+
+    # tokenizer fertility: one scan, one per-lang rollup
+    df = _q(spark, sf_dir, "tokenizer_fertility_stats")
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan
+    assert plans.shuffle_count(df) <= 2
