@@ -113,6 +113,7 @@ HEADLINE = [
     "lexicon_screen_stats",
     "pii_scrub_stats",
     "tokenizer_fertility_stats",
+    "vocab_growth_stats",
     "doc_fingerprints",
     "lang_id_confusion",
     "stratified_sample_stats",

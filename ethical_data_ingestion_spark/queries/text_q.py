@@ -986,3 +986,93 @@ def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "vocab_growth_stats",
+    oracle="""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    tok AS (
+      SELECT CAST(floor(CAST(d.doc_id * 10 AS DOUBLE) / nn.n) AS INTEGER)
+               AS decile,
+             unnest(string_split(d.text, ' ')) AS word
+      FROM documents d, nn
+    ),
+    tok2 AS (SELECT decile, word FROM tok WHERE word <> ''),
+    dstat AS (
+      SELECT CAST(floor(CAST(d.doc_id * 10 AS DOUBLE) / nn.n) AS INTEGER)
+               AS decile,
+             COUNT(*) AS n_docs
+      FROM documents d, nn GROUP BY 1
+    ),
+    tstat AS (SELECT decile, COUNT(*) AS n_tokens FROM tok2 GROUP BY 1),
+    firsts AS (SELECT word, MIN(decile) AS first_decile FROM tok2
+               GROUP BY word),
+    neww AS (SELECT first_decile AS decile, COUNT(*) AS new_words
+             FROM firsts GROUP BY 1)
+    SELECT d.decile,
+           d.n_docs,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(w.new_words, 0) AS BIGINT) AS new_words,
+           CAST(SUM(COALESCE(w.new_words, 0)) OVER (ORDER BY d.decile)
+                AS BIGINT) AS cum_vocab,
+           CAST(SUM(t.n_tokens) OVER (ORDER BY d.decile) AS BIGINT)
+             AS cum_tokens,
+           ROUND(COALESCE(w.new_words, 0)::DOUBLE / t.n_tokens::DOUBLE, 6)
+             AS novelty_rate
+    FROM dstat d JOIN tstat t USING (decile) LEFT JOIN neww w USING (decile)
+    ORDER BY d.decile
+    """,
+)
+def vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law) by corpus decile: new word
+    types first seen per decile of the corpus (doc_id order), cumulative
+    vocabulary vs cumulative tokens, and the per-decile novelty rate — the
+    diminishing-returns panel a data-scaling decision reads (when the
+    curve flattens, more of the same source buys little new signal).
+
+    Scale shape: deciles come from doc_id ARITHMETIC against one count
+    scalar — not an ntile window, so there is no global sort/funnel at any
+    size; first-sight is a per-word min (map-side combinable), and the
+    only windows run over the 10-row decile table (benign). At 100 TB the
+    same plan holds with doc_id replaced by any dense ingest sequence."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    dec = F.floor((F.col("doc_id") * 10).cast("double") / F.lit(n)).cast(
+        "int"
+    )
+    toks = docs.select(
+        dec.alias("decile"), F.explode(T.tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    dstat = docs.groupBy(dec.alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tstat = toks.groupBy("decile").agg(F.count(F.lit(1)).alias("n_tokens"))
+    neww = (
+        toks.groupBy("word")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dstat.join(tstat, "decile")
+        .join(neww, "decile", "left")
+        .withColumn("new_words", F.coalesce("new_words", F.lit(0)))
+        .select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            "new_words",
+            F.sum("new_words").over(w).alias("cum_vocab"),
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.round(
+                F.col("new_words").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("decile")
+    )
