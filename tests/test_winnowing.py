@@ -67,3 +67,31 @@ def test_pii_scrub_is_idempotent_on_injected_corpus(spark, sf_dir):
     ).agg(F.sum(sum(total, F.lit(0))).alias("n")).first()["n"]
     assert pre > 0
     assert post == 0
+
+
+def test_winnowing_surfaces_a_planted_near_dup_and_skips_the_rest(
+    spark, tmp_path
+):
+    """MOSS guarantee, panel-level: a planted pair sharing a long token
+    run must surface with high containment; unrelated random-vocabulary
+    docs must not pair at all."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(5000)]
+
+    def _doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    base = _doc(40)
+    near = base + " " + _doc(6)  # shares a 40-token run with doc 0
+    rows = [(0, base, "en", "src1", len(base)), (1, near, "en", "src1", len(near))]
+    rows += [(i, _doc(40), "en", "src2", 1) for i in range(2, 30)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = QUERIES["winnowing_overlap_pairs"](spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    assert (0, 1) in pairs, "planted near-dup pair missed"
+    assert pairs[(0, 1)].containment >= 0.9
+    assert len(pairs) == 1, f"spurious pairs: {set(pairs) - {(0, 1)}}"
