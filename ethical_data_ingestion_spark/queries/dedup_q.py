@@ -932,9 +932,10 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller side's selected fingerprints (and at least {_WIN_MIN_SHARED}
     absolute) — the MOSS-style near-dup tier that detects LOCAL overlap
     (a copied paragraph inside an otherwise-different document), which the
-    whole-document MinHash/SimHash tiers dilute away. Reference scope:
-    ethical_crawler.py:842's declared-unused dedup surface, extended per
-    the winnowing paper's public algorithm.
+    whole-document MinHash/SimHash tiers dilute away. Reference scope: the
+    UNIQUE(source_name, record_id) exact-dedup constraint at
+    ethical_crawler.py:843, extended to content-level near-dup per the
+    winnowing paper's public algorithm.
 
     Scale shape: fingerprint selection is a per-row Catalyst fold (no
     explode until the ~2/(w+1)-density selected set), the "stop

@@ -893,7 +893,8 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged, and characters removed by redaction — the release-gate panel
     a corpus runs before text leaves the quarantine zone (the scrubbing
     itself is operators/text.redact_pii, SURVEY #45 posture; reference
-    scope: the compliance/audit stance of ethical_crawler.py:612-660).
+    scope: the compliance-verification stance of ethical_crawler.py:304
+    `check_compliance`, extended to the release side).
     Synthetic PII is injected deterministically by doc_id residue so the
     fixture exercises non-zero rates; the oracle mirrors the injection.
 
