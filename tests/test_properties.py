@@ -192,3 +192,54 @@ def test_hashed_embedder_batch_invariance(text):
     alone = model([text])[0]
     batched = model(["padding one", text, "padding two"])[1]
     assert (alone == batched).all()
+
+
+# PII-ish fragments interleaved with noise: hypothesis explores partial
+# matches (truncated SSNs, digit runs straddling the card bounds, emails
+# missing TLDs) where regex-dialect drift between Java and RE2/Python
+# would first show up.
+_pii_frags = st.lists(
+    st.sampled_from(
+        [
+            "a@b.co",
+            "a@b.c",          # TLD too short — must NOT match
+            "x.y%z@mail.example.org",
+            "555-123-4567",
+            "555 123 4567",
+            "5551234567",     # no separators — must NOT match (phone)
+            "123-45-6789",
+            "123-456-789",    # wrong grouping
+            "4111 1111 1111 1111",
+            "4111111111111",  # 13 bare digits — card matches
+            "12 34",
+            "plain words",
+            "trailing@",
+        ]
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(frags=_pii_frags)
+def test_pii_counts_match_python_re(spark, frags):
+    """Spark's regexp_count over the Java dialect agrees with Python re
+    for every PII pattern on adversarial near-miss fragments (the same
+    patterns the DuckDB oracle runs under RE2)."""
+    from ethical_data_ingestion_spark.operators.text import (
+        PII_PATTERNS,
+        pii_counts,
+    )
+
+    text = " ".join(frags)
+    row = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(*pii_counts("t"))
+        .first()
+    )
+    for name, pat, _tok in PII_PATTERNS:
+        assert row[f"n_{name}"] == len(re.findall(pat, text)), (
+            name,
+            text,
+        )
