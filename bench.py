@@ -170,6 +170,7 @@ HEADLINE = [
     "domain_cap_sampling",
     "padding_efficiency_stats",
     "quality_filter_ensemble",
+    "quality_calibration_stats",
     "bpe_merge_candidates",
     "dataset_diff_stats",
     "dataset_snapshot_chain",

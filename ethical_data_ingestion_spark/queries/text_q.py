@@ -1077,3 +1077,54 @@ def vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "quality_calibration_stats",
+    oracle=f"""
+    WITH {QUALITY_Z_CTE}
+    SELECT CAST(floor(qz.z / 0.25) AS INTEGER) AS bin,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(qz.z AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(qz.z), 4) AS avg_z,
+           CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           ROUND(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 4) AS en_rate
+    FROM qz JOIN documents d USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def quality_calibration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score calibration curve: the frozen-weight ensemble score
+    binned at width 0.25, with the empirical rate of an INDEPENDENT
+    outcome (lang = 'en' — the score uses EN stopword mass, so it acts
+    as an English-quality classifier) per bin. This is the reliability
+    diagram a curation team reads before picking the ensemble's drop
+    threshold: monotone en_rate across bins = the score ranks; the bin
+    where the rate saturates = the efficient operating point. (On the
+    synthetic fixture, lang is assigned independently of text, so the
+    curve is deliberately flat — the panel verifies the binning/rollup
+    machinery; a real corpus supplies the signal.)
+
+    Scale shape: one scan through the shared quality-z expressions, an
+    integer bin key (z/0.25 is exact — z is a rounded 6-decimal value,
+    dividing by 0.25 multiplies by 4), and a |bins|-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    z = quality_z_df(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    en = (F.col("lang") == "en").cast("long")
+    return (
+        z.groupBy(
+            F.floor(F.col("z") / F.lit(0.25)).cast("int").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg(F.col("z"), "avg_z"),
+            F.sum(en).alias("n_en"),
+            F.round(
+                F.sum(en).cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("en_rate"),
+        )
+        .orderBy("bin")
+    )
