@@ -194,6 +194,7 @@ HEADLINE = [
     "streaming_enriched_segments",
     "streaming_anomaly_windows",
     "streaming_topk_trending",
+    "streaming_quarantine_gate",
 ]
 
 

@@ -624,3 +624,122 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 2)
         .orderBy("window_start", "rank")
     )
+
+
+@register(
+    "streaming_quarantine_gate",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id, source, text
+      FROM documents
+      WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+            < 13107
+    ),
+    qf AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tok,
+             ROUND(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to')))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE, 6) AS swr,
+             ROUND(length(replace(text, ' ', ''))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE, 6) AS alen,
+             ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE, 6) AS ttr
+      FROM b
+    ),
+    qz AS (
+      SELECT doc_id, source,
+             ROUND(1.2 * swr + 0.8 * ttr
+                   + 0.4 * least(1.0, n_tok / 128.0)
+                   - 0.08 * abs(alen - 5.0), 6) AS z
+      FROM qf
+    ),
+    aug AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' call 555-123-4567' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' id 123-45-6789' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' pay 4111 1111 1111 1111' ELSE '' END AS t
+      FROM b
+    ),
+    flags AS (
+      SELECT a.source,
+             CASE WHEN regexp_matches(a.t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                  OR regexp_matches(a.t, '(?:\+?\d{1,2}[\s.-])?\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}')
+                  OR regexp_matches(a.t, '\b\d{3}-\d{2}-\d{4}\b')
+                  OR regexp_matches(a.t, '\b(?:\d[ -]?){13,19}\b')
+                  THEN 1 ELSE 0 END AS p,
+             CASE WHEN qz.z < 0.6 THEN 1 ELSE 0 END AS q
+      FROM aug a JOIN qz USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(p) AS BIGINT) AS n_pii_flagged,
+           CAST(SUM(q) AS BIGINT) AS n_low_quality,
+           CAST(SUM(CASE WHEN p = 1 OR q = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           ROUND((COUNT(*) - SUM(CASE WHEN p = 1 OR q = 1
+                                      THEN 1 ELSE 0 END))::DOUBLE
+                 / COUNT(*)::DOUBLE, 4) AS pass_rate
+    FROM flags GROUP BY source ORDER BY source
+    """,
+)
+def streaming_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest quarantine gate AS A STREAM: the delta batch flows in
+    over micro-batches and every document is screened in-flight — PII
+    patterns (on the same deterministic injection the batch audit panel
+    uses) and the frozen-weight quality score — with per-source
+    pass/quarantine counts held in engine state across batches. This is
+    the deployment shape of the reference's compliance gate
+    (ethical_crawler.py:304 ``check_compliance``) for continuous ingest:
+    nothing reaches the corpus without passing the same screens the
+    batch panels audit.
+
+    Hash-checkable because every aggregate is a survivor-independent
+    per-row flag count (no ordering, no firsts), so micro-batch
+    boundaries cannot change the drained complete-mode table; the oracle
+    is the identical screen over the batch-subset CTE. Scale: screening
+    is stateless per-row Catalyst work; state is O(|sources|) counters."""
+    from .text_q import _ENS_TAU, _pii_augmented_text, quality_z_df
+    from ..operators import text as T
+
+    with P.state_partitions(spark, 4):
+        stream = _doc_batch_stream(spark, sf_dir, mfpt=2)
+        zed = quality_z_df(stream, extra=("text",))
+        aug = _pii_augmented_text()
+        pii_hits = None
+        for _name, pat, _tok in T.PII_PATTERNS:
+            c = F.regexp_count(aug, F.lit(pat))
+            pii_hits = c if pii_hits is None else pii_hits + c
+        p = (pii_hits > 0).cast("long")
+        q = (F.col("z") < _ENS_TAU).cast("long")
+        flags = zed.select(
+            "source",
+            p.alias("p"),
+            q.alias("q"),
+            ((p + q) > 0).cast("long").alias("any"),
+        )
+        agg = flags.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p").alias("n_pii_flagged"),
+            F.sum("q").alias("n_low_quality"),
+            F.sum("any").alias("n_quarantined"),
+        )
+        out = P.run_available_now(agg, output_mode="complete")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_pii_flagged",
+        "n_low_quality",
+        "n_quarantined",
+        F.round(
+            (F.col("n_docs") - F.col("n_quarantined")).cast("double")
+            / F.col("n_docs").cast("double"),
+            4,
+        ).alias("pass_rate"),
+    ).orderBy("source")

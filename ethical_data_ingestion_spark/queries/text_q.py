@@ -483,7 +483,11 @@ _ENS_TAU = 0.6  # decision threshold; calibrated so both classes occur
 #: the doc-level form of ``quality_filter_ensemble``'s frozen-weight score,
 #: shared with cross-module consumers (dedup survivor selection). Keep the
 #: expressions in lockstep with the ensemble oracle below.
-QUALITY_Z_CTE = f"""qf AS (
+def quality_z_cte(from_rel: str = "documents") -> str:
+    """The qf → qz CTE pair over an arbitrary source relation (must
+    expose doc_id, source, text) — lets stream-subset oracles score the
+    same expressions over a filtered CTE instead of the full table."""
+    return f"""qf AS (
       SELECT doc_id, source,
              len(string_split(text, ' ')) AS n_tok,
              ROUND({_sw_count(_EN)}::DOUBLE
@@ -492,7 +496,7 @@ QUALITY_Z_CTE = f"""qf AS (
                    / len(string_split(text, ' '))::DOUBLE, 6) AS alen,
              ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
                    / len(string_split(text, ' '))::DOUBLE, 6) AS ttr
-      FROM documents
+      FROM {from_rel}
     ),
     qz AS (
       SELECT doc_id, source,
@@ -503,11 +507,16 @@ QUALITY_Z_CTE = f"""qf AS (
     )"""
 
 
-def quality_z_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, z): the frozen-weight quality score per document —
-    the Spark twin of :data:`QUALITY_Z_CTE`, and the per-doc core of
-    ``quality_filter_ensemble`` (same expressions, same operation order,
-    so scores are bit-deterministic across engines)."""
+QUALITY_Z_CTE = quality_z_cte()
+
+
+def quality_z_df(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, source, *extra, z): the frozen-weight quality score per
+    document — the Spark twin of :data:`QUALITY_Z_CTE`, and the per-doc
+    core of ``quality_filter_ensemble`` (same expressions, same operation
+    order, so scores are bit-deterministic across engines). ``extra``
+    columns pass through untouched (the streaming gate keeps ``text`` for
+    the PII screen in the same projection)."""
     en = [s for lang, s in T.LANG_STOPWORDS if lang == "en"][0]
     n_tok = T.n_tokens("text")
     ttr = F.round(
@@ -518,6 +527,7 @@ def quality_z_df(docs: DataFrame) -> DataFrame:
     f = docs.select(
         "doc_id",
         "source",
+        *extra,
         n_tok.alias("n_tok"),
         T.stopword_ratio("text", en).alias("swr"),
         T.avg_token_len("text").alias("alen"),
@@ -526,6 +536,7 @@ def quality_z_df(docs: DataFrame) -> DataFrame:
     return f.select(
         "doc_id",
         "source",
+        *extra,
         F.round(
             F.lit(1.2) * F.col("swr")
             + F.lit(0.8) * F.col("ttr")
