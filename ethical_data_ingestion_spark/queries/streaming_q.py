@@ -705,32 +705,43 @@ def streaming_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries cannot change the drained complete-mode table; the oracle
     is the identical screen over the batch-subset CTE. Scale: screening
     is stateless per-row Catalyst work; state is O(|sources|) counters."""
+    with P.state_partitions(spark, 4):
+        stream = _doc_batch_stream(spark, sf_dir, mfpt=2)
+        agg = _quarantine_rollup(stream)
+        out = P.run_available_now(agg, output_mode="complete")
+    return _quarantine_final(out)
+
+
+def _quarantine_rollup(docs: DataFrame) -> DataFrame:
+    """Per-source screen-flag rollup over a (doc_id, source, text) frame —
+    works identically on the micro-batched stream and its batch twin
+    (``tools/streaming_decomp.py``)."""
     from .text_q import _ENS_TAU, _pii_augmented_text, quality_z_df
     from ..operators import text as T
 
-    with P.state_partitions(spark, 4):
-        stream = _doc_batch_stream(spark, sf_dir, mfpt=2)
-        zed = quality_z_df(stream, extra=("text",))
-        aug = _pii_augmented_text()
-        pii_hits = None
-        for _name, pat, _tok in T.PII_PATTERNS:
-            c = F.regexp_count(aug, F.lit(pat))
-            pii_hits = c if pii_hits is None else pii_hits + c
-        p = (pii_hits > 0).cast("long")
-        q = (F.col("z") < _ENS_TAU).cast("long")
-        flags = zed.select(
-            "source",
-            p.alias("p"),
-            q.alias("q"),
-            ((p + q) > 0).cast("long").alias("any"),
-        )
-        agg = flags.groupBy("source").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("p").alias("n_pii_flagged"),
-            F.sum("q").alias("n_low_quality"),
-            F.sum("any").alias("n_quarantined"),
-        )
-        out = P.run_available_now(agg, output_mode="complete")
+    zed = quality_z_df(docs, extra=("text",))
+    aug = _pii_augmented_text()
+    pii_hits = None
+    for _name, pat, _tok in T.PII_PATTERNS:
+        c = F.regexp_count(aug, F.lit(pat))
+        pii_hits = c if pii_hits is None else pii_hits + c
+    p = (pii_hits > 0).cast("long")
+    q = (F.col("z") < _ENS_TAU).cast("long")
+    flags = zed.select(
+        "source",
+        p.alias("p"),
+        q.alias("q"),
+        ((p + q) > 0).cast("long").alias("any"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("p").alias("n_pii_flagged"),
+        F.sum("q").alias("n_low_quality"),
+        F.sum("any").alias("n_quarantined"),
+    )
+
+
+def _quarantine_final(out: DataFrame) -> DataFrame:
     return out.select(
         "source",
         "n_docs",

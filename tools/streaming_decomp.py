@@ -211,6 +211,17 @@ def _twins(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
         )
         return _classify_perfp(spark, sf_dir, perfp)
 
+    def quarantine():
+        from ethical_data_ingestion_spark.queries.dedup_q import _is_batch
+        from ethical_data_ingestion_spark.queries.streaming_q import (
+            _quarantine_final,
+            _quarantine_rollup,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        batch = docs.filter(_is_batch()).select("doc_id", "source", "text")
+        return _quarantine_final(_quarantine_rollup(batch))
+
     return {
         "streaming_tumbling_hourly": tumbling,
         "streaming_dedup_keys": dedup,
@@ -222,6 +233,7 @@ def _twins(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
         "streaming_anomaly_windows": anomaly,
         "streaming_topk_trending": trending,
         "streaming_incremental_dedup": incr_dedup,
+        "streaming_quarantine_gate": quarantine,
     }
 
 
