@@ -944,3 +944,155 @@ def training_order_shuffle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: UniMax water-filling: per-corpus epoch cap and the total training-token
+#: budget as a multiple of the corpus's natural token mass.
+_UNIMAX_CAP_EPOCHS = 4
+_UNIMAX_BUDGET_X = 2
+
+
+@register(
+    "unimax_allocation_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, lang,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source, lang
+    ),
+    cap AS (
+      SELECT source, lang, tokens,
+             CAST({_UNIMAX_CAP_EPOCHS} * tokens AS BIGINT) AS capacity
+      FROM tok
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST({_UNIMAX_BUDGET_X} * SUM(tokens) AS BIGINT) AS budget
+      FROM cap
+    ),
+    ranked AS (
+      SELECT c.*, t.n, t.budget,
+             CAST(ROW_NUMBER() OVER
+                  (ORDER BY capacity, source, lang) AS BIGINT) AS rn,
+             CAST(COALESCE(SUM(capacity) OVER (
+                    ORDER BY capacity, source, lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS prefix_cap
+      FROM cap c, tot t
+    ),
+    flagged AS (
+      SELECT *,
+             (capacity * (n - rn + 1) + prefix_cap < budget) AS capped
+      FROM ranked
+    ),
+    cstat AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN capacity END), 0)
+                  AS BIGINT) AS capped_sum,
+             CAST(COALESCE(SUM(CASE WHEN capped THEN 1 END), 0)
+                  AS BIGINT) AS n_capped
+      FROM flagged
+    )
+    SELECT source, lang, tokens, capacity,
+           CAST(capped AS INTEGER) AS is_capped,
+           ROUND(CASE WHEN capped THEN capacity::DOUBLE
+                 ELSE (budget - capped_sum)::DOUBLE
+                      / (n - n_capped)::DOUBLE END, 2) AS alloc_tokens,
+           ROUND((CASE WHEN capped THEN capacity::DOUBLE
+                  ELSE (budget - capped_sum)::DOUBLE
+                       / (n - n_capped)::DOUBLE END)
+                 / tokens::DOUBLE, 4) AS epochs,
+           ROUND((CASE WHEN capped THEN capacity::DOUBLE
+                  ELSE (budget - capped_sum)::DOUBLE
+                       / (n - n_capped)::DOUBLE END)
+                 / budget::DOUBLE, 6) AS mix_frac
+    FROM flagged, cstat
+    ORDER BY source, lang
+    """,
+)
+def unimax_allocation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style capped water-filling of a training-token budget across
+    (source, lang) corpora (Chung et al. 2023): every corpus gets an equal
+    share of the budget EXCEPT that no corpus may be repeated for more than
+    {_UNIMAX_CAP_EPOCHS} epochs — capped corpora keep their full capacity
+    and the freed budget is re-spread equally over the uncapped rest. This
+    is the epoch-bounded complement of ``corpus_mixing_stats`` (uncapped
+    temperature sampling): the panel a multilingual-mixture owner reads to
+    see which corpora are repetition-bound and what the realized mixture
+    fractions are.
+
+    The waterline needs NO iteration: with corpora sorted by capacity
+    ascending, corpus i is capped iff
+    ``capacity_i * (n - i + 1) + prefix_cap_i < budget`` — the condition is
+    monotone in i (the difference telescopes to
+    ``(c_{{i+1}} - c_i) * (n - i) >= 0``), so one window pass + one global
+    aggregate computes the exact fixed point. All threshold arithmetic is
+    BIGINT (engine-exact); the only division is the final fair share.
+
+    Scale shape: one token-count aggregate (map-side combined) to ~|S|x|L|
+    rows, then windows over that tiny allocation table — the document scan
+    is never shuffled. The declared-unused ML surface (SURVEY #45
+    extension; reference schema `ethical_crawler.py:842` ff. stores corpus
+    metadata it never budgets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source", "lang").agg(
+        F.sum(T.n_tokens("text")).cast("long").alias("tokens")
+    )
+    cap = tok.withColumn(
+        "capacity", (F.col("tokens") * _UNIMAX_CAP_EPOCHS).cast("long")
+    )
+    tot = F.broadcast(
+        cap.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum("tokens") * _UNIMAX_BUDGET_X).cast("long").alias("budget"),
+        )
+    )
+    w = Window.orderBy("capacity", "source", "lang")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (
+        cap.crossJoin(tot)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "prefix_cap",
+            F.coalesce(F.sum("capacity").over(wp), F.lit(0)).cast("long"),
+        )
+    )
+    flagged = ranked.withColumn(
+        "capped",
+        (
+            F.col("capacity") * (F.col("n") - F.col("rn") + 1)
+            + F.col("prefix_cap")
+        )
+        < F.col("budget"),
+    )
+    cstat = F.broadcast(
+        flagged.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("capacity"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("capped_sum"),
+            F.sum(F.col("capped").cast("long")).cast("long").alias("n_capped"),
+        )
+    )
+    fair = (F.col("budget") - F.col("capped_sum")).cast("double") / (
+        F.col("n") - F.col("n_capped")
+    ).cast("double")
+    alloc = F.when(F.col("capped"), F.col("capacity").cast("double")).otherwise(
+        fair
+    )
+    return (
+        flagged.crossJoin(cstat)
+        .select(
+            "source",
+            "lang",
+            "tokens",
+            "capacity",
+            F.col("capped").cast("int").alias("is_capped"),
+            F.round(alloc, 2).alias("alloc_tokens"),
+            F.round(alloc / F.col("tokens").cast("double"), 4).alias("epochs"),
+            F.round(alloc / F.col("budget").cast("double"), 6).alias(
+                "mix_frac"
+            ),
+        )
+        .orderBy("source", "lang")
+    )

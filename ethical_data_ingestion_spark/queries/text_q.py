@@ -1139,3 +1139,134 @@ def quality_calibration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+#: Zipf fit: words per language entering the log-log OLS (head of the
+#: rank-frequency curve; the tail is count-quantized and off-law anyway).
+_ZIPF_TOPN = 100
+
+
+@register(
+    "zipf_fit_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    freq AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok WHERE word <> '' GROUP BY lang, word
+    ),
+    base AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(freq) AS BIGINT) AS total_tokens
+      FROM freq GROUP BY lang
+    ),
+    ranked AS (
+      SELECT lang, freq,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY freq DESC, word) AS rank
+      FROM freq
+    ),
+    fit AS (
+      SELECT lang,
+             CAST(ROUND(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+             CAST(ROUND(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+      FROM ranked WHERE rank <= {_ZIPF_TOPN}
+    ),
+    sums AS (
+      SELECT lang,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+      FROM fit GROUP BY lang
+    )
+    SELECT b.lang, b.n_types, b.total_tokens,
+           CAST(s.n AS BIGINT) AS fit_words,
+           ROUND((s.n * s.sxy - s.sx * s.sy)
+                 / (s.n * s.sxx - s.sx * s.sx), 6) AS zipf_slope,
+           ROUND((s.sy - ((s.n * s.sxy - s.sx * s.sy)
+                          / (s.n * s.sxx - s.sx * s.sx)) * s.sx)
+                 / s.n, 6) AS intercept,
+           ROUND(((s.n * s.sxy - s.sx * s.sy)
+                  * (s.n * s.sxy - s.sx * s.sy))
+                 / ((s.n * s.sxx - s.sx * s.sx)
+                    * (s.n * s.syy - s.sy * s.sy)), 6) AS r2
+    FROM base b JOIN sums s ON b.lang = s.lang
+    ORDER BY b.lang
+    """,
+)
+def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS of log(frequency) on log(rank)
+    over the top-{_ZIPF_TOPN} words — slope (a natural corpus sits near
+    -1; machine-generated or templated text flattens it), intercept, and
+    R². A corpus-health fingerprint: a source whose slope drifts round
+    over round has changed its generator, not its topic mix.
+
+    Float discipline (the BM25/house pattern): every per-row log is
+    rounded to 9 dp and cast to DECIMAL before SUMMING, so Σx, Σy, Σxy,
+    Σx², Σy² are order-insensitive and engine-exact; slope/intercept/R²
+    are then single double expressions mirrored term-for-term in the
+    oracle. Rank ties break on the word itself — fully deterministic.
+
+    Scale shape: one (lang, word) count aggregate (map-side combined),
+    a per-lang top-{_ZIPF_TOPN} window over the type table (parallel by
+    lang; at 100 TB swap the window head for a per-lang bounded heap —
+    same contract), and a |langs|-row fit table. The document scan is
+    never shuffled; no global sort anywhere."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(T.tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    freq = toks.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    base = freq.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("freq").cast("long").alias("total_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "word")
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    x = F.round(F.log(F.col("rank").cast("double")), 9).cast("decimal(18,9)")
+    y = F.round(F.log(F.col("freq").cast("double")), 9).cast("decimal(18,9)")
+    fit = ranked.filter(F.col("rank") <= _ZIPF_TOPN).select(
+        "lang", x.alias("x"), y.alias("y")
+    )
+    sums = fit.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        base.join(sums, "lang")
+        .select(
+            "lang",
+            "n_types",
+            "total_tokens",
+            n.cast("long").alias("fit_words"),
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round((sy - slope * sx) / n, 6).alias("intercept"),
+            F.round(
+                ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("r2"),
+        )
+        .orderBy("lang")
+    )
