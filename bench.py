@@ -180,6 +180,10 @@ HEADLINE = [
     "cluster_balanced_sampling",
     "sequence_packing_stats",
     "corpus_mixing_stats",
+    "unimax_allocation_stats",
+    "zipf_fit_stats",
+    "source_vocab_affinity",
+    "embedding_dim_ablation",
     "multimodal_meta_stats",
     "multimodal_frame_stats",
     "multimodal_byte_entropy",

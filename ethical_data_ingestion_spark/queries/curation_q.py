@@ -1037,8 +1037,12 @@ def unimax_allocation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.groupBy("source", "lang").agg(
         F.sum(T.n_tokens("text")).cast("long").alias("tokens")
     )
-    cap = tok.withColumn(
-        "capacity", (F.col("tokens") * _UNIMAX_CAP_EPOCHS).cast("long")
+    # pin the ~|S|x|L|-row allocation table: three consumers (totals,
+    # window pass, cap-mass aggregate) must not re-scan the corpus
+    cap = materialize(
+        tok.withColumn(
+            "capacity", (F.col("tokens") * _UNIMAX_CAP_EPOCHS).cast("long")
+        )
     )
     tot = F.broadcast(
         cap.agg(

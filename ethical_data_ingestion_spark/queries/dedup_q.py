@@ -1039,3 +1039,105 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "source_vocab_affinity",
+    oracle="""
+    WITH sv AS (
+      SELECT DISTINCT source, word FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types
+           FROM sv GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           za.n_types AS types_a, zb.n_types AS types_b, i.n_common,
+           ROUND(i.n_common::DOUBLE
+                 / (za.n_types + zb.n_types - i.n_common)::DOUBLE, 6)
+             AS jaccard,
+           ROUND(i.n_common::DOUBLE
+                 / least(za.n_types, zb.n_types)::DOUBLE, 6)
+             AS containment
+    FROM inter i
+    JOIN sz za ON za.source = i.src_a
+    JOIN sz zb ON zb.source = i.src_b
+    ORDER BY jaccard DESC, i.src_a, i.src_b
+    """,
+)
+def source_vocab_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair vocabulary affinity matrix: Jaccard and containment of
+    the distinct-word sets of every source pair — the mirror-site /
+    re-hosted-corpus detector that runs ABOVE document-level dedup (two
+    sources with near-identical vocabularies are one crawl target counted
+    twice; containment >> jaccard flags a subset mirror). Complements the
+    per-document near-dup tiers (`dedup_jaccard_pairs` etc.), which can
+    miss a mirror whose documents are shuffled or re-chunked.
+
+    Scale shape: the document scan collapses to DISTINCT (source, word) —
+    map-side combined, bounded by |sources| x |vocab| — and the pair
+    counts come from an equi-join ON WORD, so fan-out per word is bounded
+    by the number of sources containing it (never all-pairs over rows).
+    At 100 TB: cap the per-word source fan-out by dropping ubiquitous
+    words (df-cap) — they carry no affinity signal and their |S|^2 rows
+    dominate the join; the fixture's vocabulary is too small to need it.
+    The |S|^2-row result is the small output by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    # pin the distinct (source, word) table: the size aggregate and both
+    # join sides consume it — without the pin the corpus is scanned 3x
+    sv = materialize(
+        docs.select("source", F.explode(T.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    sz = sv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    a = sv.alias("a")
+    b = sv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    za = F.broadcast(sz.select(F.col("source").alias("src_a"),
+                               F.col("n_types").alias("types_a")))
+    zb = F.broadcast(sz.select(F.col("source").alias("src_b"),
+                               F.col("n_types").alias("types_b")))
+    return (
+        inter.join(za, "src_a")
+        .join(zb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "types_a",
+            "types_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("types_a") + F.col("types_b") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common").cast("double")
+                / F.least("types_a", "types_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("jaccard"), "src_a", "src_b")
+    )

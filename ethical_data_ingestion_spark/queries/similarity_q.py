@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..materialize import materialize
 from ..operators import similarity as S
 from ..registry import register
 
@@ -708,4 +709,135 @@ def embedding_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_drift"),
         )
         .orderBy("label")
+    )
+
+
+#: Matryoshka ablation: probe count and the truncation dims measured
+#: against the full-dimension exact top-10.
+_ABL_PROBES = 8
+_ABL_DIMS = (8, 16, 32, 64)
+_ABL_K = 10
+
+
+@register(
+    "embedding_dim_ablation",
+    oracle=f"""
+    WITH dims(dim) AS (VALUES (8), (16), (32), (64)),
+    b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, bv AS qv FROM b
+          WHERE vec_id < {_ABL_PROBES}),
+    scored AS (
+      SELECT d.dim, q.query_id, b.vec_id,
+             ROUND(list_dot_product(list_slice(qv, 1, d.dim),
+                                    list_slice(bv, 1, d.dim)) /
+                   (sqrt(list_dot_product(list_slice(qv, 1, d.dim),
+                                          list_slice(qv, 1, d.dim))) *
+                    sqrt(list_dot_product(list_slice(bv, 1, d.dim),
+                                          list_slice(bv, 1, d.dim)))), 6)
+               AS cos
+      FROM b, q, dims d WHERE b.vec_id <> q.query_id
+    ),
+    topk AS (
+      SELECT dim, query_id, vec_id, cos FROM (
+        SELECT dim, query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY dim, query_id
+                                  ORDER BY cos DESC, vec_id) AS rk
+        FROM scored
+      ) WHERE rk <= {_ABL_K}
+    ),
+    full_k AS (SELECT query_id, vec_id AS hit_id FROM topk WHERE dim = 64)
+    SELECT t.dim,
+           CAST(COUNT(*) AS BIGINT) AS n_returned,
+           CAST(COUNT(f.hit_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(f.hit_id)::DOUBLE / COUNT(*)::DOUBLE, 4)
+             AS recall_at10,
+           ROUND(CAST(SUM(CAST(t.cos AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*)::DOUBLE, 6) AS mean_cos
+    FROM topk t LEFT JOIN full_k f
+      ON f.query_id = t.query_id AND f.hit_id = t.vec_id
+    GROUP BY t.dim
+    ORDER BY t.dim
+    """,
+)
+def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension ablation: exact cosine top-{_ABL_K}
+    retrieval at truncated embedding widths {_ABL_DIMS} vs the full
+    64-dim ground truth — recall@{_ABL_K} and mean retrieved cosine per
+    width. The panel that decides how many dimensions the ANN index
+    actually needs (storage and GEMM cost scale linearly in kept dims;
+    recall saturates well before full width when the embedder
+    front-loads variance).
+
+    Exactness: cosines are the same sequential double fold both engines
+    run (`list_dot_product` order), rounded to 6 before ranking with a
+    vec_id tie-break; the top-10 means accumulate in DECIMAL. The four
+    widths ride ONE scored scan (dims exploded inline) — one window pass
+    ranks all (dim, probe) groups together.
+
+    Scale shape: probes broadcast, base scan shuffle-free (the
+    `knn_cosine_bruteforce` shape x |dims|); at index scale the scored
+    set comes from the LSH/IVF candidate paths and the ablation reuses
+    their candidates — the comparison logic is unchanged."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", S.as_double("embedding").alias("bv"))
+    q = b.filter(F.col("vec_id") < _ABL_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("bv").alias("qv")
+    )
+    dim = F.explode(
+        F.array(*[F.lit(d) for d in _ABL_DIMS])
+    ).alias("dim")
+    qs = F.slice(F.col("qv"), F.lit(1), F.col("dim"))
+    bs = F.slice(F.col("bv"), F.lit(1), F.col("dim"))
+    scored = (
+        b.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("vec_id", "query_id", "qv", "bv", dim)
+        .select(
+            "dim",
+            "query_id",
+            "vec_id",
+            F.round(S.cosine(qs, bs), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("cos"), "vec_id"
+    )
+    # pin the tiny top-k table: the full-dim reference branch must not
+    # re-score and re-rank the whole probe x base grid a second time
+    topk = materialize(
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ABL_K)
+        .drop("rk")
+    ).alias("t")
+    full_k = F.broadcast(
+        topk.filter(F.col("dim") == 64)
+        .select(
+            F.col("query_id").alias("fq"), F.col("vec_id").alias("hit_id")
+        )
+        .alias("f")
+    )
+    return (
+        topk.join(
+            full_k,
+            (F.col("f.fq") == F.col("t.query_id"))
+            & (F.col("f.hit_id") == F.col("t.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("t.dim").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_returned"),
+            F.count("f.hit_id").cast("long").alias("n_hits"),
+            F.round(
+                F.count("f.hit_id").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("recall_at10"),
+            F.round(
+                F.sum(F.col("t.cos").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_cos"),
+        )
+        .orderBy("dim")
     )

@@ -1222,8 +1222,13 @@ def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang", F.explode(T.tokens("text")).alias("word")
     ).filter(F.col("word") != "")
-    freq = toks.groupBy("lang", "word").agg(
-        F.count(F.lit(1)).cast("long").alias("freq")
+    # pin the (lang, word) type table — both the per-lang totals and the
+    # ranked fit consume it; without the pin each branch re-scans and
+    # re-aggregates the corpus
+    freq = materialize(
+        toks.groupBy("lang", "word").agg(
+            F.count(F.lit(1)).cast("long").alias("freq")
+        )
     )
     base = freq.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_types"),

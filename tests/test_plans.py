@@ -391,3 +391,40 @@ def test_round6_hygiene_panels_keep_their_scale_shapes(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "Join" not in plan
     assert plans.shuffle_count(df) <= 2
+
+
+def test_round6_late_panels_keep_their_scale_shapes(spark, sf_dir):
+    """Plan pins for the late-round-6 additions (UniMax allocation, Zipf
+    fit, source affinity, dim ablation)."""
+    import re
+
+    # unimax: the allocation table is pinned — no consumer re-scans the
+    # corpus, and the totals/cap-mass joins are broadcast (never cartesian)
+    df = _q(spark, sf_dir, "unimax_allocation_stats")
+    plan = plans.formatted_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+    # zipf: the (lang, word) type table is pinned (one corpus scan for
+    # both the totals and the fit) and every window is partitioned by lang
+    df = _q(spark, sf_dir, "zipf_fit_stats")
+    plan = plans.formatted_plan(df)
+    assert "Scan parquet" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.startswith("lang"), f"unpartitioned window: {spec[:80]}"
+
+    # affinity: the distinct (source, word) table is pinned (one corpus
+    # scan feeds sizes and both join sides); pair candidates come from the
+    # word equi-join — a cartesian here means the join key was lost
+    df = _q(spark, sf_dir, "source_vocab_affinity")
+    plan = plans.formatted_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+    # ablation: the top-k table is pinned — the full-dim reference branch
+    # must not re-score the probe x base grid; the recall join broadcasts
+    df = _q(spark, sf_dir, "embedding_dim_ablation")
+    plan = plans.formatted_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,93 @@
+"""Invariant tests for the late-round-6 panels (UniMax allocation, Zipf
+fit, source-vocab affinity, embedding dimension ablation) — properties the
+hash gate can't express: conservation laws, bounds, monotonicity."""
+
+from __future__ import annotations
+
+import math
+
+from ethical_data_ingestion_spark.registry import QUERIES, _load_everything
+
+_load_everything()
+
+from ethical_data_ingestion_spark.queries.curation_q import (  # noqa: E402
+    _UNIMAX_BUDGET_X,
+    _UNIMAX_CAP_EPOCHS,
+)
+
+
+def test_unimax_allocation_conserves_budget_and_respects_cap(spark, sf_dir):
+    rows = QUERIES["unimax_allocation_stats"](spark, sf_dir).collect()
+    assert rows
+    total_tokens = sum(r.tokens for r in rows)
+    budget = _UNIMAX_BUDGET_X * total_tokens
+    # conservation: allocations sum back to the budget (up to per-row
+    # 2-dp rounding of the fair share)
+    assert abs(sum(r.alloc_tokens for r in rows) - budget) < 0.01 * len(rows)
+    assert abs(sum(r.mix_frac for r in rows) - 1.0) < 1e-3
+    fair = None
+    for r in rows:
+        # nothing exceeds the epoch cap (capped rows sit exactly on it)
+        assert r.epochs <= _UNIMAX_CAP_EPOCHS + 1e-6, r
+        if r.is_capped:
+            assert abs(r.epochs - _UNIMAX_CAP_EPOCHS) < 1e-6, r
+            assert abs(r.alloc_tokens - r.capacity) < 1e-6, r
+        else:
+            # every uncapped corpus gets the SAME fair share
+            if fair is None:
+                fair = r.alloc_tokens
+            assert abs(r.alloc_tokens - fair) < 0.02, r
+    # the waterline is real on the fixture: both kinds exist
+    kinds = {r.is_capped for r in rows}
+    assert kinds == {0, 1}, f"degenerate fixture split: {kinds}"
+    # a capped corpus is never larger than any uncapped one (ascending-
+    # capacity waterline)
+    max_capped = max((r.capacity for r in rows if r.is_capped), default=0)
+    min_unc = min(
+        (r.capacity for r in rows if not r.is_capped), default=math.inf
+    )
+    assert max_capped <= min_unc
+
+
+def test_zipf_fit_slope_is_negative_with_sane_r2(spark, sf_dir):
+    rows = QUERIES["zipf_fit_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.zipf_slope < 0, r  # frequency falls with rank, always
+        assert 0.0 <= r.r2 <= 1.0 + 1e-9, r
+        assert 0 < r.fit_words <= 100
+        assert r.n_types >= r.fit_words
+        # intercept ≈ log-frequency of the top word: must be positive and
+        # at least the fitted value at rank 1 minus slack
+        assert r.intercept > 0, r
+
+
+def test_source_affinity_bounds_and_symmetric_coverage(spark, sf_dir):
+    rows = QUERIES["source_vocab_affinity"](spark, sf_dir).collect()
+    assert rows
+    srcs = set()
+    for r in rows:
+        srcs.add(r.src_a)
+        srcs.add(r.src_b)
+        assert r.src_a < r.src_b  # canonical pair orientation
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.jaccard <= r.containment <= 1.0 + 1e-9, r
+        assert r.n_common <= min(r.types_a, r.types_b)
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2  # full pair matrix, no dupes
+
+
+def test_dim_ablation_full_width_is_exact_and_recall_saturates(
+    spark, sf_dir
+):
+    rows = {
+        r.dim: r for r in QUERIES["embedding_dim_ablation"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {8, 16, 32, 64}
+    # the full-width run IS the ground truth: recall must be exactly 1
+    assert rows[64].recall_at10 == 1.0
+    assert rows[64].n_hits == rows[64].n_returned
+    for r in rows.values():
+        assert 0.0 <= r.recall_at10 <= 1.0
+        assert -1.0 <= r.mean_cos <= 1.0
+        assert r.n_returned == rows[64].n_returned  # same probe x k grid
