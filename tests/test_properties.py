@@ -243,3 +243,55 @@ def test_pii_counts_match_python_re(spark, frags):
             name,
             text,
         )
+
+
+# --- UniMax water-filling: closed-form waterline vs iterative reference ---
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=1,
+             max_size=40),
+    st.integers(min_value=1, max_value=200_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_unimax_waterline_closed_form_matches_iterative(caps, budget):
+    """The one-pass prefix-sum cap test used by `unimax_allocation_stats`
+    (sorted ascending: capped iff c_i*(n-i+1) + prefix_i < B) must agree
+    with the obvious iterative water-filling on arbitrary capacities."""
+    caps = sorted(caps)
+    n = len(caps)
+
+    # closed form (what the SQL window computes)
+    prefix = 0
+    closed = []
+    for i, c in enumerate(caps):
+        closed.append(c * (n - i) + prefix < budget)
+        prefix += c
+    capped_sum = sum(c for c, f in zip(caps, closed) if f)
+    n_unc = n - sum(closed)
+    fair = (budget - capped_sum) / n_unc if n_unc else None
+    alloc_closed = [
+        float(c) if f else fair for c, f in zip(caps, closed)
+    ]
+
+    # iterative reference: repeatedly cap any group whose equal share of
+    # the remaining budget exceeds its capacity
+    remaining = set(range(n))
+    rem_budget = budget
+    alloc_iter = [None] * n
+    while remaining:
+        share = rem_budget / len(remaining)
+        newly = [i for i in remaining if caps[i] < share]
+        if not newly:
+            for i in remaining:
+                alloc_iter[i] = share
+            break
+        for i in newly:
+            alloc_iter[i] = float(caps[i])
+            rem_budget -= caps[i]
+            remaining.discard(i)
+    assert all(a is not None for a in alloc_iter)
+
+    for a, b in zip(alloc_closed, alloc_iter):
+        assert abs(a - b) < 1e-6, (caps, budget, alloc_closed, alloc_iter)
+    # conservation: min(total capacity, budget) is fully allocated
+    assert abs(sum(alloc_closed) - min(sum(caps), budget)) < 1e-6
