@@ -184,6 +184,7 @@ HEADLINE = [
     "zipf_fit_stats",
     "source_vocab_affinity",
     "embedding_dim_ablation",
+    "kcenter_coreset_stats",
     "multimodal_meta_stats",
     "multimodal_frame_stats",
     "multimodal_byte_entropy",

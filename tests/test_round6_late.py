@@ -91,3 +91,20 @@ def test_dim_ablation_full_width_is_exact_and_recall_saturates(
         assert 0.0 <= r.recall_at10 <= 1.0
         assert -1.0 <= r.mean_cos <= 1.0
         assert r.n_returned == rows[64].n_returned  # same probe x k grid
+
+
+def test_kcenter_radius_curve_is_monotone_and_centers_distinct(
+    spark, sf_dir
+):
+    rows = sorted(
+        QUERIES["kcenter_coreset_stats"](spark, sf_dir).collect(),
+        key=lambda r: r.sel_round,
+    )
+    assert [r.sel_round for r in rows] == list(range(8))
+    assert rows[0].vec_id == 0 and rows[0].dist_to_set is None  # seed
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == len(ids)  # greedy never re-picks a center
+    dists = [r.dist_to_set for r in rows[1:]]
+    assert all(d > 0 for d in dists)
+    # farthest-point traversal: the coverage radius never increases
+    assert all(a >= b - 1e-9 for a, b in zip(dists, dists[1:])), dists
