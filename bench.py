@@ -200,6 +200,7 @@ HEADLINE = [
     "streaming_anomaly_windows",
     "streaming_topk_trending",
     "streaming_quarantine_gate",
+    "streaming_late_data_audit",
 ]
 
 

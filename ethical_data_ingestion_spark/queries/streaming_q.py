@@ -754,3 +754,229 @@ def _quarantine_final(out: DataFrame) -> DataFrame:
             4,
         ).alias("pass_rate"),
     ).orderBy("source")
+
+
+#: Late-data audit: watermark delay and the deterministic late-subset
+#: residue (event_id % _LATE_MOD == 0 arrives one batch AFTER its time
+#: range has been replayed).
+_LATE_DELAY_MIN = 45
+_LATE_MOD = 23
+
+_LATE_SPOOL_CACHE: dict[str, str] = {}
+
+
+def _late_spool(spark: SparkSession, sf_dir: str) -> str:
+    """Spool the event stream as 3 chronological time-range files PLUS a
+    final out-of-order file carrying the deterministic late subset
+    (event_id % {mod} == 0) — the arrival pattern that exercises the
+    watermark's drop/keep decision. File ranges come from exact integer
+    arithmetic on epoch micros (NOT ``repartitionByRange``'s sampled
+    boundaries) so the DuckDB mirror can re-derive the file→batch
+    assignment row for row."""
+    hit = _LATE_SPOOL_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    import glob
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    mn, mx = b.mn, b.mx
+    # exact micros span via timedelta components (total_seconds() is float)
+    td = mx - mn
+    span_us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+    off = F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'{mn}', ts)")
+    fcol = F.least(F.lit(2), (off * 3).cast("long") / F.lit(span_us + 1))
+    fcol = F.floor(fcol).cast("int")
+    is_late = (F.col("event_id") % _LATE_MOD) == 0
+    stage_dir = scratch_dir("eds_late_stage_")
+    out_dir = scratch_dir("eds_late_src_")
+    # ONE write job: partitionBy(f) lands each batch's rows under f=k/
+    # (the partition column is stripped from the files — the stream
+    # schema never sees it), then the files are renamed flat with
+    # ascending mtimes so FileStreamSource replays batch order 0..3.
+    (
+        ev.withColumn("f", F.when(is_late, F.lit(3)).otherwise(fcol))
+        .repartition(4, "f")
+        .write.partitionBy("f")
+        .mode("overwrite")
+        .parquet(stage_dir)
+    )
+    # exactly ONE file per batch: hash repartitioning may scatter an f
+    # value across tasks (several part files per subdir), and with
+    # maxFilesPerTrigger=1 a split file would silently shift the batch
+    # boundaries the oracle replays — concatenate each subdir driver-side
+    # (pyarrow, a few MB) into batch k's single file, mtimes ascending.
+    import pyarrow.parquet as pq
+
+    written: list[str] = []
+    for k in range(4):
+        srcs = sorted(glob.glob(os.path.join(stage_dir, f"f={k}", "part-*")))
+        assert srcs, f"empty late-spool batch {k}"
+        dst = os.path.join(out_dir, f"batch{k:02d}.parquet")
+        if len(srcs) == 1:
+            os.rename(srcs[0], dst)
+        else:
+            import pyarrow as pa
+
+            pq.write_table(
+                pa.concat_tables([pq.read_table(sp) for sp in srcs]), dst
+            )
+        written.append(dst)
+    base = os.path.getmtime(written[0])
+    for k, dst in enumerate(written):
+        os.utime(dst, (base + 5 * k, base + 5 * k))
+    _LATE_SPOOL_CACHE[sf_dir] = out_dir
+    return out_dir
+
+
+@register(
+    "streaming_late_data_audit",
+    oracle=f"""
+    WITH bounds AS (SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx
+                    FROM events),
+    tagged AS (
+      SELECT e.ts, e.event_type, e.value,
+             CASE WHEN e.event_id % {_LATE_MOD} = 0 THEN 3
+                  ELSE least(2, CAST(((epoch_us(e.ts) - b.mn) * 3)
+                                     // (b.mx - b.mn + 1) AS INTEGER))
+             END AS f
+      FROM events e, bounds b
+    ),
+    fmax AS (SELECT f, MAX(ts) AS fmx FROM tagged GROUP BY f),
+    wmseq AS (
+      SELECT f, MAX(fmx) OVER (ORDER BY f)
+                  - INTERVAL {_LATE_DELAY_MIN} MINUTE AS w
+      FROM fmax
+    ),
+    thr AS (SELECT f, LAG(w, 2) OVER (ORDER BY f) AS w2 FROM wmseq),
+    kept AS (
+      SELECT t.ts, t.event_type, t.value
+      FROM tagged t JOIN thr USING (f)
+      WHERE thr.w2 IS NULL
+         OR date_trunc('hour', t.ts) + INTERVAL 1 HOUR > thr.w2
+    ),
+    finalw AS (
+      SELECT MAX(fmx) - INTERVAL {_LATE_DELAY_MIN} MINUTE AS wf FROM fmax
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM kept, finalw
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= finalw.wf
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics made observable (the 12th drain):
+    3 chronological event files + ONE deliberately out-of-order file
+    (every {_LATE_MOD}rd event arrives after its time range was replayed)
+    through an APPEND-mode hourly aggregation with a
+    {_LATE_DELAY_MIN}-minute watermark, one file per micro-batch. The
+    emitted window table reflects every watermark decision: late rows
+    whose window state was already evicted are DROPPED, late rows whose
+    window is still open are MERGED, and windows newer than the final
+    watermark never emit.
+
+    The oracle replays the engine's exact operational semantics in SQL,
+    pinned by experiment (micro-batch runs with per-batch
+    numRowsDroppedByWatermark/state metrics, boundary case included):
+    with W(j) = max event ts over batches 0..j minus the delay,
+    a row in batch k is dropped iff its window end <= W(k-2) — the
+    input filter lags eviction by one batch (equivalently: dropped iff
+    the window's state was evicted before batch k; the two rules are
+    provably identical under monotone W) — state eviction/emission is
+    INCLUSIVE (end <= W at the evicting batch, verified on an exact
+    boundary), the final availableNow flush emits every window with
+    end <= W(last), and rows later dropped still advance the watermark
+    (W uses each file's full max). File assignment uses exact epoch-
+    micros arithmetic so both engines derive identical batches.
+
+    Scale shape: the drain is the production shape (watermark-bounded
+    state, one window row per open (window, type)); the mirror is one
+    scan + a 4-row watermark table. The per-window output is what a
+    late-data SLO dashboard reads: which windows closed clean, which
+    absorbed stragglers, where the drop mass went."""
+    src = _late_spool(spark, sf_dir)
+    with P.state_partitions(spark, 4):
+        stream = P.stream_from(spark, src, max_files_per_trigger=1)
+        out = P.run_available_now(
+            P.tumbling_stream(
+                stream,
+                "1 hour",
+                ["event_type"],
+                delay=f"{_LATE_DELAY_MIN} minutes",
+            ),
+            output_mode="append",
+        )
+    return out.orderBy("window_start", "event_type")
+
+
+def _late_audit_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming_late_data_audit``: the engine's
+    watermark decisions re-derived as plain DataFrame arithmetic (file
+    assignment → per-batch watermark sequence → lagged drop filter →
+    final-flush emission) — consumed by ``tools/streaming_decomp.py`` to
+    price the engine premium and prove row-identity."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = F.broadcast(
+        ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    )
+    off = F.expr("timestampdiff(MICROSECOND, mn, ts)")
+    span = F.expr("timestampdiff(MICROSECOND, mn, mx)")
+    is_late = (F.col("event_id") % _LATE_MOD) == 0
+    tagged = (
+        ev.crossJoin(b)
+        .withColumn(
+            "f",
+            F.when(is_late, F.lit(3)).otherwise(
+                F.least(
+                    F.lit(2),
+                    F.floor((off * 3).cast("long") / (span + 1)).cast("int"),
+                )
+            ),
+        )
+        .withColumn(
+            "wend",
+            F.expr("date_trunc('hour', ts) + INTERVAL 1 HOUR"),
+        )
+    )
+    fmax = tagged.groupBy("f").agg(F.max("ts").alias("fmx"))
+    wmseq = fmax.withColumn(
+        "w",
+        F.expr(
+            f"max(fmx) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING)"
+            f" - INTERVAL {_LATE_DELAY_MIN} MINUTES"
+        ),
+    )
+    thr = F.broadcast(
+        wmseq.withColumn("w2", F.lag("w", 2).over(Window.orderBy("f"))).select(
+            "f", "w", "w2"
+        )
+    )
+    finalw = F.broadcast(
+        wmseq.agg(F.max("w").alias("wf"))
+    )
+    kept = (
+        tagged.join(thr, "f")
+        .filter(F.col("w2").isNull() | (F.col("wend") > F.col("w2")))
+        .crossJoin(finalw)
+        .filter(F.col("wend") <= F.col("wf"))
+    )
+    return (
+        kept.groupBy(
+            F.expr("date_trunc('hour', ts)").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )

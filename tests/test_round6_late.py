@@ -108,3 +108,84 @@ def test_kcenter_radius_curve_is_monotone_and_centers_distinct(
     assert all(d > 0 for d in dists)
     # farthest-point traversal: the coverage radius never increases
     assert all(a >= b - 1e-9 for a, b in zip(dists, dists[1:])), dists
+
+
+def test_late_data_audit_exercises_every_watermark_decision(spark, sf_dir):
+    """The late-audit fixture must actually exercise all three watermark
+    outcomes (drop / merge / retain-unflushed), and no window end may sit
+    exactly on a watermark value — the tie-free assumption under which
+    the drop (<=) and eviction (<=) inequalities were pinned by
+    experiment."""
+    import duckdb
+
+    from ethical_data_ingestion_spark.queries.streaming_q import (
+        _LATE_DELAY_MIN,
+        _LATE_MOD,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    stats = con.sql(f"""
+    WITH bounds AS (SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx
+                    FROM events),
+    tagged AS (
+      SELECT e.ts,
+             CASE WHEN e.event_id % {_LATE_MOD} = 0 THEN 3
+                  ELSE least(2, CAST(((epoch_us(e.ts) - b.mn) * 3)
+                                     // (b.mx - b.mn + 1) AS INTEGER))
+             END AS f,
+             date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS wend
+      FROM events e, bounds b
+    ),
+    fmax AS (SELECT f, MAX(ts) AS fmx FROM tagged GROUP BY f),
+    wmseq AS (SELECT f, MAX(fmx) OVER (ORDER BY f)
+                    - INTERVAL {_LATE_DELAY_MIN} MINUTE AS w FROM fmax),
+    thr AS (SELECT f, LAG(w, 2) OVER (ORDER BY f) AS w2 FROM wmseq),
+    finalw AS (SELECT MAX(w) AS wf FROM wmseq)
+    SELECT
+      (SELECT COUNT(*) FROM tagged t JOIN thr USING (f)
+        WHERE t.f = 3 AND t.wend <= thr.w2)                  AS dropped,
+      (SELECT COUNT(*) FROM tagged t JOIN thr USING (f), finalw
+        WHERE t.f = 3 AND t.wend > thr.w2 AND t.wend <= finalw.wf) AS merged,
+      (SELECT COUNT(*) FROM tagged t, finalw
+        WHERE t.wend > finalw.wf)                            AS unflushed,
+      (SELECT COUNT(*) FROM tagged t JOIN wmseq m ON t.wend = m.w) AS ties
+    """).fetchone()
+    dropped, merged, unflushed, ties = stats
+    assert dropped > 0, "no late row was dropped - fixture degenerate"
+    assert merged > 0, "no late row merged into open state"
+    assert unflushed > 0, "no window retained past final watermark"
+    assert ties == 0, "window end == watermark: inequality pin is at risk"
+
+    # and the engine agrees end-to-end: emitted mass = total - dropped -
+    # unflushed(kept rows in unemitted windows)
+    from ethical_data_ingestion_spark.registry import QUERIES as Q
+
+    emitted = Q["streaming_late_data_audit"](spark, sf_dir).agg(
+        {"n_events": "sum"}
+    ).collect()[0][0]
+    total = con.sql("SELECT COUNT(*) FROM events").fetchone()[0]
+    kept_unflushed = con.sql(f"""
+    WITH bounds AS (SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx
+                    FROM events),
+    tagged AS (
+      SELECT e.ts,
+             CASE WHEN e.event_id % {_LATE_MOD} = 0 THEN 3
+                  ELSE least(2, CAST(((epoch_us(e.ts) - b.mn) * 3)
+                                     // (b.mx - b.mn + 1) AS INTEGER))
+             END AS f,
+             date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS wend
+      FROM events e, bounds b
+    ),
+    fmax AS (SELECT f, MAX(ts) AS fmx FROM tagged GROUP BY f),
+    wmseq AS (SELECT f, MAX(fmx) OVER (ORDER BY f)
+                    - INTERVAL {_LATE_DELAY_MIN} MINUTE AS w FROM fmax),
+    thr AS (SELECT f, LAG(w, 2) OVER (ORDER BY f) AS w2 FROM wmseq),
+    finalw AS (SELECT MAX(w) AS wf FROM wmseq)
+    SELECT COUNT(*) FROM tagged t JOIN thr USING (f), finalw
+    WHERE (thr.w2 IS NULL OR t.wend > thr.w2) AND t.wend > finalw.wf
+    """).fetchone()[0]
+    assert emitted == total - dropped - kept_unflushed

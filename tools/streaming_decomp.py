@@ -222,6 +222,13 @@ def _twins(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
         batch = docs.filter(_is_batch()).select("doc_id", "source", "text")
         return _quarantine_final(_quarantine_rollup(batch))
 
+    def late_audit():
+        from ethical_data_ingestion_spark.queries.streaming_q import (
+            _late_audit_batch_twin,
+        )
+
+        return _late_audit_batch_twin(spark, sf_dir)
+
     return {
         "streaming_tumbling_hourly": tumbling,
         "streaming_dedup_keys": dedup,
@@ -234,6 +241,7 @@ def _twins(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
         "streaming_topk_trending": trending,
         "streaming_incremental_dedup": incr_dedup,
         "streaming_quarantine_gate": quarantine,
+        "streaming_late_data_audit": late_audit,
     }
 
 
