@@ -889,7 +889,13 @@ def kcenter_coreset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
         ).coalesce(4)
     )
-    seed = b.filter(F.col("vec_id") == 0).collect()[0]
+    seed_rows = b.filter(F.col("vec_id") == 0).collect()
+    out_schema = (
+        "sel_round INT, vec_id BIGINT, label INT, dist_to_set DOUBLE"
+    )
+    if not seed_rows:  # empty corpus: no coreset, not a crash
+        return spark.createDataFrame([], schema=out_schema)
+    seed = seed_rows[0]
     centers = [(0, seed.vec_id, seed.label, None, seed.v)]
     for r in range(1, _KC_K):
         dcols = []

@@ -1231,10 +1231,13 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_docs_flagged", F.lit(0))
             .cast("long")
             .alias("n_docs_flagged"),
-            F.round(
-                F.coalesce("n_docs_flagged", F.lit(0)).cast("double")
-                / F.col("n").cast("double"),
-                6,
+            F.when(  # ANSI double 0/0 raises; DuckDB yields NULL
+                F.col("n") > 0,
+                F.round(
+                    F.coalesce("n_docs_flagged", F.lit(0)).cast("double")
+                    / F.col("n").cast("double"),
+                    6,
+                ),
             ).alias("flagged_pct"),
         )
         .orderBy("threshold")

@@ -312,3 +312,24 @@ def test_semdedup_stats_pairs_equal_cluster_size_formula(spark, sf_dir):
     assert sum(r.n_pairs for r in rows) == sum(
         r.n_points * (r.n_points - 1) // 2 for r in rows
     )
+
+
+def test_late_round6_panels_on_empty_tables(spark, empty_sf_dir):
+    from ethical_data_ingestion_spark.registry import QUERIES
+
+    for name in (
+        "unimax_allocation_stats",
+        "zipf_fit_stats",
+        "source_vocab_affinity",
+        "embedding_dim_ablation",
+        "kcenter_coreset_stats",
+        "knn_label_accuracy",
+    ):
+        rows = QUERIES[name](spark, empty_sf_dir).collect()
+        assert rows == [], f"{name} on empty input returned {rows[:3]}"
+    # the sweep keeps its 5 threshold rows with zero counts — its
+    # designed empty shape (a dashboard wants the axis even when the
+    # corpus is empty)
+    rows = QUERIES["dedup_threshold_sweep"](spark, empty_sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.n_pairs == 0 and r.n_docs_flagged == 0 for r in rows)
