@@ -151,6 +151,7 @@ HEADLINE = [
     "winnowing_overlap_pairs",
     "survivor_selection_stats",
     "pagerank_trade_graph",
+    "copurchase_triangle_stats",
     "embedding_neardup_pairs",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
@@ -175,6 +176,7 @@ HEADLINE = [
     "dataset_diff_stats",
     "dataset_snapshot_chain",
     "join_skew_report",
+    "zonemap_pruning_stats",
     "corr_matrix_lineitem",
     "tokenizer_vocab_coverage",
     "cluster_balanced_sampling",

@@ -205,3 +205,136 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node div 2").alias("entity_id"),
         F.col("rank").alias("rank_1e12"),
     )
+
+
+@register(
+    "copurchase_triangle_stats",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges
+      ) GROUP BY n
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t,
+             CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS td
+      FROM edges JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v
+    ),
+    wedge AS (
+      SELECT a.t AS x, b.t AS y
+      FROM oriented a JOIN oriented b
+        ON a.s = b.s AND (a.td, a.t) < (b.td, b.t)
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM wedge w JOIN oriented o ON o.s = w.x AND o.t = w.y
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ecnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT s.n_nodes, e.n_edges, s.n_wedges, t.n_triangles,
+           ROUND(3.0 * t.n_triangles / s.n_wedges, 6) AS global_cc
+    FROM stats s, ecnt e, tri t
+    """,
+)
+def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (parts are adjacent iff some order contains both):
+    how transitive is purchase affinity — the one-number summary of
+    whether "bought together" forms communities or hub-and-spoke noise.
+    Completes the canonical distributed-graph trio (connected components,
+    PageRank, triangle counting).
+
+    The algorithm is the MPC-standard DEGREE-ORDERED orientation: each
+    edge points from its (degree, id)-smaller endpoint, wedges are the
+    per-source pairs of out-neighbors (out-degree is O(sqrt(m)) under
+    this orientation — THE trick that bounds the join at web scale;
+    orientation by raw id leaves a high-degree hub with million-wide
+    fan-out), and a wedge closes into a triangle iff its two endpoints
+    are themselves an oriented edge — every step an equi-join, counts
+    all BIGINT, mirrored operation for operation in the oracle
+    (row-value comparisons = Spark struct comparisons, both
+    lexicographic).
+
+    Scale shape: distinct-per-order projection bounds pair volume at
+    sigma C(basket, 2); the wedge join is partitioned by source node;
+    the closing join by (x, y). No window, no global sort anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    items = li.distinct().select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = materialize(
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = edges.select(F.col("u").alias("n")).union(
+        edges.select(F.col("v").alias("n"))
+    ).groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    du = F.broadcast(deg.select(F.col("n").alias("u"), F.col("d").alias("du")))
+    dv = F.broadcast(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")))
+    ed = edges.join(du, "u").join(dv, "v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = materialize(
+        ed.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("td"),
+        )
+    )
+    oa = oriented.alias("oa")
+    ob = oriented.alias("ob")
+    wedge = oa.join(
+        ob,
+        (F.col("oa.s") == F.col("ob.s"))
+        & (
+            F.struct(F.col("oa.td"), F.col("oa.t"))
+            < F.struct(F.col("ob.td"), F.col("ob.t"))
+        ),
+    ).select(F.col("oa.t").alias("x"), F.col("ob.t").alias("y"))
+    oc = oriented.alias("oc")
+    tri = F.broadcast(
+        wedge.join(
+            oc,
+            (F.col("oc.s") == F.col("x")) & (F.col("oc.t") == F.col("y")),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    stats = F.broadcast(
+        deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            .cast("long")
+            .alias("n_wedges"),
+        )
+    )
+    ecnt = F.broadcast(
+        edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    return (
+        stats.crossJoin(ecnt)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("global_cc"),
+        )
+    )

@@ -1160,3 +1160,167 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.col_a", "r.col_b", "r.n", "r.corr")
         .orderBy("col_a", "col_b")
     )
+
+
+#: Zone-map simulation: file count per layout and the probe predicates
+#: (name, lo, hi) a date-partitioned scan would be asked to prune for.
+_ZM_FILES = 32
+_ZM_PREDS = (
+    ("month", "1997-03-01", "1997-03-31"),
+    ("quarter", "1998-01-01", "1998-03-31"),
+    ("year", "1996-01-01", "1996-12-31"),
+)
+
+
+@register(
+    "zonemap_pruning_stats",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    b AS (SELECT MAX(k) AS maxk, MIN(d) AS mnd,
+                 date_diff('day', MIN(d), MAX(d)) AS span FROM o),
+    tagged AS (
+      SELECT 'date_clustered' AS layout,
+             CAST((date_diff('day', b.mnd, o.d) * {_ZM_FILES})
+                  // (b.span + 1) AS INTEGER) AS f, o.d
+      FROM o, b
+      UNION ALL
+      SELECT 'ingest' AS layout,
+             CAST((o.k * {_ZM_FILES}) // (b.maxk + 1) AS INTEGER) AS f, o.d
+      FROM o, b
+    ),
+    zm AS (
+      SELECT layout, f, MIN(d) AS mn, MAX(d) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM tagged GROUP BY layout, f
+    ),
+    preds AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"('{n}', DATE '{lo}', DATE '{hi}')" for n, lo, hi in _ZM_PREDS)}
+      ) p(pred, lo, hi)
+    ),
+    flagged AS (
+      SELECT z.layout, p.pred, z.n_rows,
+             CASE WHEN z.mx < p.lo OR z.mn > p.hi THEN 1 ELSE 0 END AS pruned
+      FROM zm z, preds p
+    ),
+    per AS (
+      SELECT layout, pred,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(pruned) AS BIGINT) AS n_pruned,
+             CAST(SUM(CASE WHEN pruned = 0 THEN n_rows ELSE 0 END)
+                  AS BIGINT) AS rows_scanned
+      FROM flagged GROUP BY layout, pred
+    ),
+    hits AS (
+      SELECT p.pred, CAST(COUNT(*) AS BIGINT) AS rows_matched
+      FROM o JOIN preds p ON o.d BETWEEN p.lo AND p.hi
+      GROUP BY p.pred
+    )
+    SELECT per.layout, per.pred, per.n_files, per.n_pruned,
+           ROUND(per.n_pruned::DOUBLE / per.n_files::DOUBLE, 4)
+             AS prune_pct,
+           per.rows_scanned,
+           COALESCE(h.rows_matched, 0) AS rows_matched,
+           CASE WHEN per.rows_scanned > 0 THEN
+             ROUND(COALESCE(h.rows_matched, 0)::DOUBLE
+                   / per.rows_scanned::DOUBLE, 4) END AS scan_efficiency
+    FROM per LEFT JOIN hits h ON h.pred = per.pred
+    ORDER BY per.layout, per.pred
+    """,
+)
+def zonemap_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file statistics) pruning effectiveness under two
+    storage layouts — the data-layout decision panel for a 100-TB table:
+    split orders into {_ZM_FILES} simulated files either by INGEST order
+    (key ranges) or DATE-CLUSTERED, compute each file's (min, max) order
+    date — exactly the parquet footer / Iceberg manifest stats a scanner
+    prunes on — and report, for three representative date predicates,
+    how many files each layout lets the scanner skip and how many
+    non-matching rows the survivors still drag in (`scan_efficiency`).
+    The spread between the two layouts IS the business case for
+    clustering/Z-ordering the table on its hot predicate column.
+
+    One scan tags both layouts (exact integer/date arithmetic, no
+    sampled partitioner), one rollup builds the {2}x{_ZM_FILES}-row
+    zone-map table, and everything downstream operates on that tiny
+    table against a 3-row broadcast predicate list. The oracle mirrors
+    file assignment, zone maps, and the prune predicate row for row."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    b = F.broadcast(
+        o.agg(
+            F.max("k").alias("maxk"),
+            F.min("d").alias("mnd"),
+            F.datediff(F.max("d"), F.min("d")).alias("span"),
+        )
+    )
+    ob = o.crossJoin(b)
+    fdate = F.floor(
+        (F.datediff(F.col("d"), F.col("mnd")) * _ZM_FILES)
+        / (F.col("span") + 1)
+    ).cast("int")
+    fkey = F.floor((F.col("k") * _ZM_FILES) / (F.col("maxk") + 1)).cast("int")
+    tagged = ob.select(
+        F.lit("date_clustered").alias("layout"), fdate.alias("f"), "d"
+    ).union(ob.select(F.lit("ingest").alias("layout"), fkey.alias("f"), "d"))
+    zm = tagged.groupBy("layout", "f").agg(
+        F.min("d").alias("mn"),
+        F.max("d").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    preds = F.broadcast(
+        spark.createDataFrame(
+            [(n, lo, hi) for n, lo, hi in _ZM_PREDS],
+            schema="pred string, lo string, hi string",
+        ).select("pred", F.to_date("lo").alias("lo"), F.to_date("hi").alias("hi"))
+    )
+    flagged = zm.crossJoin(preds).withColumn(
+        "pruned",
+        ((F.col("mx") < F.col("lo")) | (F.col("mn") > F.col("hi"))).cast(
+            "long"
+        ),
+    )
+    per = flagged.groupBy("layout", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("pruned").cast("long").alias("n_pruned"),
+        F.sum(F.when(F.col("pruned") == 0, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+    )
+    hits = F.broadcast(
+        o.crossJoin(preds)
+        .filter(F.col("d").between(F.col("lo"), F.col("hi")))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_matched"))
+    )
+    return (
+        per.join(hits, "pred", "left")
+        .select(
+            "layout",
+            "pred",
+            "n_files",
+            "n_pruned",
+            F.round(
+                F.col("n_pruned").cast("double")
+                / F.col("n_files").cast("double"),
+                4,
+            ).alias("prune_pct"),
+            "rows_scanned",
+            F.coalesce("rows_matched", F.lit(0))
+            .cast("long")
+            .alias("rows_matched"),
+            F.when(
+                F.col("rows_scanned") > 0,
+                F.round(
+                    F.coalesce("rows_matched", F.lit(0)).cast("double")
+                    / F.col("rows_scanned").cast("double"),
+                    4,
+                ),
+            ).alias("scan_efficiency"),
+        )
+        .orderBy("layout", "pred")
+    )

@@ -222,3 +222,32 @@ def test_knn_label_accuracy_probes_and_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_correct <= r.n_probes
         assert abs(r.acc_at1 - round(r.n_correct / r.n_probes, 4)) < 1e-9
+
+
+def test_triangle_stats_invariants(spark, sf_dir):
+    r = QUERIES["copurchase_triangle_stats"](spark, sf_dir).collect()[0]
+    assert r.n_nodes > 0 and r.n_edges > 0
+    # every triangle closes exactly 3 of the Sigma C(d,2) wedges
+    assert 3 * r.n_triangles <= r.n_wedges
+    assert 0.0 <= r.global_cc <= 1.0
+    # handshake bound: edges <= C(nodes, 2)
+    assert r.n_edges <= r.n_nodes * (r.n_nodes - 1) // 2
+
+
+def test_zonemap_panel_layouts_tell_the_clustering_story(spark, sf_dir):
+    rows = QUERIES["zonemap_pruning_stats"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    by = {(r.layout, r.pred): r for r in rows}
+    for (_, pred), r in by.items():
+        assert 0 <= r.n_pruned <= r.n_files
+        assert r.rows_matched <= r.rows_scanned  # survivors cover matches
+        # matches are a property of the predicate, not the layout
+        assert r.rows_matched == by[("ingest", pred)].rows_matched
+    # scattered keys prune nothing; date clustering prunes most files
+    for pred in ("month", "quarter", "year"):
+        assert by[("ingest", pred)].prune_pct == 0.0
+        assert by[("date_clustered", pred)].prune_pct >= 0.5
+        assert (
+            by[("date_clustered", pred)].scan_efficiency
+            > by[("ingest", pred)].scan_efficiency
+        )
