@@ -845,7 +845,7 @@ def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: 1-NN label-accuracy eval: probe count (leave-one-out over the probe
 #: subset against the FULL base).
-_NN_PROBES = 64
+_NN_PROBES = 32
 
 
 @register(
