@@ -177,6 +177,7 @@ HEADLINE = [
     "dataset_snapshot_chain",
     "join_skew_report",
     "zonemap_pruning_stats",
+    "zorder_pruning_stats",
     "corr_matrix_lineitem",
     "tokenizer_vocab_coverage",
     "cluster_balanced_sampling",

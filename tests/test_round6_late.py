@@ -251,3 +251,49 @@ def test_zonemap_panel_layouts_tell_the_clustering_story(spark, sf_dir):
             by[("date_clustered", pred)].scan_efficiency
             > by[("ingest", pred)].scan_efficiency
         )
+
+
+def test_triangle_count_on_planted_graph(spark, tmp_path):
+    """K4 (one 4-part order) has exactly 4 triangles; a 3-edge path adds
+    none — pins the orientation/wedge/close logic against hand-counted
+    truth, independent of the fixture."""
+    rows = (
+        # K4 on parts 1..4
+        [(100, p) for p in (1, 2, 3, 4)]
+        # path 5-6-7-8: orders each contributing one edge
+        + [(200, 5), (200, 6), (201, 6), (201, 7), (202, 7), (202, 8)]
+    )
+    d = str(tmp_path / "planted")
+    spark.createDataFrame(
+        rows, schema="l_orderkey long, l_partkey long"
+    ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+    r = QUERIES["copurchase_triangle_stats"](spark, d).collect()[0]
+    assert r.n_nodes == 8
+    assert r.n_edges == 6 + 3  # K4's C(4,2) + path's 3
+    assert r.n_triangles == 4
+    # K4 wedges: 4 nodes x C(3,2)=12; path wedges: 2 inner nodes x 1
+    assert r.n_wedges == 12 + 2
+
+
+def test_zorder_panel_shows_the_interleave_tradeoff(spark, sf_dir):
+    rows = QUERIES["zorder_pruning_stats"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    by = {(r.layout, r.pred): r for r in rows}
+    for (_, pred), r in by.items():
+        assert r.rows_matched <= r.rows_scanned
+        assert r.rows_matched == by[("zorder", pred)].rows_matched
+    # 1-D date clustering: great on its own column, near-blind on the
+    # other (tiny files can prune by chance at sf0.001 — allow a sliver)
+    assert by[("date_clustered", "date_band")].prune_pct >= 0.5
+    assert by[("date_clustered", "cust_band")].prune_pct <= 0.1
+    # Z-order: prunes materially on BOTH single dimensions
+    assert by[("zorder", "date_band")].prune_pct >= 0.25
+    assert (
+        by[("zorder", "cust_band")].prune_pct
+        > by[("date_clustered", "cust_band")].prune_pct
+    )
+    # ...and scans no more rows than 1-D clustering on the 2-D box
+    assert (
+        by[("zorder", "date_cust_box")].rows_scanned
+        <= by[("date_clustered", "date_cust_box")].rows_scanned
+    )
