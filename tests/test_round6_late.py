@@ -297,3 +297,82 @@ def test_zorder_panel_shows_the_interleave_tradeoff(spark, sf_dir):
         by[("zorder", "date_cust_box")].rows_scanned
         <= by[("date_clustered", "date_cust_box")].rows_scanned
     )
+
+
+def test_streaming_checkpoint_recovery_resumes_exactly_once(
+    spark, tmp_path
+):
+    """Kill a windowed drain halfway, add more files, restart from the
+    SAME checkpoint into the SAME file sink: the sink must end up equal
+    to a one-shot run over all the data — no lost windows, no
+    duplicates. (The memory sink refuses recovery; the parquet sink is
+    the fault-tolerant path a production drain uses.)"""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    sch = "event_id LONG, ts TIMESTAMP, value DOUBLE"
+    TS = dt.datetime
+    batches = [
+        [(1, TS(2024, 1, 1, 1, 10), 10.0), (2, TS(2024, 1, 1, 2, 10), 20.0)],
+        [(3, TS(2024, 1, 1, 3, 10), 30.0), (4, TS(2024, 1, 1, 4, 10), 40.0)],
+        [(5, TS(2024, 1, 1, 5, 10), 50.0), (6, TS(2024, 1, 1, 6, 10), 60.0)],
+        [(7, TS(2024, 1, 1, 7, 10), 70.0), (8, TS(2024, 1, 1, 8, 10), 80.0)],
+    ]
+
+    def _agg(stream):
+        return (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+            .select(F.col("window.start").alias("ws"), "n", "tv")
+        )
+
+    def _drain(src, out, ckpt):
+        q = (
+            _agg(
+                spark.readStream.schema(sch)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            tuple(r) for r in spark.read.parquet(out).collect()
+        )
+
+    src, out, ckpt = (str(tmp_path / n) for n in ("src", "out", "ckpt"))
+
+    def _write(d, i):
+        spark.createDataFrame(batches[i], sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    # phase 1: two files, drain, query stops
+    _write(src, 0)
+    _write(src, 1)
+    after1 = _drain(src, out, ckpt)
+    # phase 2: two more files arrive; RESTART from the same checkpoint
+    _write(src, 2)
+    _write(src, 3)
+    after2 = _drain(src, out, ckpt)
+
+    # one-shot reference over identical data, fresh checkpoint/sink
+    ref_src, ref_out, ref_ck = (
+        str(tmp_path / n) for n in ("rsrc", "rout", "rck")
+    )
+    for i in range(4):
+        _write(ref_src, i)
+    ref = _drain(ref_src, ref_out, ref_ck)
+
+    assert after2 == ref, (after2, ref)
+    # the restart appended strictly new windows — no replay, no loss
+    assert after1 and len(after2) > len(after1)
+    assert set(after1) <= set(after2)
+    assert len(after2) == len(set(after2)), "duplicate rows in sink"
