@@ -92,6 +92,7 @@ HEADLINE = [
     "moving_avg_7d",
     "time_decay_scores",
     "cusum_changepoint",
+    "seasonality_dft_stats",
     "activity_bitmap_stats",
     "funnel_conversion",
     "retention_cohorts",

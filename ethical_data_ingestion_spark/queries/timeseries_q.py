@@ -597,3 +597,118 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("s_scaled")).cast("long").alias("max_cusum_scaled"),
         )
     )
+
+
+#: Candidate seasonal periods (days) probed by the DFT panel — chosen to
+#: fit the fixture's 30-day event window (≥2 full cycles each).
+_DFT_PERIODS = (7, 10, 15)
+
+
+@register(
+    "seasonality_dft_stats",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT MIN(day) AS d0, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx FROM daily),
+    idx AS (
+      SELECT date_diff('day', b.d0, d.day) AS t,
+             CAST(d.x AS DECIMAL(18,6))
+               - CAST(ROUND(b.sx::DOUBLE / b.n::DOUBLE, 6)
+                      AS DECIMAL(18,6)) AS xc,
+             b.n
+      FROM daily d, b
+    ),
+    per AS (SELECT CAST(x AS INTEGER) AS period
+            FROM (VALUES ({'), ('.join(str(p) for p in _DFT_PERIODS)})) v(x)),
+    terms AS (
+      SELECT p.period, i.n,
+             CAST(i.xc * CAST(ROUND(cos(2 * pi() * i.t / p.period), 9)
+                              AS DECIMAL(18,9)) AS DECIMAL(38,15)) AS tc,
+             CAST(i.xc * CAST(ROUND(sin(2 * pi() * i.t / p.period), 9)
+                              AS DECIMAL(18,9)) AS DECIMAL(38,15)) AS ts_
+      FROM idx i, per p
+    ),
+    sums AS (
+      SELECT period, MAX(n) AS n,
+             CAST(SUM(tc) AS DOUBLE) AS a,
+             CAST(SUM(ts_) AS DOUBLE) AS bb
+      FROM terms GROUP BY period
+    )
+    SELECT period,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND(a, 6) AS a_cos,
+           ROUND(bb, 6) AS b_sin,
+           ROUND(2.0 * sqrt(a * a + bb * bb) / n, 6) AS amplitude
+    FROM sums
+    ORDER BY period
+    """,
+)
+def seasonality_dft_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality detection by explicit DFT probe: the daily event-count
+    series, mean-removed, projected onto cos/sin at candidate periods
+    {_DFT_PERIODS} days — the amplitude column ranks which cycle length
+    actually structures the traffic (on the fixture the three amplitudes
+    sit near the noise floor and the ranking flips with scale — exactly
+    the honest readout: no strong cycle, don't schedule around one). The spectral complement of `cusum_changepoint`
+    (level shifts) and `moving_avg_7d` (smoothing): a pipeline scheduler
+    reads this to pick its re-ingest cadence.
+
+    Float discipline: cos/sin terms are rounded to 9 dp and CAST TO
+    DECIMAL before multiplying the (also-DECIMAL) centered counts, so
+    Sigma-a and Sigma-b are order-insensitive and engine-exact; pi() is
+    the same IEEE double in both engines; amplitude is one mirrored
+    double expression. The series is CALENDAR-BOUNDED (one row per day)
+    so every aggregate after the daily rollup is over a tiny table — at
+    100 TB the only big step is the map-side-combined daily count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    b = F.broadcast(
+        daily.agg(
+            F.min("day").alias("d0"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+        )
+    )
+    mean6 = F.round(
+        F.col("sx").cast("double") / F.col("n").cast("double"), 6
+    ).cast("decimal(18,6)")
+    idx = daily.crossJoin(b).select(
+        F.datediff(F.col("day"), F.col("d0")).alias("t"),
+        (F.col("x").cast("decimal(18,6)") - mean6).alias("xc"),
+        "n",
+    )
+    per = F.explode(
+        F.array(*[F.lit(p) for p in _DFT_PERIODS])
+    ).alias("period")
+    two_pi_t = F.lit(2.0) * F.expr("pi()") * F.col("t")
+    c9 = F.round(F.cos(two_pi_t / F.col("period")), 9).cast("decimal(18,9)")
+    s9 = F.round(F.sin(two_pi_t / F.col("period")), 9).cast("decimal(18,9)")
+    terms = idx.select("t", "xc", "n", per).select(
+        "period",
+        "n",
+        (F.col("xc") * c9).cast("decimal(38,15)").alias("tc"),
+        (F.col("xc") * s9).cast("decimal(38,15)").alias("ts_"),
+    )
+    sums = terms.groupBy("period").agg(
+        F.max("n").alias("n"),
+        F.sum("tc").cast("double").alias("a"),
+        F.sum("ts_").cast("double").alias("bb"),
+    )
+    return sums.select(
+        "period",
+        F.col("n").cast("long").alias("n_days"),
+        F.round("a", 6).alias("a_cos"),
+        F.round("bb", 6).alias("b_sin"),
+        F.round(
+            F.lit(2.0)
+            * F.sqrt(F.col("a") * F.col("a") + F.col("bb") * F.col("bb"))
+            / F.col("n"),
+            6,
+        ).alias("amplitude"),
+    ).orderBy("period")

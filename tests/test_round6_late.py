@@ -376,3 +376,16 @@ def test_streaming_checkpoint_recovery_resumes_exactly_once(
     assert after1 and len(after2) > len(after1)
     assert set(after1) <= set(after2)
     assert len(after2) == len(set(after2)), "duplicate rows in sink"
+
+
+def test_seasonality_dft_amplitude_identity_and_bounds(spark, sf_dir):
+    import math
+
+    rows = QUERIES["seasonality_dft_stats"](spark, sf_dir).collect()
+    assert [r.period for r in rows] == [7, 10, 15]
+    for r in rows:
+        assert r.n_days > 0
+        assert r.amplitude >= 0
+        # output identity: amplitude derives from the printed projections
+        expect = 2.0 * math.sqrt(r.a_cos**2 + r.b_sin**2) / r.n_days
+        assert abs(r.amplitude - expect) < 1e-4, r
