@@ -93,6 +93,7 @@ HEADLINE = [
     "time_decay_scores",
     "cusum_changepoint",
     "seasonality_dft_stats",
+    "forecast_backtest_stats",
     "activity_bitmap_stats",
     "funnel_conversion",
     "retention_cohorts",

@@ -712,3 +712,143 @@ def seasonality_dft_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("amplitude"),
     ).orderBy("period")
+
+
+#: EWMA forecast backtest: smoothing factor (alpha) of the one-step
+#: forecaster compared against the naive last-value baseline.
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "forecast_backtest_stats",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT MIN(day) AS d0 FROM daily),
+    idx AS (SELECT date_diff('day', b.d0, d.day) AS t, d.x
+            FROM daily d, b),
+    ew AS (
+      SELECT cur.t, cur.x,
+             CAST(SUM(CAST(prev.x AS DECIMAL(18,6))
+                      * CAST(ROUND({_EWMA_ALPHA}
+                              * pow({1 - _EWMA_ALPHA}, cur.t - 1 - prev.t),
+                              9) AS DECIMAL(18,9)))
+                  AS DECIMAL(38,15)) AS yhat_raw,
+             CAST(SUM(CAST(ROUND({_EWMA_ALPHA}
+                            * pow({1 - _EWMA_ALPHA}, cur.t - 1 - prev.t),
+                            9) AS DECIMAL(18,9)))
+                  AS DECIMAL(38,15)) AS wsum
+      FROM idx cur JOIN idx prev ON prev.t < cur.t
+      GROUP BY cur.t, cur.x
+    ),
+    scored AS (
+      SELECT 'ewma' AS method, t, x,
+             ROUND(CAST(yhat_raw AS DOUBLE) / CAST(wsum AS DOUBLE), 6)
+               AS yhat
+      FROM ew
+      UNION ALL
+      SELECT 'naive', cur.t, cur.x, CAST(prev.x AS DOUBLE)
+      FROM idx cur JOIN idx prev ON prev.t = cur.t - 1
+    ),
+    err AS (
+      SELECT method, t,
+             CAST(ROUND(abs(x - yhat), 6) AS DECIMAL(18,6)) AS ae,
+             CAST(ROUND((x - yhat) * (x - yhat), 6)
+                  AS DECIMAL(28,6)) AS se,
+             CAST(ROUND(abs(x - yhat) / x, 9) AS DECIMAL(18,9)) AS ape
+      FROM scored
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           ROUND(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 4) AS mae,
+           ROUND(sqrt(CAST(SUM(se) AS DOUBLE) / COUNT(*)), 4) AS rmse,
+           ROUND(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 4) AS mape
+    FROM err GROUP BY method ORDER BY method
+    """,
+)
+def forecast_backtest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead forecast backtest over the daily event-count
+    series: an EWMA forecaster (alpha={_EWMA_ALPHA}, weights renormalized
+    over the available prefix) against the naive last-value baseline —
+    MAE / RMSE / MAPE per method. The capacity-planning sanity panel: if
+    smoothing can't beat "tomorrow = today", the series has no
+    exploitable structure (cf. `seasonality_dft_stats`) and the pipeline
+    scheduler shouldn't pretend otherwise.
+
+    The EWMA prefix convolution is an explicit pair join on the
+    CALENDAR-BOUNDED daily table (n days → C(n,2) term rows — tiny at
+    any corpus size), with every weight rounded to 9 dp and accumulated
+    in DECIMAL so forecasts are engine-exact; error aggregates use the
+    same round-then-DECIMAL discipline. At 100 TB only the daily rollup
+    touches the event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    b = F.broadcast(daily.agg(F.min("day").alias("d0")))
+    idx = daily.crossJoin(b).select(
+        F.datediff(F.col("day"), F.col("d0")).alias("t"), "x"
+    )
+    cur = idx.alias("cur")
+    prev = idx.alias("prev")
+    w9 = F.round(
+        F.lit(_EWMA_ALPHA)
+        * F.pow(F.lit(1 - _EWMA_ALPHA), F.col("cur.t") - 1 - F.col("prev.t")),
+        9,
+    ).cast("decimal(18,9)")
+    ew = (
+        cur.join(prev, F.col("prev.t") < F.col("cur.t"))
+        .groupBy(F.col("cur.t").alias("t"), F.col("cur.x").alias("x"))
+        .agg(
+            F.sum(
+                (F.col("prev.x").cast("decimal(18,6)") * w9).cast(
+                    "decimal(38,15)"
+                )
+            ).alias("yhat_raw"),
+            F.sum(w9.cast("decimal(38,15)")).alias("wsum"),
+        )
+    )
+    ewma = ew.select(
+        F.lit("ewma").alias("method"),
+        "t",
+        "x",
+        F.round(
+            F.col("yhat_raw").cast("double") / F.col("wsum").cast("double"),
+            6,
+        ).alias("yhat"),
+    )
+    naive = (
+        cur.join(prev, F.col("prev.t") == F.col("cur.t") - 1)
+        .select(
+            F.lit("naive").alias("method"),
+            F.col("cur.t").alias("t"),
+            F.col("cur.x").alias("x"),
+            F.col("prev.x").cast("double").alias("yhat"),
+        )
+    )
+    e = F.col("x") - F.col("yhat")
+    err = ewma.union(naive).select(
+        "method",
+        F.round(F.abs(e), 6).cast("decimal(18,6)").alias("ae"),
+        F.round(e * e, 6).cast("decimal(28,6)").alias("se"),
+        F.round(F.abs(e) / F.col("x"), 9).cast("decimal(18,9)").alias("ape"),
+    )
+    return (
+        err.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+            F.round(
+                F.sum("ae").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mae"),
+            F.round(
+                F.sqrt(F.sum("se").cast("double") / F.count(F.lit(1))), 4
+            ).alias("rmse"),
+            F.round(
+                F.sum("ape").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mape"),
+        )
+        .orderBy("method")
+    )

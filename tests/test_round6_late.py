@@ -389,3 +389,14 @@ def test_seasonality_dft_amplitude_identity_and_bounds(spark, sf_dir):
         # output identity: amplitude derives from the printed projections
         expect = 2.0 * math.sqrt(r.a_cos**2 + r.b_sin**2) / r.n_days
         assert abs(r.amplitude - expect) < 1e-4, r
+
+
+def test_forecast_backtest_shapes_and_error_sanity(spark, sf_dir):
+    rows = {r.method: r for r in QUERIES["forecast_backtest_stats"](
+        spark, sf_dir).collect()}
+    assert set(rows) == {"ewma", "naive"}
+    # both methods forecast the same target days
+    assert rows["ewma"].n_forecasts == rows["naive"].n_forecasts > 0
+    for r in rows.values():
+        assert 0 <= r.mae <= r.rmse  # rmse dominates mae always
+        assert r.mape >= 0
