@@ -94,6 +94,7 @@ HEADLINE = [
     "cusum_changepoint",
     "seasonality_dft_stats",
     "forecast_backtest_stats",
+    "acf_daily_stats",
     "activity_bitmap_stats",
     "funnel_conversion",
     "retention_cohorts",
@@ -130,14 +131,17 @@ HEADLINE = [
     "training_order_shuffle_stats",
     "unigram_kl_quality",
     "source_topp_curation",
+    "temperature_sampling_stats",
     "dsir_selection_stats",
     "event_transition_matrix",
     "scd2_user_history_stats",
     "editdist_name_pairs",
     "heavy_hitters_cms",
     "hll_union_cardinality",
+    "kmv_distinct_stats",
     "k_anonymity_audit",
     "dp_noisy_release_calibration",
+    "t_closeness_audit",
     "lexical_diversity_stats",
     "corpus_funnel_stats",
     "dedup_exact_stats",
@@ -152,6 +156,7 @@ HEADLINE = [
     "dedup_tier_attribution",
     "winnowing_overlap_pairs",
     "survivor_selection_stats",
+    "ngram_novelty_stats",
     "pagerank_trade_graph",
     "copurchase_triangle_stats",
     "embedding_neardup_pairs",

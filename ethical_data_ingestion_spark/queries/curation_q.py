@@ -1100,3 +1100,108 @@ def unimax_allocation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+#: Temperature-sampling token budget (tokens drawn from the mixture).
+_TEMP_BUDGET = 100_000
+
+
+@register(
+    "temperature_sampling_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS ntot FROM tok),
+    al AS (SELECT CAST(x AS DOUBLE) AS alpha
+           FROM (VALUES (0.25), (0.5), (0.75), (1.0)) v(x)),
+    w AS (
+      SELECT al.alpha, t.lang, t.n_tokens,
+             CAST(ROUND(CASE al.alpha
+               WHEN 0.25 THEN sqrt(sqrt(t.n_tokens::DOUBLE))
+               WHEN 0.5  THEN sqrt(t.n_tokens::DOUBLE)
+               WHEN 0.75 THEN sqrt(t.n_tokens::DOUBLE)
+                              * sqrt(sqrt(t.n_tokens::DOUBLE))
+               ELSE t.n_tokens::DOUBLE
+             END, 6) AS DECIMAL(38,6)) AS w6
+      FROM tok t, al
+    ),
+    ws AS (SELECT alpha, SUM(w6) AS wsum FROM w GROUP BY alpha)
+    SELECT w.alpha, w.lang, w.n_tokens,
+           ROUND(w.w6::DOUBLE / ws.wsum::DOUBLE, 6) AS p_sampled,
+           ROUND(w.n_tokens::DOUBLE / tot.ntot::DOUBLE, 6) AS p_raw,
+           ROUND((w.w6::DOUBLE / ws.wsum::DOUBLE)
+                 / (w.n_tokens::DOUBLE / tot.ntot::DOUBLE), 4) AS boost,
+           ROUND((w.w6::DOUBLE / ws.wsum::DOUBLE) * {_TEMP_BUDGET}.0, 2)
+             AS expected_tokens
+    FROM w JOIN ws ON w.alpha = ws.alpha, tot
+    ORDER BY w.alpha, w.lang
+    """,
+)
+def temperature_sampling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature sampling (the mT5 / XLM-R mixture rule):
+    per-language sampling probability p_l proportional to n_l^alpha at
+    alpha in {{0.25, 0.5, 0.75, 1.0}}, with the upsampling boost over
+    natural frequency and the expected token draw at a {_TEMP_BUDGET}-token
+    budget. alpha=1 is proportional sampling (head languages dominate);
+    lower alpha flattens the mixture toward uniform — the panel shows
+    exactly how much tail-language boost each temperature buys. The
+    power-law complement of `unimax_allocation_stats` (hard caps).
+
+    Engine-exactness trick: the alpha grid is chosen so n^alpha is an
+    exact IEEE expression — sqrt(sqrt(n)), sqrt(n), sqrt(n)*sqrt(sqrt(n)),
+    n — sqrt and a single multiply are correctly-rounded in BOTH engines,
+    so no pow() ulp drift can leak into the hash. Weights are then
+    quantized to 6 dp DECIMAL before the per-alpha sum (order-insensitive
+    denominator); every ratio is a mirrored double expression. Scale
+    shape: one map-side-combined token count per lang; everything after
+    is |langs| x |alphas| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    tot = F.broadcast(
+        tok.agg(F.sum("n_tokens").cast("long").alias("ntot"))
+    )
+    nd = F.col("n_tokens").cast("double")
+    w_expr = (
+        F.when(F.col("alpha") == 0.25, F.sqrt(F.sqrt(nd)))
+        .when(F.col("alpha") == 0.5, F.sqrt(nd))
+        .when(F.col("alpha") == 0.75, F.sqrt(nd) * F.sqrt(F.sqrt(nd)))
+        .otherwise(nd)
+    )
+    w = tok.select(
+        F.explode(
+            F.array(*[F.lit(a) for a in (0.25, 0.5, 0.75, 1.0)])
+        ).alias("alpha"),
+        "lang",
+        "n_tokens",
+    ).select(
+        "alpha",
+        "lang",
+        "n_tokens",
+        F.round(w_expr, 6).cast("decimal(38,6)").alias("w6"),
+    )
+    ws = w.groupBy("alpha").agg(F.sum("w6").alias("wsum"))
+    p = F.col("w6").cast("double") / F.col("wsum").cast("double")
+    praw = F.col("n_tokens").cast("double") / F.col("ntot").cast("double")
+    return (
+        w.join(ws, "alpha")
+        .crossJoin(tot)
+        .select(
+            "alpha",
+            "lang",
+            "n_tokens",
+            F.round(p, 6).alias("p_sampled"),
+            F.round(praw, 6).alias("p_raw"),
+            F.round(p / praw, 4).alias("boost"),
+            F.round(p * F.lit(float(_TEMP_BUDGET)), 2).alias(
+                "expected_tokens"
+            ),
+        )
+        .orderBy("alpha", "lang")
+    )

@@ -1242,3 +1242,117 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "ngram_novelty_stats",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    g AS (SELECT doc_id,
+                 ('0x' || substr(md5(g0), 1, 12))::BIGINT AS gh
+          FROM (SELECT doc_id, unnest(shingles) AS g0 FROM sh)),
+    gmin AS (SELECT gh, MIN(doc_id) AS d0 FROM g GROUP BY gh),
+    per AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN g.doc_id = gm.d0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS novel
+      FROM g JOIN gmin gm USING (gh) GROUP BY g.doc_id
+    ),
+    j AS (
+      SELECT d.source, per.total, per.novel,
+             per.novel::DOUBLE / per.total::DOUBLE AS frac
+      FROM per JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(CAST(ROUND(frac, 9) AS DECIMAL(18,9)))::DOUBLE
+                 / COUNT(*), 6) AS avg_novelty,
+           ROUND(SUM(CASE WHEN frac = 1.0 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS pct_fully_novel,
+           ROUND(SUM(CASE WHEN frac < 0.5 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS pct_mostly_copied,
+           ROUND(SUM(novel)::DOUBLE / SUM(total)::DOUBLE, 6)
+             AS gram_novel_rate
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def ngram_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-order n-gram novelty audit (the memorization-risk /
+    repeated-content panel): for every document, the fraction of its
+    distinct word-3-grams whose FIRST corpus occurrence (minimum doc_id)
+    is the document itself — grams first seen in an earlier document are
+    "already-trained-on" mass. Rolled up per source: mean novelty, the
+    share of fully-novel documents, the share of mostly-copied documents
+    (novelty < 0.5 — prime dedup candidates the pairwise tiers should
+    have caught), and the corpus-level gram novelty rate. Complements the
+    pairwise dedup family: attribution is ASYMMETRIC (the first document
+    keeps its grams; later near-copies lose them), which is exactly how
+    an epoch of training sees the stream.
+
+    Scale shape: grams ride as 48-bit md5 hashes (both engines draw the
+    same hash, so collisions — which fold a later gram onto an earlier
+    one — are deterministic and identical); first-occurrence is ONE
+    map-side-combined MIN per gram; the gram table is pinned once and
+    feeds both the MIN and the verdict join. The per-doc fractions are
+    round-9-DECIMAL summed (order-insensitive), integer counts exact.
+    The 3-gram shingle artifact is the session-shared dedup table."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = _doc_sets(spark, sf_dir)
+    grams = materialize(
+        sets.select("doc_id", F.explode("sh").alias("g")).select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("gh"),
+        )
+    )
+    gmin = grams.groupBy("gh").agg(F.min("doc_id").alias("d0"))
+    per = (
+        grams.join(gmin, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("d0"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel"),
+        )
+    )
+    frac = F.col("novel").cast("double") / F.col("total").cast("double")
+    j = per.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", "total", "novel", frac.alias("frac")
+    )
+    n = F.count(F.lit(1))
+    return (
+        j.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.round(F.col("frac"), 9).cast("decimal(18,9)"))
+                .cast("double")
+                / n,
+                6,
+            ).alias("avg_novelty"),
+            F.round(
+                F.sum(
+                    F.when(F.col("frac") == 1.0, 1).otherwise(0)
+                ).cast("double")
+                / n,
+                6,
+            ).alias("pct_fully_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("frac") < 0.5, 1).otherwise(0)
+                ).cast("double")
+                / n,
+                6,
+            ).alias("pct_mostly_copied"),
+            F.round(
+                F.sum("novel").cast("double")
+                / F.sum("total").cast("double"),
+                6,
+            ).alias("gram_novel_rate"),
+        )
+        .orderBy("source")
+    )

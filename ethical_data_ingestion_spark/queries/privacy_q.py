@@ -20,10 +20,11 @@ side of the pipeline, where a 100-TB corpus engine actually leaks data:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..materialize import materialize
 from ..registry import register
 
 #: classes smaller than this are "re-identifiable" in the audit.
@@ -177,3 +178,149 @@ def dp_noisy_release_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs("noise"), 4).alias("abs_err"),
         (F.abs("noise") <= _DP_BOUND).alias("within_bound"),
     ).orderBy("c_nationkey")
+
+
+#: t-closeness flag threshold: classes whose banded-balance distribution
+#: sits further than this EMD from the global distribution leak.
+_T_FLAG = 0.2
+
+
+@register(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH cb AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    cls AS (SELECT seg, nat, CAST(SUM(cnt) AS BIGINT) AS k
+            FROM cb GROUP BY seg, nat),
+    gb AS (SELECT band, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM cb GROUP BY band),
+    tot AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS m FROM gb),
+    grid AS (
+      SELECT c.seg, c.nat, c.k, g.band, g.gcnt,
+             COALESCE(x.cnt, 0) AS cnt
+      FROM cls c CROSS JOIN gb g
+      LEFT JOIN cb x ON x.seg = c.seg AND x.nat = c.nat AND x.band = g.band
+    ),
+    diffs AS (
+      SELECT seg, nat, band,
+             CAST(ROUND(cnt::DOUBLE / k::DOUBLE, 9) AS DECIMAL(18,9))
+             - CAST(ROUND(gcnt::DOUBLE / tot.n::DOUBLE, 9)
+                    AS DECIMAL(18,9)) AS d
+      FROM grid, tot
+    ),
+    cum AS (
+      SELECT seg, nat, band,
+             SUM(d) OVER (PARTITION BY seg, nat ORDER BY band
+                          ROWS UNBOUNDED PRECEDING) AS cd
+      FROM diffs
+    ),
+    tcl AS (
+      SELECT seg, nat,
+             CAST(SUM(CAST(abs(cd) AS DECIMAL(38,9))) AS DOUBLE)
+               / (tot.m - 1)::DOUBLE AS t
+      FROM cum, tot GROUP BY seg, nat, tot.m
+    )
+    SELECT seg AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           ROUND(MAX(t), 6) AS t_max,
+           ROUND(SUM(CAST(ROUND(t, 9) AS DECIMAL(18,9)))::DOUBLE
+                 / COUNT(*), 6) AS t_avg,
+           ROUND(SUM(CASE WHEN t > {_T_FLAG} THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS pct_over_t
+    FROM tcl GROUP BY seg ORDER BY c_mktsegment
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    release-gate metric k-anonymity and l-diversity both miss: a class
+    can be large AND diverse yet still leak if its sensitive-attribute
+    DISTRIBUTION differs from the population (skew attack). For every
+    (segment, nation) equivalence class, t = the ordered-attribute Earth
+    Mover's Distance between the class's $1000-balance-band distribution
+    and the global one: EMD = sum_i |cum(p - q)_i| / (m - 1). Per
+    segment: worst class, mean, and the share of classes past the
+    t={_T_FLAG} release line. Completes the privacy triptych with
+    `k_anonymity_audit` (class size / value diversity) and
+    `dp_noisy_release_calibration` (noise release).
+
+    Engine-exactness: cumulative sums in a window may TREE-aggregate
+    (DuckDB segment trees), so p and q are round-9-quantized to DECIMAL
+    BEFORE differencing — the running sum is then exact under any
+    association, and every downstream fold stays DECIMAL until the final
+    mirrored double division. Scale shape: one map-side-combined
+    (class x band) count; the grid is |classes| x |bands| with bands
+    calendar-bounded (~12) and the global band table broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band")
+    cb = materialize(
+        cust.groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+            band,
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cls = cb.groupBy("seg", "nat").agg(
+        F.sum("cnt").cast("long").alias("k")
+    )
+    gb = cb.groupBy("band").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    tot = F.broadcast(
+        gb.agg(
+            F.sum("gcnt").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("m"),
+        )
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gb))
+        .join(cb, ["seg", "nat", "band"], "left")
+        .select(
+            "seg", "nat", "band", "k", "gcnt",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+        .crossJoin(tot)
+    )
+    p9 = F.round(
+        F.col("cnt").cast("double") / F.col("k").cast("double"), 9
+    ).cast("decimal(18,9)")
+    q9 = F.round(
+        F.col("gcnt").cast("double") / F.col("n").cast("double"), 9
+    ).cast("decimal(18,9)")
+    w = (
+        Window.partitionBy("seg", "nat")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "seg", "nat", "band", "m", (p9 - q9).alias("d")
+    ).withColumn("cd", F.sum("d").over(w))
+    tcl = cum.groupBy("seg", "nat", "m").agg(
+        (
+            F.sum(F.abs("cd").cast("decimal(38,9)")).cast("double")
+            / (F.col("m") - 1).cast("double")
+        ).alias("t")
+    )
+    nC = F.count(F.lit(1))
+    return (
+        tcl.groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            nC.cast("long").alias("n_classes"),
+            F.round(F.max("t"), 6).alias("t_max"),
+            F.round(
+                F.sum(F.round(F.col("t"), 9).cast("decimal(18,9)"))
+                .cast("double")
+                / nC,
+                6,
+            ).alias("t_avg"),
+            F.round(
+                F.sum(
+                    F.when(F.col("t") > _T_FLAG, 1).otherwise(0)
+                ).cast("double")
+                / nC,
+                6,
+            ).alias("pct_over_t"),
+        )
+        .orderBy("c_mktsegment")
+    )

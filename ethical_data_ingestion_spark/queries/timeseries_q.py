@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..materialize import materialize
 from ..registry import register
 
 
@@ -851,4 +852,120 @@ def forecast_backtest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mape"),
         )
         .orderBy("method")
+    )
+
+
+#: ACF probe lags (days) for the autocorrelation panel.
+_ACF_MAX_LAG = 14
+
+
+@register(
+    "acf_daily_stats",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (SELECT MIN(day) AS d0, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx
+          FROM daily),
+    idx AS (
+      SELECT date_diff('day', b.d0, d.day) AS t,
+             CAST(d.x AS DECIMAL(18,6))
+               - CAST(ROUND(b.sx::DOUBLE / b.n::DOUBLE, 6)
+                      AS DECIMAL(18,6)) AS xc
+      FROM daily d, b
+    ),
+    den AS (
+      SELECT CAST(SUM(CAST(xc * xc AS DECIMAL(38,12))) AS DOUBLE) AS s0
+      FROM idx
+    ),
+    lag_ AS (SELECT CAST(x AS INTEGER) AS lag
+             FROM range(1, {_ACF_MAX_LAG} + 1) v(x)),
+    num AS (
+      SELECT l.lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(a.xc * f.xc AS DECIMAL(38,12))) AS DOUBLE) AS sl
+      FROM lag_ l
+      JOIN idx a ON TRUE
+      JOIN idx f ON f.t = a.t + l.lag
+      GROUP BY l.lag
+    )
+    SELECT n.lag, n.n_pairs,
+           ROUND(n.sl / d.s0, 6) AS acf
+    FROM num n, den d
+    ORDER BY n.lag
+    """,
+)
+def acf_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..{_ACF_MAX_LAG}: r(l) = sum(xc_t * xc_(t+l)) / sum(xc_t^2) over the
+    mean-removed counts. The time-domain complement of
+    `seasonality_dft_stats` (which probes three FIXED candidate periods):
+    the ACF scans EVERY short lag, so a weekly rhythm shows up as a bump
+    at lag 7 without having to guess the period first. A pipeline
+    scheduler reads both panels together before picking a re-ingest
+    cadence.
+
+    Float discipline (the `seasonality_dft_stats` pattern): daily counts
+    are exact BIGINTs; the mean is rounded to 6 dp then the centered
+    values live in DECIMAL(18,6); every product is CAST to
+    DECIMAL(38,12) before summing, so numerator and denominator are
+    order-insensitive exact and the single double division at the end is
+    engine-exact. Scale shape: the only corpus-scale step is the
+    map-side-combined daily count; the lag self-join runs on the
+    CALENDAR-BOUNDED daily table (n_days x {_ACF_MAX_LAG} pair rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    b = F.broadcast(
+        daily.agg(
+            F.min("day").alias("d0"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+        )
+    )
+    mean6 = F.round(
+        F.col("sx").cast("double") / F.col("n").cast("double"), 6
+    ).cast("decimal(18,6)")
+    idx = materialize(
+        daily.crossJoin(b).select(
+            F.datediff(F.col("day"), F.col("d0")).alias("t"),
+            (F.col("x").cast("decimal(18,6)") - mean6).alias("xc"),
+        )
+    )
+    den = F.broadcast(
+        idx.agg(
+            F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("s0")
+        )
+    )
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in range(1, _ACF_MAX_LAG + 1)])
+    ).alias("lag")
+    a = idx.select("t", "xc", lags).alias("a")
+    f2 = idx.alias("f")
+    num = (
+        a.join(f2, F.col("f.t") == F.col("a.t") + F.col("a.lag"))
+        .groupBy("a.lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                (F.col("a.xc") * F.col("f.xc")).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("sl"),
+        )
+    )
+    return (
+        num.crossJoin(den)
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("sl") / F.col("s0"), 6).alias("acf"),
+        )
+        .orderBy("lag")
     )

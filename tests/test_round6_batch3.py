@@ -1,0 +1,100 @@
+"""Invariant tests for the round-6 batch-3 panels (ACF, temperature
+sampling, KMV sketch, n-gram novelty, t-closeness) — properties the hash
+gate can't express: bounds, conservation, monotonicity, sketch accuracy."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from ethical_data_ingestion_spark.registry import QUERIES, _load_everything
+
+_load_everything()
+
+from ethical_data_ingestion_spark.queries.strings_q import _KMV_K  # noqa: E402
+from ethical_data_ingestion_spark.queries.timeseries_q import (  # noqa: E402
+    _ACF_MAX_LAG,
+)
+
+
+def test_acf_is_bounded_and_pairs_shrink_with_lag(spark, sf_dir):
+    rows = QUERIES["acf_daily_stats"](spark, sf_dir).collect()
+    assert [r.lag for r in rows] == list(range(1, _ACF_MAX_LAG + 1))
+    n_days = rows[0].n_pairs + 1  # lag-1 join has n-1 pairs
+    for r in rows:
+        # Cauchy-Schwarz: |r(l)| <= 1 up to the 6-dp rounding of the panel
+        assert abs(r.acf) <= 1.0 + 1e-6, r
+        assert r.n_pairs == n_days - r.lag, r
+
+
+def test_temperature_sampling_flattens_toward_uniform(spark, sf_dir):
+    rows = QUERIES["temperature_sampling_stats"](spark, sf_dir).collect()
+    assert rows
+    by_alpha = defaultdict(list)
+    for r in rows:
+        by_alpha[r.alpha].append(r)
+    assert set(by_alpha) == {0.25, 0.5, 0.75, 1.0}
+    for alpha, grp in by_alpha.items():
+        # probabilities conserve (up to per-row 6-dp rounding)
+        assert abs(sum(r.p_sampled for r in grp) - 1.0) < 1e-4, alpha
+        assert abs(
+            sum(r.expected_tokens for r in grp)
+            - sum(r.expected_tokens for r in by_alpha[1.0])
+        ) < 1.0
+        for r in grp:
+            assert r.p_sampled > 0 and r.p_raw > 0
+    # alpha=1 is natural sampling: boost == 1 for every language
+    for r in by_alpha[1.0]:
+        assert abs(r.boost - 1.0) < 1e-3, r
+    # flattening: the LARGEST language's share shrinks monotonically as
+    # alpha drops; the SMALLEST language's boost grows
+    big = {a: max(g, key=lambda r: r.n_tokens) for a, g in by_alpha.items()}
+    small = {a: min(g, key=lambda r: r.n_tokens) for a, g in by_alpha.items()}
+    alphas = sorted(by_alpha)
+    for lo, hi in zip(alphas, alphas[1:]):
+        assert big[lo].p_sampled <= big[hi].p_sampled + 1e-9
+        assert small[lo].boost >= small[hi].boost - 1e-9
+
+
+def test_kmv_estimate_lands_within_sketch_error(spark, sf_dir):
+    rows = QUERIES["kmv_distinct_stats"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.nd_exact > 0
+        assert r.kmv_est > 0
+        if r.nd_exact <= _KMV_K:
+            # sketch holds the whole (hashed) value set: exact modulo
+            # 48-bit hash collisions, which are ~0 at fixture scale
+            assert r.rel_err < 1e-3, r
+        else:
+            # ~3.5 sigma at sigma ~= 1/sqrt(k-2)
+            assert r.rel_err < 0.22, r
+
+
+def test_ngram_novelty_rates_are_bounded_and_docs_conserved(spark, sf_dir):
+    rows = QUERIES["ngram_novelty_stats"](spark, sf_dir).collect()
+    assert rows
+    from ethical_data_ingestion_spark.io import load_table
+
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        for v in (
+            r.avg_novelty,
+            r.pct_fully_novel,
+            r.pct_mostly_copied,
+            r.gram_novel_rate,
+        ):
+            assert 0.0 <= v <= 1.0 + 1e-9, r
+        # fully-novel docs have novelty 1, so the mean is at least the
+        # fully-novel share (every other doc contributes >= 0)
+        assert r.avg_novelty >= r.pct_fully_novel - 1e-6, r
+
+
+def test_t_closeness_is_a_valid_emd_rollup(spark, sf_dir):
+    rows = QUERIES["t_closeness_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_classes > 0
+        # ordered-attribute EMD with the 1/(m-1) normalizer is in [0, 1]
+        assert 0.0 <= r.t_avg <= r.t_max <= 1.0 + 1e-9, r
+        assert 0.0 <= r.pct_over_t <= 1.0, r
