@@ -134,6 +134,7 @@ HEADLINE = [
     "temperature_sampling_stats",
     "dsir_selection_stats",
     "event_transition_matrix",
+    "markov_entropy_stats",
     "scd2_user_history_stats",
     "editdist_name_pairs",
     "heavy_hitters_cms",
@@ -142,6 +143,8 @@ HEADLINE = [
     "k_anonymity_audit",
     "dp_noisy_release_calibration",
     "t_closeness_audit",
+    "imputation_audit",
+    "sample_size_planner",
     "lexical_diversity_stats",
     "corpus_funnel_stats",
     "dedup_exact_stats",
@@ -163,6 +166,7 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
     "knn_lsh_recall_stats",
+    "embedding_dim_variance_stats",
     "knn_cosine_ivf",
     "contrastive_pair_mining",
     "embedding_drift_stats",

@@ -1205,3 +1205,92 @@ def temperature_sampling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("alpha", "lang")
     )
+
+
+@register(
+    "markov_entropy_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tots AS (
+      SELECT prev_type, CAST(SUM(c) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS nt
+      FROM pairs GROUP BY prev_type
+    ),
+    terms AS (
+      SELECT p.prev_type, t.t, t.nt,
+             CAST(ROUND((p.c::DOUBLE / t.t::DOUBLE)
+                        * log2(p.c::DOUBLE / t.t::DOUBLE), 9)
+                  AS DECIMAL(18,9)) AS h9
+      FROM pairs p JOIN tots t USING (prev_type)
+    )
+    SELECT prev_type AS event_type,
+           MAX(t) AS n_trans,
+           MAX(nt) AS n_next_types,
+           ROUND(-SUM(h9)::DOUBLE, 6) AS entropy_bits,
+           CASE WHEN MAX(nt) > 1
+                THEN ROUND(-SUM(h9)::DOUBLE / log2(MAX(nt)::DOUBLE), 6)
+           END AS norm_entropy
+    FROM terms GROUP BY prev_type ORDER BY event_type
+    """,
+)
+def markov_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predictability of the user event stream: per preceding event type,
+    the Shannon entropy (bits) of the next-event distribution, plus the
+    entropy normalized by log2(branching factor). The information-theory
+    rollup of `event_transition_matrix` (which shows the raw transition
+    probabilities): norm_entropy near 1 means "after this event anything
+    happens" (the matrix row is uniform — sessionization features will
+    not help a model), near 0 means the next step is nearly determined.
+    Transitions use the same (user, ts, event_id)-ordered LAG derivation
+    as the matrix panel, so the two panels are row-consistent.
+
+    Float discipline: each p*log2(p) term is round-9-quantized to
+    DECIMAL before the per-type sum (order-insensitive; the 1-ulp log2
+    risk sits behind the 9-dp round, the `zipf_fit_stats` precedent);
+    branching guard mirrors NULL for single-successor types. Scale
+    shape: one windowed pass partitioned by user, then
+    |types|^2-bounded aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tots = pairs.groupBy("prev_type").agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("nt"),
+    )
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    terms = pairs.join(tots, "prev_type").select(
+        "prev_type",
+        "t",
+        "nt",
+        F.round(p * F.log2(p), 9).cast("decimal(18,9)").alias("h9"),
+    )
+    ent = -F.sum("h9").cast("double")
+    return (
+        terms.groupBy(F.col("prev_type").alias("event_type"))
+        .agg(
+            F.max("t").alias("n_trans"),
+            F.max("nt").alias("n_next_types"),
+            F.round(ent, 6).alias("entropy_bits"),
+            F.when(
+                F.max("nt") > 1,
+                F.round(ent / F.log2(F.max("nt").cast("double")), 6),
+            ).alias("norm_entropy"),
+        )
+        .orderBy("event_type")
+    )

@@ -1546,3 +1546,239 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "pred")
     )
+
+
+@register(
+    "sample_size_planner",
+    oracle="""
+    WITH st AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2))) AS s1,
+             SUM(CAST(ROUND(l_extendedprice * l_extendedprice, 4)
+                      AS DECIMAL(28,4))) AS s2
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    mv AS (
+      SELECT l_returnflag, n,
+             s1::DOUBLE / n::DOUBLE AS mean,
+             sqrt((s2::DOUBLE - (s1::DOUBLE / n::DOUBLE) * s1::DOUBLE)
+                  / (n - 1)::DOUBLE) AS sd
+      FROM st
+    )
+    SELECT l_returnflag, n AS n_rows,
+           ROUND(mean, 4) AS mean_price,
+           ROUND(sd, 4) AS sd_price,
+           CAST(ceil((1.96 * sd / (0.01 * mean))
+                     * (1.96 * sd / (0.01 * mean))) AS BIGINT)
+             AS n_req_1pct,
+           ROUND(least(ceil((1.96 * sd / (0.01 * mean))
+                            * (1.96 * sd / (0.01 * mean)))
+                       / n::DOUBLE, 1.0), 6) AS frac_needed,
+           ROUND(1.96 * sd / sqrt(0.01 * n::DOUBLE) / mean, 6)
+             AS margin_at_1pct
+    FROM mv ORDER BY l_returnflag
+    """,
+)
+def sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQP sample-size planning per returnflag stratum: from each
+    stratum's price mean and standard deviation, the sample size needed
+    for a +/-1% relative margin at 95% confidence (n = (z*sd/(0.01*mu))^2),
+    the fraction of the stratum that sample represents, and — the other
+    direction — the margin a flat 1% sample would actually achieve. The
+    design-side complement of `sampled_revenue_estimate` (which MEASURES
+    the error of one realized sample): a 100-TB job author reads this
+    panel first to decide whether approximate results are even worth the
+    sampling pass, and at what rate. High-variance strata (high sd/mu)
+    visibly demand disproportionate sample.
+
+    Float discipline: prices are 2-dp values, so round-2/round-4 DECIMAL
+    quantization of x and x^2 makes the moment sums order-insensitive
+    exact; mean/sd/n_req are then one mirrored double expression
+    (ceil of identical doubles is identical). Scale shape: one
+    map-side-combined moments pass, |strata| rows after."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    st = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(p, 2).cast("decimal(18,2)")).alias("s1"),
+        F.sum(F.round(p * p, 4).cast("decimal(28,4)")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - mean * F.col("s1").cast("double"))
+        / (F.col("n") - 1).cast("double")
+    )
+    mv = st.select("l_returnflag", "n", mean.alias("mean"), sd.alias("sd"))
+    x = F.lit(1.96) * F.col("sd") / (F.lit(0.01) * F.col("mean"))
+    nreq = F.ceil(x * x)
+    return mv.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round("mean", 4).alias("mean_price"),
+        F.round("sd", 4).alias("sd_price"),
+        nreq.cast("long").alias("n_req_1pct"),
+        F.round(
+            F.least(nreq.cast("double") / F.col("n").cast("double"), F.lit(1.0)),
+            6,
+        ).alias("frac_needed"),
+        F.round(
+            F.lit(1.96)
+            * F.col("sd")
+            / F.sqrt(F.lit(0.01) * F.col("n").cast("double"))
+            / F.col("mean"),
+            6,
+        ).alias("margin_at_1pct"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "imputation_audit",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS pri, o_totalprice AS p,
+             (('0x' || substr(md5('imp:' || CAST(o_orderkey AS VARCHAR)),
+                              1, 8))::BIGINT % 10 = 0) AS masked
+      FROM orders
+    ),
+    st AS (
+      SELECT pri,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked,
+             SUM(CASE WHEN NOT masked
+                 THEN CAST(ROUND(p, 2) AS DECIMAL(18,2)) END) AS s_keep,
+             SUM(CASE WHEN masked
+                 THEN CAST(ROUND(p, 2) AS DECIMAL(18,2)) END) AS s_mask
+      FROM m GROUP BY pri
+    ),
+    iv AS (
+      SELECT pri, n_rows, n_masked, s_mask,
+             ROUND(s_keep::DOUBLE / (n_rows - n_masked)::DOUBLE, 6) AS imp
+      FROM st
+    ),
+    ae AS (
+      SELECT m.pri,
+             SUM(CAST(ROUND(abs(m.p - iv.imp), 4) AS DECIMAL(18,4))) AS sae
+      FROM m JOIN iv USING (pri) WHERE m.masked
+      GROUP BY m.pri
+    )
+    SELECT iv.pri AS o_orderpriority, iv.n_rows, iv.n_masked,
+           iv.imp AS imputed_value,
+           CASE WHEN iv.n_masked > 0
+                THEN ROUND(iv.s_mask::DOUBLE / iv.n_masked::DOUBLE, 4)
+           END AS true_mean_masked,
+           CASE WHEN iv.n_masked > 0
+                THEN ROUND(ae.sae::DOUBLE / iv.n_masked::DOUBLE, 4)
+           END AS mae,
+           CASE WHEN iv.n_masked > 0
+                THEN ROUND((iv.imp
+                            - iv.s_mask::DOUBLE / iv.n_masked::DOUBLE)
+                           / (iv.s_mask::DOUBLE / iv.n_masked::DOUBLE), 6)
+           END AS rel_bias
+    FROM iv LEFT JOIN ae ON ae.pri = iv.pri
+    ORDER BY o_orderpriority
+    """,
+)
+def imputation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation audit: a deterministic 10% of order
+    totals is masked (md5 residue of the order key — the same
+    engine-independent hash idiom as the sampling family), each masked
+    value is imputed with its priority stratum's mean-of-observed, and
+    the panel scores the imputation against the held-out truth: MAE and
+    relative bias per stratum. Because masking is hash-random, bias
+    should sit near zero and MAE near the stratum's mean absolute
+    deviation — a stratum where it doesn't is one where missingness
+    would NOT be ignorable and mean-imputation would distort training
+    data. This is the audit a pipeline runs BEFORE switching on any
+    fill-null step at 100 TB (a production run swaps the hash mask for
+    the real missingness pattern; nothing else changes).
+
+    Float discipline: 2-dp order totals quantized to DECIMAL for all
+    sums; the imputed value is pinned at round-6 so the per-row absolute
+    errors are reproducible; every division ANSI-guarded on the masked
+    count (mirrored CASE/NULL). Scale shape: two map-side-combined
+    passes over orders (moments, then errors against the broadcast
+    |strata|-row imputation table)."""
+    o = load_table(spark, sf_dir, "orders")
+    masked = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("imp:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+    m = materialize(
+        o.select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_totalprice").alias("p"),
+            masked.alias("masked"),
+        )
+    )
+    p2 = F.round(F.col("p"), 2).cast("decimal(18,2)")
+    st = m.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_masked"),
+        F.sum(F.when(~F.col("masked"), p2)).alias("s_keep"),
+        F.sum(F.when(F.col("masked"), p2)).alias("s_mask"),
+    )
+    iv = st.select(
+        "pri",
+        "n_rows",
+        "n_masked",
+        "s_mask",
+        F.round(
+            F.col("s_keep").cast("double")
+            / (F.col("n_rows") - F.col("n_masked")).cast("double"),
+            6,
+        ).alias("imp"),
+    )
+    ae = (
+        m.filter(F.col("masked"))
+        .join(F.broadcast(iv.select("pri", "imp")), "pri")
+        .groupBy("pri")
+        .agg(
+            F.sum(
+                F.round(F.abs(F.col("p") - F.col("imp")), 4).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("sae")
+        )
+    )
+    tm = F.col("s_mask").cast("double") / F.col("n_masked").cast("double")
+    nm_pos = F.col("n_masked") > 0
+    return (
+        iv.join(ae, "pri", "left")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_rows",
+            "n_masked",
+            F.col("imp").alias("imputed_value"),
+            F.when(nm_pos, F.round(tm, 4)).alias("true_mean_masked"),
+            F.when(
+                nm_pos,
+                F.round(
+                    F.col("sae").cast("double")
+                    / F.col("n_masked").cast("double"),
+                    4,
+                ),
+            ).alias("mae"),
+            F.when(nm_pos, F.round((F.col("imp") - tm) / tm, 6)).alias(
+                "rel_bias"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

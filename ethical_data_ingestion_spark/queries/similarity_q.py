@@ -11,7 +11,7 @@ are mirrored step for step.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -920,4 +920,109 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acc_at1"),
         )
         .orderBy("label")
+    )
+
+
+#: dims reported by the variance-explained screening panel.
+_VAR_TOP = 8
+
+
+@register(
+    "embedding_dim_variance_stats",
+    oracle=f"""
+    WITH comp AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    st AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(v, 9) AS DECIMAL(18,9))) AS s1,
+             SUM(CAST(ROUND(v * v, 9) AS DECIMAL(18,9))) AS s2
+      FROM comp GROUP BY dim
+    ),
+    vs AS (
+      SELECT dim, n,
+             s2::DOUBLE / n::DOUBLE
+             - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) AS var
+      FROM st
+    ),
+    tot AS (SELECT CAST(SUM(CAST(ROUND(var, 9) AS DECIMAL(18,9)))
+                        AS DOUBLE) AS vtot
+            FROM vs),
+    ranked AS (
+      SELECT dim, var,
+             ROW_NUMBER() OVER (ORDER BY var DESC, dim) AS rn,
+             SUM(CAST(ROUND(var / tot.vtot, 9) AS DECIMAL(18,9)))
+               OVER (ORDER BY var DESC, dim ROWS UNBOUNDED PRECEDING)
+               AS cumshare,
+             tot.vtot AS vtot
+      FROM vs, tot
+    )
+    SELECT dim, ROUND(var, 6) AS variance,
+           ROUND(var / vtot, 6) AS var_share,
+           ROUND(cumshare::DOUBLE, 6) AS cum_share
+    FROM ranked WHERE rn <= {_VAR_TOP}
+    ORDER BY variance DESC, dim
+    """,
+)
+def embedding_dim_variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance screening of the embedding matrix — the
+    PCA-lite dimensionality audit run before committing to a compressed
+    index: the {_VAR_TOP} highest-variance coordinates with each one's
+    share of total variance and the cumulative share. If a handful of
+    raw dimensions already carry most of the energy, the cheap
+    `F.slice` truncation `embedding_dim_ablation` prices is justified;
+    if the curve is flat (the fixture's case — near-isotropic synthetic
+    vectors), only a learned rotation would compress and the panel says
+    so. Axis-aligned by design: variances need one pass, no iteration —
+    the honest screening step before anything eigen.
+
+    Float discipline: each component (exact f32->f64) and its square are
+    round-9-quantized to DECIMAL before the per-dim sums, so mean and
+    variance are order-insensitive; the 64-row variance table then feeds
+    an exact DECIMAL cumulative window ordered by (var DESC, dim). Scale
+    shape: ONE posexplode pass, map-side-combined per-dim sums (64
+    groups), everything after is a 64-row table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    st = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("v"), 9).cast("decimal(18,9)")).alias("s1"),
+        F.sum(
+            F.round(F.col("v") * F.col("v"), 9).cast("decimal(18,9)")
+        ).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
+    vs = materialize(st.select("dim", var.alias("var")))
+    tot = F.broadcast(
+        vs.agg(
+            F.sum(F.round(F.col("var"), 9).cast("decimal(18,9)"))
+            .cast("double")
+            .alias("vtot")
+        )
+    )
+    worder = Window.orderBy(F.desc("var"), "dim")
+    wcum = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    share9 = F.round(F.col("var") / F.col("vtot"), 9).cast("decimal(18,9)")
+    ranked = (
+        vs.crossJoin(tot)
+        .withColumn("rn", F.row_number().over(worder))
+        .withColumn("cumshare", F.sum(share9).over(wcum))
+    )
+    return (
+        ranked.filter(F.col("rn") <= _VAR_TOP)
+        .select(
+            "dim",
+            F.round("var", 6).alias("variance"),
+            F.round(F.col("var") / F.col("vtot"), 6).alias("var_share"),
+            F.round(F.col("cumshare").cast("double"), 6).alias("cum_share"),
+        )
+        .orderBy(F.desc("variance"), "dim")
     )

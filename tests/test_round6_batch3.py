@@ -98,3 +98,64 @@ def test_t_closeness_is_a_valid_emd_rollup(spark, sf_dir):
         # ordered-attribute EMD with the 1/(m-1) normalizer is in [0, 1]
         assert 0.0 <= r.t_avg <= r.t_max <= 1.0 + 1e-9, r
         assert 0.0 <= r.pct_over_t <= 1.0, r
+
+
+def test_markov_entropy_is_bounded_by_branching(spark, sf_dir):
+    rows = QUERIES["markov_entropy_stats"](spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert r.n_trans > 0 and r.n_next_types > 0
+        assert -1e-9 <= r.entropy_bits <= math.log2(r.n_next_types) + 1e-6
+        if r.n_next_types > 1:
+            assert 0.0 <= r.norm_entropy <= 1.0 + 1e-6, r
+        else:
+            assert r.norm_entropy is None
+
+
+def test_sample_size_planner_margins_are_consistent(spark, sf_dir):
+    rows = QUERIES["sample_size_planner"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_rows > 1 and r.sd_price > 0 and r.mean_price > 0
+        assert r.n_req_1pct >= 1
+        assert 0.0 < r.frac_needed <= 1.0
+        # CV identity: margin at a 1% sample = cv * 1.96 / sqrt(0.01 n)
+        cv = r.sd_price / r.mean_price
+        import math
+
+        expect = 1.96 * cv / math.sqrt(0.01 * r.n_rows)
+        assert abs(r.margin_at_1pct - expect) < 5e-3, r
+
+
+def test_imputation_audit_mask_is_unbiased_at_fixture_scale(spark, sf_dir):
+    rows = QUERIES["imputation_audit"](spark, sf_dir).collect()
+    assert rows
+    n_masked = sum(r.n_masked for r in rows)
+    n_rows = sum(r.n_rows for r in rows)
+    # hash mask hits ~10% of orders
+    assert 0.05 < n_masked / n_rows < 0.15
+    for r in rows:
+        assert 0 <= r.n_masked < r.n_rows
+        if r.n_masked > 0:
+            assert r.mae >= 0
+            # hash-random missingness: imputation bias is small relative
+            # to the stratum mean (loose 3-sigma-ish fixture bound)
+            assert abs(r.rel_bias) < 0.25, r
+
+
+def test_embedding_dim_variance_shares_are_a_valid_topk(spark, sf_dir):
+    rows = QUERIES["embedding_dim_variance_stats"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    prev = None
+    cum = 0.0
+    for r in rows:
+        assert r.variance > 0
+        if prev is not None:
+            assert r.variance <= prev + 1e-9  # sorted descending
+        prev = r.variance
+        cum += r.var_share
+        assert abs(r.cum_share - cum) < 1e-4
+        assert 0.0 < r.var_share <= 1.0
+    assert rows[-1].cum_share <= 1.0 + 1e-6
