@@ -95,9 +95,11 @@ HEADLINE = [
     "seasonality_dft_stats",
     "forecast_backtest_stats",
     "acf_daily_stats",
+    "interevent_burstiness_stats",
     "activity_bitmap_stats",
     "funnel_conversion",
     "retention_cohorts",
+    "rfm_segmentation",
     "event_type_runs",
     "column_profile_orders",
     "exact_order_percentiles",
@@ -187,6 +189,7 @@ HEADLINE = [
     "dataset_diff_stats",
     "dataset_snapshot_chain",
     "join_skew_report",
+    "revenue_gini_stats",
     "zonemap_pruning_stats",
     "zorder_pruning_stats",
     "corr_matrix_lineitem",

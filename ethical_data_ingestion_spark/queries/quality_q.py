@@ -1782,3 +1782,216 @@ def imputation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "revenue_gini_stats",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nat, c.c_custkey AS ck,
+             COALESCE(SUM(CAST(ROUND(o.o_totalprice, 2)
+                               AS DECIMAL(18,2))),
+                      CAST(0 AS DECIMAL(18,2))) AS rev
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT nat, rev,
+             ROW_NUMBER() OVER (PARTITION BY nat ORDER BY rev, ck) AS i,
+             COUNT(*) OVER (PARTITION BY nat) AS n
+      FROM rev
+    ),
+    agg AS (
+      SELECT nat, CAST(MAX(n) AS BIGINT) AS n,
+             SUM(rev) AS s,
+             SUM(CAST(CAST(i AS DECIMAL(18,0)) * rev
+                      AS DECIMAL(38,2))) AS si,
+             SUM(CASE WHEN i > n - CAST(ceil(n::DOUBLE / 10.0) AS BIGINT)
+                      THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS stop
+      FROM rk GROUP BY nat
+    )
+    SELECT nat AS c_nationkey, n AS n_cust,
+           ROUND(s::DOUBLE, 2) AS total_rev,
+           CASE WHEN s > 0
+                THEN ROUND(2.0 * si::DOUBLE / (n::DOUBLE * s::DOUBLE)
+                           - (n + 1)::DOUBLE / n::DOUBLE, 6)
+           END AS gini,
+           CASE WHEN s > 0
+                THEN ROUND(stop::DOUBLE / s::DOUBLE, 6)
+           END AS top10pct_share
+    FROM agg ORDER BY c_nationkey
+    """,
+)
+def revenue_gini_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation: the Gini coefficient of
+    customer lifetime revenue (zero-revenue customers included — the
+    honest inequality base) plus the share held by the top revenue
+    decile. The skew panel at the BUSINESS-key level, complementing
+    `join_skew_report` (shuffle-key skew) and the salting family: a
+    Gini near 1 in a partition-key dimension is exactly the warning
+    that hash-partitioning on it will hotspot and the 10% head deserves
+    the salted path.
+
+    Gini via the rank identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+    over ascending (revenue, custkey) ranks — one per-nation window
+    sort, integer ranks and DECIMAL revenue products so both moment
+    sums are order-insensitive exact; the final formula is a mirrored
+    double expression, NULL-guarded for a zero-revenue nation. Scale
+    shape: revenue rollup is map-side combined on the order side
+    before the customer join; the only heavy step is the per-nation
+    rank sort, which partitions by nation and scales out."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        cust.select(
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_custkey").alias("ck"),
+        )
+        .join(
+            orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+                F.sum(
+                    F.round("o_totalprice", 2).cast("decimal(18,2)")
+                ).alias("orev")
+            ),
+            "ck",
+            "left",
+        )
+        .select(
+            "nat",
+            "ck",
+            F.coalesce(
+                F.col("orev"), F.lit(0).cast("decimal(18,2)")
+            ).alias("rev"),
+        )
+    )
+    wrk = Window.partitionBy("nat").orderBy("rev", "ck")
+    wn = Window.partitionBy("nat")
+    rk = rev.select(
+        "nat",
+        "rev",
+        F.row_number().over(wrk).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = F.ceil(F.col("n").cast("double") / 10.0).cast("long")
+    agg = rk.groupBy("nat").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("rev").alias("s"),
+        F.sum(
+            (F.col("i").cast("decimal(18,0)") * F.col("rev")).cast(
+                "decimal(38,2)"
+            )
+        ).alias("si"),
+        F.sum(
+            F.when(F.col("i") > F.col("n") - k, F.col("rev")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("stop"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    pos = F.col("s") > 0
+    return agg.select(
+        F.col("nat").alias("c_nationkey"),
+        F.col("n").alias("n_cust"),
+        F.round(sd, 2).alias("total_rev"),
+        F.when(
+            pos,
+            F.round(
+                F.lit(2.0) * F.col("si").cast("double") / (nd * sd)
+                - (F.col("n") + 1).cast("double") / nd,
+                6,
+            ),
+        ).alias("gini"),
+        F.when(
+            pos, F.round(F.col("stop").cast("double") / sd, 6)
+        ).alias("top10pct_share"),
+    ).orderBy("c_nationkey")
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS ck,
+             MAX(o_orderdate) AS last_d,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
+    rq AS (SELECT ck,
+                  (ROW_NUMBER() OVER (ORDER BY last_d, ck) - 1) * 5
+                    // n.n + 1 AS r_q
+           FROM per, n),
+    fq AS (SELECT ck,
+                  (ROW_NUMBER() OVER (ORDER BY f, ck) - 1) * 5
+                    // n.n + 1 AS f_q
+           FROM per, n),
+    mq AS (SELECT ck, m,
+                  (ROW_NUMBER() OVER (ORDER BY m, ck) - 1) * 5
+                    // n.n + 1 AS m_q
+           FROM per, n)
+    SELECT rq.r_q, fq.f_q,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(mq.m)::DOUBLE / COUNT(*), 4) AS avg_monetary,
+           ROUND(SUM(mq.m_q)::DOUBLE / COUNT(*), 4) AS avg_m_score
+    FROM rq JOIN fq USING (ck) JOIN mq USING (ck)
+    GROUP BY rq.r_q, fq.f_q
+    ORDER BY r_q, f_q
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation heatmap: every ordering customer scored into
+    recency / frequency / monetary quintiles (1 = oldest / least /
+    smallest ... 5 = most recent / most / largest), then the (R, F) grid
+    with each cell's population, mean lifetime revenue, and mean
+    monetary score — the classic churn-vs-champion panel (high-R high-F
+    cells should light up in monetary too; a high-F low-R cell is the
+    at-risk segment a re-engagement pipeline pulls).
+
+    Quintile assignment needs each customer's GLOBAL rank per metric —
+    the scale trap this panel exists to demonstrate: a single unbounded
+    row_number window funnels everything through one partition, so all
+    three ranks come from the TeraSort-style `_global_ranks` helper
+    (range-repartition + per-partition offsets; every sort stays
+    partition-local) shared with the exact-percentile family, and the
+    quintile is pure rank arithmetic floor(rn*5/n)+1 — no ntile. Ranks
+    and counts are integers, monetary sums DECIMAL: hash-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = materialize(
+        orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).cast("long").alias("f"),
+            F.sum(
+                F.round("o_totalprice", 2).cast("decimal(18,2)")
+            ).alias("m"),
+        )
+    )
+
+    def quint(cols: list[str], out: str) -> DataFrame:
+        ranked, n = _global_ranks(per.select("ck", *cols), *cols, "ck")
+        return ranked.select(
+            "ck",
+            *cols,
+            (F.col("rn") * 5 / F.lit(n)).cast("long").alias(out),
+        ).withColumn(out, F.col(out) + 1)
+
+    rq = quint(["last_d"], "r_q").select("ck", "r_q")
+    fq = quint(["f"], "f_q").select("ck", "f_q")
+    mq = quint(["m"], "m_q").select("ck", "m", "m_q")
+    n = F.count(F.lit(1))
+    return (
+        rq.join(fq, "ck")
+        .join(mq, "ck")
+        .groupBy("r_q", "f_q")
+        .agg(
+            n.cast("long").alias("n_cust"),
+            F.round(F.sum("m").cast("double") / n, 4).alias(
+                "avg_monetary"
+            ),
+            F.round(F.sum("m_q").cast("double") / n, 4).alias(
+                "avg_m_score"
+            ),
+        )
+        .orderBy("r_q", "f_q")
+    )

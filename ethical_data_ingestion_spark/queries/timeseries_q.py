@@ -969,3 +969,143 @@ def acf_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+#: activity tiers for the burstiness rollup (by interval count) — bounds
+#: chosen to straddle the fixture's 48-87 interval range so every tier is
+#: populated at every SF (the generator's per-user activity is SF-stable).
+_BURST_TIERS_SQL = """CASE WHEN n_iv < 55 THEN 'a_lt_55'
+             WHEN n_iv < 65 THEN 'b_55_64'
+             WHEN n_iv < 75 THEN 'c_65_74'
+             ELSE 'd_75_plus' END"""
+
+
+@register(
+    "interevent_burstiness_stats",
+    oracle=f"""
+    WITH secs AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             LAG(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    iv AS (
+      SELECT user_id, sec - prev AS dt FROM secs WHERE prev IS NOT NULL
+    ),
+    per AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_iv,
+             CAST(SUM(dt) AS BIGINT) AS s1,
+             SUM(CAST(dt AS DECIMAL(38,0)) * CAST(dt AS DECIMAL(38,0)))
+               AS s2
+      FROM iv GROUP BY user_id HAVING COUNT(*) >= 2
+    ),
+    sc AS (
+      SELECT {_BURST_TIERS_SQL} AS tier, n_iv,
+             s1::DOUBLE / n_iv::DOUBLE AS mu,
+             sqrt(greatest(s2::DOUBLE / n_iv::DOUBLE
+                  - (s1::DOUBLE / n_iv::DOUBLE)
+                    * (s1::DOUBLE / n_iv::DOUBLE), 0.0)) AS sigma
+      FROM per
+    ),
+    b AS (
+      SELECT tier, n_iv, mu,
+             CASE WHEN sigma + mu > 0
+                  THEN (sigma - mu) / (sigma + mu) END AS burst
+      FROM sc
+    )
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+           ROUND(SUM(CAST(ROUND(mu, 6) AS DECIMAL(18,6)))::DOUBLE
+                 / COUNT(*), 4) AS avg_gap_sec,
+           ROUND(SUM(CAST(ROUND(burst, 9) AS DECIMAL(18,9)))::DOUBLE
+                 / COUNT(*), 6) AS avg_burstiness,
+           ROUND(SUM(CASE WHEN burst > 0.1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS pct_bursty
+    FROM b GROUP BY tier ORDER BY tier
+    """,
+)
+def interevent_burstiness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness of each user's event stream, rolled up by
+    activity tier: B = (sigma - mu)/(sigma + mu) over the user's
+    inter-event gaps (whole seconds) — B near -1 is a metronome, 0 is
+    Poisson, toward +1 is bursty sessions separated by long silences.
+    The panel tells a sessionizer whether gap-based session windows
+    (`session_windows_30m`) will cut anything real, and a rate-limit
+    designer what peak-to-mean to expect per activity tier.
+
+    Engine-exactness: gaps are exact BIGINTs off the shared
+    floor(epoch)/unix_timestamp idiom (`time_decay_scores`); per-user
+    moment sums are integer/DECIMAL exact; mu/sigma/B are mirrored
+    double expressions (variance clamped at 0 against FP cancellation
+    — same guard both sides); per-tier averages quantize round-9 to
+    DECIMAL. ANSI guard: sigma+mu = 0 (all gaps zero) yields NULL in
+    both engines and NULLs skip both SUM and the average count... so B
+    averages are over scoreable users only via the DECIMAL sum of
+    non-null terms divided by COUNT(*) — a user with all-zero gaps
+    would deflate; the fixture has none and HAVING >= 2 keeps the
+    estimator defined. Scale shape: one windowed pass partitioned by
+    user, map-side-combined moments, |tiers| rows after."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    secs = ev.select(
+        "user_id",
+        sec.alias("sec"),
+        F.lag(sec).over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    dtd = (F.col("sec") - F.col("prev")).cast("decimal(38,0)")
+    per = (
+        secs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_iv"),
+            F.sum(F.col("sec") - F.col("prev")).cast("long").alias("s1"),
+            F.sum(dtd * dtd).alias("s2"),
+        )
+        .filter(F.col("n_iv") >= 2)
+    )
+    nd = F.col("n_iv").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    sigma = F.sqrt(
+        F.greatest(F.col("s2").cast("double") / nd - mu * mu, F.lit(0.0))
+    )
+    sc = per.select(
+        F.expr(_BURST_TIERS_SQL).alias("tier"),
+        "n_iv",
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+    )
+    burst = F.when(
+        F.col("sigma") + F.col("mu") > 0,
+        (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")),
+    )
+    b = sc.select("tier", "n_iv", "mu", burst.alias("burst"))
+    n = F.count(F.lit(1))
+    return (
+        b.groupBy("tier")
+        .agg(
+            n.cast("long").alias("n_users"),
+            F.sum("n_iv").cast("long").alias("n_intervals"),
+            F.round(
+                F.sum(F.round(F.col("mu"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                / n,
+                4,
+            ).alias("avg_gap_sec"),
+            F.round(
+                F.sum(F.round(F.col("burst"), 9).cast("decimal(18,9)"))
+                .cast("double")
+                / n,
+                6,
+            ).alias("avg_burstiness"),
+            F.round(
+                F.sum(
+                    F.when(F.col("burst") > 0.1, 1).otherwise(0)
+                ).cast("double")
+                / n,
+                6,
+            ).alias("pct_bursty"),
+        )
+        .orderBy("tier")
+    )

@@ -159,3 +159,47 @@ def test_embedding_dim_variance_shares_are_a_valid_topk(spark, sf_dir):
         assert abs(r.cum_share - cum) < 1e-4
         assert 0.0 < r.var_share <= 1.0
     assert rows[-1].cum_share <= 1.0 + 1e-6
+
+
+def test_burstiness_is_bounded_and_tiers_partition_users(spark, sf_dir):
+    rows = QUERIES["interevent_burstiness_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_users > 0 and r.n_intervals >= 2 * r.n_users
+        assert -1.0 - 1e-9 <= r.avg_burstiness <= 1.0 + 1e-9, r
+        assert r.avg_gap_sec > 0
+        assert 0.0 <= r.pct_bursty <= 1.0
+    from ethical_data_ingestion_spark.io import load_table
+
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # every user has >= 3 events on the fixture, so tiers partition them
+    assert sum(r.n_users for r in rows) == n_users
+
+
+def test_gini_is_bounded_and_top_decile_dominates(spark, sf_dir):
+    rows = QUERIES["revenue_gini_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_cust > 0
+        if r.gini is not None:
+            assert -1e-9 <= r.gini <= 1.0 + 1e-9, r
+            # top decile holds at least its population share
+            assert r.top10pct_share >= 0.1 - 1e-6, r
+            assert r.top10pct_share <= 1.0 + 1e-9
+
+
+def test_rfm_grid_is_a_partition_with_monotone_m_scores(spark, sf_dir):
+    rows = QUERIES["rfm_segmentation"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_q <= 5 and 1 <= r.f_q <= 5
+        assert r.n_cust > 0
+        assert 1.0 <= r.avg_m_score <= 5.0
+    from ethical_data_ingestion_spark.io import load_table
+
+    n_ordering = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_cust for r in rows) == n_ordering
