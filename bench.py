@@ -137,6 +137,8 @@ HEADLINE = [
     "dsir_selection_stats",
     "event_transition_matrix",
     "markov_entropy_stats",
+    "event_path_topk",
+    "attribution_last_touch",
     "scd2_user_history_stats",
     "editdist_name_pairs",
     "heavy_hitters_cms",
@@ -175,6 +177,7 @@ HEADLINE = [
     "embedding_quantization_stats",
     "product_quantization_stats",
     "embedding_kmeans_stats",
+    "kmeans_silhouette_stats",
     "semantic_dedup_stats",
     "embedding_pipeline_stats",
     "embed_knn_e2e",

@@ -228,17 +228,33 @@ def _sql_kmeans_cte() -> str:
 """
 
 
-def _kmeans_assignments(emb: DataFrame, k: int = _KM_K) -> DataFrame:
-    """The deterministic k-means pipeline shared by ``embedding_kmeans_stats``
-    and ``semantic_dedup_stats``: quantize → seed by smallest md5(vec_id) →
-    2 Lloyd iterations (broadcast-assign, integer-centroid update). Returns
-    the final assignment ``(vec_id, label, qv, cid, dist, dist_q)``. See
-    ``embedding_kmeans_stats`` for the engine-exactness argument; the SQL
-    twin is ``_sql_kmeans_cte()``.
+def _km_assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k tiny centroid rows
+    against the corpus; integer (a-b)² terms folded in long — exact,
+    order-proof."""
+    d = points.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cv")
+    )
 
-    ``k`` is the SemDeDup scale knob — size it with :func:`semdedup_k`
-    so expected cluster size (and with it the within-cluster pair join)
-    stays bounded as the corpus grows."""
+
+def _kmeans_model(emb: DataFrame, k: int = _KM_K) -> tuple[DataFrame, DataFrame]:
+    """(quantized points ``q``, final centroid table ``c1``) — the model
+    half of the deterministic k-means pipeline: quantize → seed by
+    smallest md5(vec_id) → one Lloyd update (broadcast-assign,
+    integer-centroid mean). Exposed separately so consumers that need
+    distances to EVERY centroid (silhouette) share the exact chain the
+    assignment consumers use."""
     q = emb.select(
         "vec_id",
         "label",
@@ -261,25 +277,7 @@ def _kmeans_assignments(emb: DataFrame, k: int = _KM_K) -> DataFrame:
         .select("cid", F.col("qv").alias("cv"))
     )
 
-    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
-        # broadcast the k tiny centroid rows against the corpus; integer
-        # (a-b)² terms folded in long — exact, order-proof
-        d = points.crossJoin(F.broadcast(centroids)).withColumn(
-            "dist",
-            F.aggregate(
-                F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn", "cv")
-        )
-
-    a1 = assign(q, seeds)
+    a1 = _km_assign(q, seeds)
     sums = (
         a1.select("cid", F.posexplode("qv").alias("dim", "v"))
         .groupBy("cid", "dim")
@@ -298,7 +296,22 @@ def _kmeans_assignments(emb: DataFrame, k: int = _KM_K) -> DataFrame:
             lambda st: st.getField("m"),
         ).alias("cv")
     )
-    return assign(q.select("vec_id", "label", "qv"), c1).withColumn(
+    return q, c1
+
+
+def _kmeans_assignments(emb: DataFrame, k: int = _KM_K) -> DataFrame:
+    """The deterministic k-means pipeline shared by ``embedding_kmeans_stats``
+    and ``semantic_dedup_stats``: quantize → seed by smallest md5(vec_id) →
+    2 Lloyd iterations (broadcast-assign, integer-centroid update). Returns
+    the final assignment ``(vec_id, label, qv, cid, dist, dist_q)``. See
+    ``embedding_kmeans_stats`` for the engine-exactness argument; the SQL
+    twin is ``_sql_kmeans_cte()``.
+
+    ``k`` is the SemDeDup scale knob — size it with :func:`semdedup_k`
+    so expected cluster size (and with it the within-cluster pair join)
+    stays bounded as the corpus grows."""
+    q, c1 = _kmeans_model(emb, k)
+    return _km_assign(q.select("vec_id", "label", "qv"), c1).withColumn(
         "dist_q", F.col("dist")
     )
 
@@ -921,3 +934,113 @@ def kcenter_coreset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(F.sqrt("mind"), 6).alias("dist_to_set"),
     ).orderBy("sel_round")
+
+
+@register(
+    "kmeans_silhouette_stats",
+    oracle=f"""
+    WITH {_sql_kmeans_cte()},
+    rk AS (
+      SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+      FROM d2
+    ),
+    ab AS (
+      SELECT a.vec_id, a.cid,
+             sqrt(a.dist::DOUBLE) AS a_d, sqrt(b.dist::DOUBLE) AS b_d
+      FROM rk a JOIN rk b
+        ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+    ),
+    sil AS (
+      SELECT cid, a_d,
+             CASE WHEN greatest(a_d, b_d) > 0
+                  THEN (b_d - a_d) / greatest(a_d, b_d)
+                  ELSE 0.0 END AS s
+      FROM ab
+    )
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(SUM(CAST(ROUND(s, 9) AS DECIMAL(18,9)))::DOUBLE
+                 / COUNT(*), 6) AS avg_silhouette,
+           ROUND(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS pct_negative,
+           ROUND(SUM(CAST(ROUND(a_d, 6) AS DECIMAL(18,6)))::DOUBLE
+                 / COUNT(*), 4) AS avg_dist_own
+    FROM sil GROUP BY cid ORDER BY cid
+    """,
+)
+def kmeans_silhouette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the shared k-means
+    clustering: per point, a = distance to its own centroid, b = distance
+    to the nearest OTHER centroid, s = (b - a)/max(a, b) — averaged per
+    cluster with the share of negative-silhouette points (sitting closer
+    to a rival centroid than their own: the mis-clustered mass SemDeDup
+    would compare against the wrong neighbors). The model-quality gate
+    for every consumer of the k-means artifact (`embedding_kmeans_stats`,
+    `semantic_dedup_stats`, `cluster_balanced_sampling`): a cluster with
+    avg silhouette near 0 on this panel is a cluster whose "semantic
+    duplicates" are artifacts of the partition, not geometry. Uses the
+    centroid-based variant (O(n*k), the scalable form) rather than
+    all-pairs silhouette (O(n^2) — never at 100 TB).
+
+    Engine-exactness: distances are exact integer folds off the shared
+    `_kmeans_model` chain (the SQL twin extends the same CTE chain's d2
+    table); sqrt is correctly-rounded in both engines; per-cluster means
+    quantize round-9/round-6 to DECIMAL. Scale shape: one broadcast
+    crossJoin against k centroid rows, one per-vec top-2 window over the
+    k-row-per-vec distance table, |k| output rows."""
+    q, c1 = _kmeans_model(load_table(spark, sf_dir, "embeddings"))
+    d2 = q.select("vec_id", "qv").crossJoin(F.broadcast(c1)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    rk = materialize(
+        d2.select("vec_id", "cid", "dist")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    a = rk.filter(F.col("rn") == 1).select(
+        "vec_id", "cid", F.sqrt(F.col("dist").cast("double")).alias("a_d")
+    )
+    b = rk.filter(F.col("rn") == 2).select(
+        "vec_id", F.sqrt(F.col("dist").cast("double")).alias("b_d")
+    )
+    mx = F.greatest("a_d", "b_d")
+    sil = a.join(b, "vec_id").select(
+        "cid",
+        "a_d",
+        F.when(mx > 0, (F.col("b_d") - F.col("a_d")) / mx)
+        .otherwise(F.lit(0.0))
+        .alias("s"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        sil.groupBy("cid")
+        .agg(
+            n.cast("long").alias("n_points"),
+            F.round(
+                F.sum(F.round(F.col("s"), 9).cast("decimal(18,9)"))
+                .cast("double")
+                / n,
+                6,
+            ).alias("avg_silhouette"),
+            F.round(
+                F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).cast("double")
+                / n,
+                6,
+            ).alias("pct_negative"),
+            F.round(
+                F.sum(F.round(F.col("a_d"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                / n,
+                4,
+            ).alias("avg_dist_own"),
+        )
+        .orderBy("cid")
+    )

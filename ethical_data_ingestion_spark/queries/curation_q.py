@@ -1294,3 +1294,151 @@ def markov_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "event_path_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t3
+      FROM events
+    ),
+    paths AS (
+      SELECT t1 || '>' || t2 || '>' || t3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM paths)
+    SELECT p.path, p.n,
+           ROUND(p.n::DOUBLE / tot.t::DOUBLE, 6) AS share
+    FROM paths p, tot
+    ORDER BY p.n DESC, p.path
+    LIMIT 20
+    """,
+)
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user paths (the Sankey/flow panel behind every
+    product-analytics tool): sliding windows of three consecutive event
+    types per user, counted corpus-wide with each path's share of all
+    3-step windows. The 2nd-order extension of `event_transition_matrix`
+    (1-step) and `markov_entropy_stats` (1-step predictability): if a
+    path like view>click>purchase dominates its prefix's alternatives,
+    the funnel is real; a flat top-20 says navigation is noise.
+
+    Exactness: pure integer counts over LEAD windows with the family's
+    (ts, event_id) total order; the top-20 carries a unique (n DESC,
+    path) tie-break on both sides. Scale shape: one windowed pass
+    partitioned by user, map-side-combined path counts (bounded by
+    |types|^3), TakeOrderedAndProject for the limit."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "t1", "t2", "t3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = F.broadcast(paths.agg(F.sum("n").cast("long").alias("t")))
+    return (
+        paths.crossJoin(tot)
+        .select(
+            "path",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("t").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    ),
+    pur AS (
+      SELECT COALESCE(touch, 'direct') AS touch,
+             CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v
+      FROM seq WHERE event_type = 'purchase'
+    ),
+    agg AS (
+      SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             SUM(v) AS sv
+      FROM pur GROUP BY touch
+    ),
+    tot AS (SELECT SUM(sv) AS t FROM agg)
+    SELECT a.touch, a.n_purchases,
+           ROUND(a.sv::DOUBLE, 2) AS attributed_value,
+           ROUND(a.sv::DOUBLE / tot.t::DOUBLE, 6) AS value_share
+    FROM agg a, tot
+    ORDER BY a.touch
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase's value is credited
+    to the last non-purchase event type the user emitted strictly before
+    it (purchases with no prior touch credit 'direct'). The
+    marketing-analytics panel that closes the product family —
+    transitions say what users do next, the funnel says how many arrive,
+    this says which touchpoint gets paid. Last-touch is the deliberately
+    simple baseline model; swapping the window for a decayed multi-touch
+    kernel reuses `time_decay_scores`' weight table.
+
+    Exactness: the carried touch is LAST_VALUE IGNORE NULLS over the
+    family's (ts, event_id) ROWS frame — identical frame semantics both
+    engines; purchase values quantize round-2 to DECIMAL before the per-
+    touch sums. Scale shape: one windowed pass partitioned by user, then
+    |types|-row aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("touch"),
+    )
+    pur = seq.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("touch", F.lit("direct")).alias("touch"),
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+    )
+    agg = pur.groupBy("touch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("v").alias("sv"),
+    )
+    tot = F.broadcast(agg.agg(F.sum("sv").alias("t")))
+    return (
+        agg.crossJoin(tot)
+        .select(
+            "touch",
+            "n_purchases",
+            F.round(F.col("sv").cast("double"), 2).alias("attributed_value"),
+            F.round(
+                F.col("sv").cast("double") / F.col("t").cast("double"), 6
+            ).alias("value_share"),
+        )
+        .orderBy("touch")
+    )

@@ -203,3 +203,49 @@ def test_rfm_grid_is_a_partition_with_monotone_m_scores(spark, sf_dir):
         load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     )
     assert sum(r.n_cust for r in rows) == n_ordering
+
+
+def test_event_paths_are_a_topk_with_conserved_shares(spark, sf_dir):
+    rows = QUERIES["event_path_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    prev = None
+    for r in rows:
+        assert r.path.count(">") == 2
+        assert r.n > 0 and 0 < r.share <= 1.0
+        if prev is not None:
+            assert r.n <= prev
+        prev = r.n
+    # 5 event types -> at most 125 paths; top-20 should carry real mass
+    assert sum(r.share for r in rows) > 0.15
+
+
+def test_attribution_conserves_purchase_value(spark, sf_dir):
+    rows = QUERIES["attribution_last_touch"](spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.value_share for r in rows) - 1.0) < 1e-4
+    from ethical_data_ingestion_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_purchases for r in rows) == n_purchases
+    # purchases never attribute to 'purchase' itself
+    assert all(r.touch != "purchase" for r in rows)
+
+
+def test_silhouette_is_bounded_and_points_conserved(spark, sf_dir):
+    rows = QUERIES["kmeans_silhouette_stats"](spark, sf_dir).collect()
+    assert rows
+    from ethical_data_ingestion_spark.io import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_points for r in rows) == n_vecs
+    for r in rows:
+        # centroid-silhouette is in [-1, 1]; own-centroid assignment
+        # makes a <= b, so the average is non-negative by construction
+        assert -1e-9 <= r.avg_silhouette <= 1.0 + 1e-9, r
+        assert r.pct_negative == 0.0, r
+        assert r.avg_dist_own > 0
