@@ -96,6 +96,7 @@ HEADLINE = [
     "forecast_backtest_stats",
     "acf_daily_stats",
     "interevent_burstiness_stats",
+    "traffic_heatmap_stats",
     "activity_bitmap_stats",
     "funnel_conversion",
     "retention_cohorts",
@@ -113,6 +114,7 @@ HEADLINE = [
     "text_quality_stats",
     "token_count_bpe",
     "word_frequency_topk",
+    "tfidf_source_keywords",
     "text_repetition_stats",
     "bigram_lm_perplexity",
     "lexicon_screen_stats",
@@ -193,6 +195,7 @@ HEADLINE = [
     "dataset_snapshot_chain",
     "join_skew_report",
     "revenue_gini_stats",
+    "quality_vs_dup_lift",
     "zonemap_pruning_stats",
     "zorder_pruning_stats",
     "corr_matrix_lineitem",

@@ -1995,3 +1995,125 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q")
     )
+
+
+@register(
+    "quality_vs_dup_lift",
+    oracle=None,  # set below — needs text_q's shared CTE at import time
+)
+def quality_vs_dup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the quality score predict duplication? Documents ranked into
+    quality-score deciles (decile 1 = lowest z), each decile scored by
+    its exact-duplicate membership rate and the cumulative share of all
+    duplicates captured — the lift curve a curation team reads before
+    wiring "drop the bottom quality decile" as a cheap pre-dedup filter:
+    if dups concentrate in the low deciles, the quality screen is doing
+    part of dedup's job for free; a flat curve (this fixture — text and
+    duplication are generated independently, noted honestly) says the
+    two screens are orthogonal and BOTH must run.
+
+    Reuses two shared artifacts: the frozen-weight quality score
+    (`text_q.quality_z_df` / `QUALITY_Z_CTE` — bit-deterministic across
+    engines) and the exact-dup fingerprint (md5 of normalized text, the
+    `dedup_exact_stats` definition). Decile assignment needs global
+    ranks — the TeraSort-style `_global_ranks` helper, not an unbounded
+    window. Counts are integers, z-sums round-9 DECIMAL; the cumulative
+    dup share is an exact integer window over the 10-row decile table."""
+    from .text_q import quality_z_df
+    from ..operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    qz = quality_z_df(docs)
+    fps = docs.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+    wfp = Window.partitionBy("fp")
+    dup = fps.select(
+        "doc_id", (F.count(F.lit(1)).over(wfp) > 1).alias("is_dup")
+    )
+    vals = qz.select("doc_id", "z").join(dup, "doc_id")
+    ranked, n = _global_ranks(vals, "z", "doc_id")
+    dec = ranked.select(
+        (F.col("rn") * 10 / F.lit(n)).cast("long").alias("d0"),
+        "z",
+        "is_dup",
+    ).withColumn("decile", F.col("d0") + 1)
+    agg = materialize(
+        dec.groupBy("decile").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+            F.sum(F.round(F.col("z"), 9).cast("decimal(18,9)")).alias("sz"),
+        )
+    )
+    tot = F.broadcast(agg.agg(F.sum("n_dup").cast("long").alias("td")))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        agg.crossJoin(tot)
+        .withColumn("cum_dup", F.sum("n_dup").over(wcum))
+        .select(
+            "decile",
+            "n_docs",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            F.round(
+                F.col("sz").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("avg_z"),
+            F.when(
+                F.col("td") > 0,
+                F.round(
+                    F.col("cum_dup").cast("double")
+                    / F.col("td").cast("double"),
+                    6,
+                ),
+            ).alias("cum_dup_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _quality_vs_dup_oracle() -> str:
+    from .text_q import QUALITY_Z_CTE
+    from .dedup_q import _NORM
+
+    return f"""
+    WITH {QUALITY_Z_CTE},
+    fps AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+    dup AS (SELECT doc_id,
+                   (COUNT(*) OVER (PARTITION BY fp) > 1) AS is_dup
+            FROM fps),
+    rk AS (
+      SELECT qz.z, d.is_dup,
+             ROW_NUMBER() OVER (ORDER BY qz.z, qz.doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM qz JOIN dup d USING (doc_id)
+    ),
+    dec AS (SELECT (rn - 1) * 10 // n + 1 AS decile, z, is_dup FROM rk),
+    agg AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+             SUM(CAST(ROUND(z, 9) AS DECIMAL(18,9))) AS sz
+      FROM dec GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(n_dup) AS BIGINT) AS td FROM agg)
+    SELECT decile, n_docs, n_dup,
+           ROUND(n_dup::DOUBLE / n_docs::DOUBLE, 6) AS dup_rate,
+           ROUND(sz::DOUBLE / n_docs::DOUBLE, 6) AS avg_z,
+           CASE WHEN tot.td > 0
+                THEN ROUND(SUM(n_dup) OVER (ORDER BY decile
+                             ROWS UNBOUNDED PRECEDING)::DOUBLE
+                           / tot.td::DOUBLE, 6)
+           END AS cum_dup_share
+    FROM agg, tot ORDER BY decile
+    """
+
+
+from ..registry import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
+
+_ORACLE_SQL["quality_vs_dup_lift"] = _quality_vs_dup_oracle()

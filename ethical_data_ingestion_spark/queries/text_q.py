@@ -8,7 +8,7 @@ ones.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -1274,4 +1274,96 @@ def zipf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r2"),
         )
         .orderBy("lang")
+    )
+
+
+#: TF-IDF keyword extraction: terms reported per source.
+_TFIDF_TOP = 3
+
+
+@register(
+    "tfidf_source_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY source, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tf GROUP BY term
+    ),
+    ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS s
+           FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, df.df,
+             ROUND(tf.tf::DOUBLE
+                   * ROUND(ln((ns.s + 1)::DOUBLE / (df.df + 1)::DOUBLE)
+                           + 1.0, 9), 6) AS tfidf
+      FROM tf JOIN df USING (term), ns
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT source, term, tf, df, tfidf
+    FROM rk WHERE rn <= {_TFIDF_TOP}
+    ORDER BY source, tfidf DESC, term
+    """,
+)
+def tfidf_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per source by smoothed TF-IDF (sklearn-style
+    idf = ln((S+1)/(df+1)) + 1 over source-level "documents"): the top-
+    {_TFIDF_TOP} terms that distinguish each source from the rest of the
+    corpus — the source-fingerprint panel behind corpus cards and
+    domain-mixing decisions (on this fixture's shared word-soup
+    vocabulary the idf spread is small and the panel honestly shows
+    near-uniform keywords; real crawl sources separate sharply). The
+    document-frequency denominator is at SOURCE granularity, making
+    this the corpus-description complement of `search_bm25_topk`
+    (per-doc retrieval scoring).
+
+    Exactness: tf/df are integers; the idf factor is round-9-quantized
+    before the single multiply (ln 1-ulp risk behind the round, the
+    `zipf_fit_stats` precedent); per-source top-k carries a unique
+    (tfidf DESC, term) tie-break. Scale shape: one token explode ->
+    map-side-combined (source, term) counts; df is a second combine over
+    the distinct pairs; ranking windows partition by source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = materialize(
+        toks.groupBy("source", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ns = F.broadcast(
+        docs.agg(F.countDistinct("source").cast("long").alias("s"))
+    )
+    idf9 = F.round(
+        F.log(
+            (F.col("s") + 1).cast("double") / (F.col("df") + 1).cast("double")
+        )
+        + 1.0,
+        9,
+    )
+    scored = tf.join(df, "term").crossJoin(ns).select(
+        "source",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf").cast("double") * idf9, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOP)
+        .select("source", "term", "tf", "df", "tfidf")
+        .orderBy("source", F.desc("tfidf"), "term")
     )

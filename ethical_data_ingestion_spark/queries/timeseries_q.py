@@ -1109,3 +1109,60 @@ def interevent_burstiness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@register(
+    "traffic_heatmap_stats",
+    oracle="""
+    WITH cell AS (
+      SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cell)
+    SELECT c.dow, c.hr, c.n,
+           ROUND(c.n::DOUBLE / tot.t::DOUBLE, 6) AS share,
+           ROUND(c.sv::DOUBLE / c.n::DOUBLE, 4) AS avg_value
+    FROM cell c, tot
+    ORDER BY c.dow, c.hr
+    """,
+)
+def traffic_heatmap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day traffic heatmap (Sunday = 0): event
+    count, share of total traffic, and mean event value per calendar
+    cell — the load-shape panel a pipeline scheduler and a rate-limit
+    designer read together with `seasonality_dft_stats`/`acf_daily_stats`
+    (those detect whether a weekly cycle exists; this shows WHERE in the
+    week the load sits, and whether quiet hours exist to schedule
+    re-ingest into). NTZ timestamps make the cells timezone-independent.
+
+    Exactness: Spark's dayofweek is 1-based (Sunday=1), DuckDB's 0-based
+    — the Spark side subtracts 1 to the shared convention. Counts are
+    integers, value sums round-2 DECIMAL, the two ratios mirrored double
+    divisions. Scale shape: one map-side-combined pass into at most
+    7x24 cells."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round("value", 2).cast("decimal(18,2)")).alias("sv"),
+    )
+    tot = F.broadcast(cell.agg(F.sum("n").cast("long").alias("t")))
+    return (
+        cell.crossJoin(tot)
+        .select(
+            "dow",
+            "hr",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("t").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("sv").cast("double") / F.col("n").cast("double"), 4
+            ).alias("avg_value"),
+        )
+        .orderBy("dow", "hr")
+    )

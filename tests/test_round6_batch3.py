@@ -249,3 +249,49 @@ def test_silhouette_is_bounded_and_points_conserved(spark, sf_dir):
         assert -1e-9 <= r.avg_silhouette <= 1.0 + 1e-9, r
         assert r.pct_negative == 0.0, r
         assert r.avg_dist_own > 0
+
+
+def test_quality_dup_lift_deciles_partition_and_cum_share_hits_one(
+    spark, sf_dir
+):
+    rows = QUERIES["quality_vs_dup_lift"](spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    from ethical_data_ingestion_spark.io import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    prev_z = None
+    for r in rows:
+        assert 0.0 <= r.dup_rate <= 1.0
+        if prev_z is not None:
+            assert r.avg_z >= prev_z - 1e-9  # deciles ordered by z
+        prev_z = r.avg_z
+    if any(r.n_dup for r in rows):
+        assert abs(rows[-1].cum_dup_share - 1.0) < 1e-9
+
+
+def test_tfidf_keywords_are_per_source_topk(spark, sf_dir):
+    rows = QUERIES["tfidf_source_keywords"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+        assert r.tf > 0 and r.df > 0 and r.tfidf > 0
+    for src, grp in by_src.items():
+        assert len(grp) <= 3
+        scores = [r.tfidf for r in grp]
+        assert scores == sorted(scores, reverse=True), src
+
+
+def test_traffic_heatmap_cells_conserve_events(spark, sf_dir):
+    rows = QUERIES["traffic_heatmap_stats"](spark, sf_dir).collect()
+    assert rows
+    from ethical_data_ingestion_spark.io import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == n_events
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hr <= 23
