@@ -96,6 +96,7 @@ HEADLINE = [
     "forecast_backtest_stats",
     "acf_daily_stats",
     "interevent_burstiness_stats",
+    "growth_accounting_stats",
     "traffic_heatmap_stats",
     "activity_bitmap_stats",
     "funnel_conversion",
@@ -116,6 +117,7 @@ HEADLINE = [
     "word_frequency_topk",
     "tfidf_source_keywords",
     "text_repetition_stats",
+    "char_entropy_stats",
     "bigram_lm_perplexity",
     "lexicon_screen_stats",
     "pii_scrub_stats",
@@ -132,6 +134,7 @@ HEADLINE = [
     "train_test_split_stats",
     "chunk_dedup_stats",
     "training_shard_manifest",
+    "shard_merkle_manifest",
     "training_order_shuffle_stats",
     "unigram_kl_quality",
     "source_topp_curation",
@@ -210,6 +213,7 @@ HEADLINE = [
     "kcenter_coreset_stats",
     "knn_label_accuracy",
     "dedup_threshold_sweep",
+    "neardup_source_matrix",
     "multimodal_meta_stats",
     "multimodal_frame_stats",
     "multimodal_byte_entropy",

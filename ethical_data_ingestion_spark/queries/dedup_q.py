@@ -1356,3 +1356,82 @@ def ngram_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "neardup_source_matrix",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    {_EXACT_JACCARD},
+    pairs AS (SELECT id1, id2, jaccard FROM jacc WHERE jaccard >= 0.8),
+    lab AS (
+      SELECT LEAST(d1.source, d2.source) AS src_a,
+             GREATEST(d1.source, d2.source) AS src_b,
+             p.jaccard
+      FROM pairs p
+      JOIN documents d1 ON p.id1 = d1.doc_id
+      JOIN documents d2 ON p.id2 = d2.doc_id
+    )
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(CAST(jaccard AS DECIMAL(14,4)))::DOUBLE
+                 / COUNT(*)::DOUBLE, 4) AS avg_jaccard,
+           ROUND(MAX(jaccard), 4) AS max_jaccard
+    FROM lab GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """,
+)
+def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources near-duplicate each other: the exact-Jaccard pair
+    table (>=0.8, the `dedup_jaccard_pairs` definition, reused via the
+    session-shared artifact) rolled up to an unordered source-pair
+    matrix — pair count, mean and max Jaccard per (src_a, src_b). This
+    is the crawl-lineage panel a curation team reads to find mirror
+    sites and syndication chains: a hot off-diagonal cell means two
+    sources are republishing each other and one of them can be dropped
+    from the crawl schedule entirely (cheaper than deduping them
+    forever); a hot diagonal cell means a source self-duplicates
+    (pagination artifacts, template churn).
+
+    Exactness: pair identity and jaccard come from the shared pair
+    pipeline (already hash-checked by `dedup_jaccard_pairs`); the
+    source labels canonicalize with LEAST/GREATEST (VARCHAR lexicographic
+    in both engines); avg goes through a DECIMAL(14,4) sum of the
+    already-round-4 jaccards. Scale shape: the pair table is the
+    near-dup family's bounded output (inverted-index join, never
+    O(n^2)); the two source lookups are doc_id equi-joins against a
+    two-column projection of the corpus; the final rollup is at most
+    |sources|^2 rows."""
+    pairs = shared_get((*_PAIR_KEY, sf_dir), spark)
+    if pairs is None:
+        pairs = shared_publish(
+            (*_PAIR_KEY, sf_dir), spark, _build_jaccard_pairs(spark, sf_dir)
+        )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = (
+        pairs.join(src.withColumnRenamed("doc_id", "id1"), "id1")
+        .withColumnRenamed("source", "s1")
+        .join(
+            src.withColumnRenamed("doc_id", "id2").withColumnRenamed(
+                "source", "s2"
+            ),
+            "id2",
+        )
+        .select(
+            F.least("s1", "s2").alias("src_a"),
+            F.greatest("s1", "s2").alias("src_b"),
+            "jaccard",
+        )
+    )
+    return (
+        lab.groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(14,4)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_jaccard"),
+            F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

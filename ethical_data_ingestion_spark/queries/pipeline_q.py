@@ -684,3 +684,114 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard integrity: a two-level Merkle manifest over hash-partitioned
+# shards — the checksum chain that lets a 100-TB dataset consumer verify
+# any single shard (and the whole corpus) without re-reading everything.
+
+_MERKLE_SHARDS = 16  # top-level shards (doc_id mod)
+_MERKLE_SUBS = 256  # sub-buckets (doc_id mod); 16 subs chain into a shard
+
+
+@register(
+    "shard_merkle_manifest",
+    oracle=f"""
+    WITH rows_h AS (
+      SELECT doc_id % {_MERKLE_SHARDS} AS shard,
+             doc_id % {_MERKLE_SUBS} AS sub,
+             n_chars,
+             md5(CAST(doc_id AS VARCHAR) || ':' || text) AS rh
+      FROM documents
+    ),
+    lvl0 AS (
+      SELECT shard, sub,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS nb,
+             md5(string_agg(rh, '' ORDER BY rh)) AS sub_h
+      FROM rows_h GROUP BY shard, sub
+    ),
+    lvl1 AS (
+      SELECT shard,
+             CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(SUM(nb) AS BIGINT) AS n_bytes,
+             md5(string_agg(sub_h, '' ORDER BY sub)) AS shard_hash
+      FROM lvl0 GROUP BY shard
+    ),
+    root AS (
+      SELECT md5(string_agg(shard_hash, '' ORDER BY shard)) AS root_hash
+      FROM lvl1
+    )
+    SELECT l.shard, l.n_docs, l.n_bytes, l.shard_hash, r.root_hash
+    FROM lvl1 l, root r ORDER BY l.shard
+    """,
+)
+def shard_merkle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Merkle manifest over hash-partitioned corpus shards:
+    each document hashes to md5(doc_id:text); sub-bucket hashes chain the
+    sorted row hashes; shard hashes chain sub-bucket hashes in bucket
+    order; one root hash covers the corpus. A consumer re-verifies any
+    single downloaded shard against its manifest row, and the root hash
+    is the dataset-version fingerprint that goes in the release card —
+    the integrity complement of `dataset_snapshot_chain` (which tracks
+    WHAT changed; this proves contents are WHAT the manifest claims).
+
+    Exactness: md5 hex is identical across engines; within-level
+    ordering is explicit (row hashes sorted lexicographically — set
+    semantics, no row-order dependence; levels chained by bucket id).
+    Scale shape: this is the reason for TWO levels — each aggregation
+    task holds one sub-bucket's sorted hash list (corpus_size/256 rows),
+    then 16 sub-hashes per shard, then 16 shard hashes for the root; at
+    100 TB you add levels (mod 4096, mod 65536, ...) so per-task state
+    stays bounded instead of concatenating a whole shard's hashes in one
+    task. The root fan-in is a 16-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows_h = docs.select(
+        (F.col("doc_id") % _MERKLE_SHARDS).alias("shard"),
+        (F.col("doc_id") % _MERKLE_SUBS).alias("sub"),
+        "n_chars",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+        ).alias("rh"),
+    )
+    lvl0 = rows_h.groupBy("shard", "sub").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("nb"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("rh")))).alias(
+            "sub_h"
+        ),
+    )
+    lvl1 = lvl0.groupBy("shard").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("nb").cast("long").alias("n_bytes"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "sub_h"))),
+                    lambda x: x["sub_h"],
+                ),
+            )
+        ).alias("shard_hash"),
+    )
+    root = F.broadcast(
+        lvl1.agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("shard", "shard_hash"))
+                        ),
+                        lambda x: x["shard_hash"],
+                    ),
+                )
+            ).alias("root_hash")
+        )
+    )
+    return (
+        lvl1.crossJoin(root)
+        .select("shard", "n_docs", "n_bytes", "shard_hash", "root_hash")
+        .orderBy("shard")
+    )

@@ -1367,3 +1367,92 @@ def tfidf_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", "tf", "df", "tfidf")
         .orderBy("source", F.desc("tfidf"), "term")
     )
+
+
+@register(
+    "char_entropy_stats",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, source, unnest(string_split(text, '')) AS c
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, source, c, CAST(COUNT(*) AS BIGINT) AS k
+      FROM ch WHERE c <> '' GROUP BY doc_id, source, c
+    ),
+    withn AS (
+      SELECT doc_id, source, k,
+             SUM(k) OVER (PARTITION BY doc_id) AS n
+      FROM cnt
+    ),
+    ent AS (
+      SELECT doc_id, source,
+             SUM(CAST(ROUND((k::DOUBLE / n::DOUBLE)
+                            * ln(n::DOUBLE / k::DOUBLE), 9)
+                      AS DECIMAL(12,9))) AS e
+      FROM withn GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(e)::DOUBLE / COUNT(*)::DOUBLE, 6) AS avg_entropy,
+           ROUND(MIN(e)::DOUBLE, 6) AS min_entropy,
+           ROUND(MAX(e)::DOUBLE, 6) AS max_entropy,
+           ROUND(SUM(e)::DOUBLE / COUNT(*)::DOUBLE / ln(2.0), 6)
+             AS avg_bits_per_char
+    FROM ent GROUP BY source ORDER BY source
+    """,
+)
+def char_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats), rolled up per
+    source — the compression-ratio quality proxy (CCNet/Gopher-style):
+    near-zero entropy flags repeated-character spam, unusually high
+    entropy flags base64/binary junk pasted into text fields; a
+    production screen drops both tails before tokenization ever runs.
+    `avg_bits_per_char` is the same number in bits — an upper-bound
+    estimate of what an order-0 coder could compress the corpus to.
+
+    Exactness: per-(doc, char) counts are integers; each entropy term
+    (k/n)·ln(n/k) is round-9 quantized to DECIMAL before the per-doc sum
+    (order-free; `zipf_fit_stats`' ln-behind-round discipline), so the
+    per-doc entropy is bit-identical across engines and min/max/avg all
+    hash-stably. Scale shape: the char explode collapses immediately into
+    a map-side-combined (doc, char) count — the shuffle carries at most
+    |alphabet| rows per document, not characters — and the per-doc window
+    partitions by doc_id. No unpartitioned window, no driver traffic."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", "source", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "source", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    wdoc = Window.partitionBy("doc_id")
+    term = F.round(
+        (F.col("k").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("n").cast("double") / F.col("k").cast("double")),
+        9,
+    ).cast("decimal(12,9)")
+    ent = (
+        cnt.withColumn("n", F.sum("k").over(wdoc))
+        .select("doc_id", "source", term.alias("t"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("t").alias("e"))
+    )
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("e").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_entropy"),
+            F.round(F.min("e").cast("double"), 6).alias("min_entropy"),
+            F.round(F.max("e").cast("double"), 6).alias("max_entropy"),
+            F.round(
+                F.sum("e").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.log(F.lit(2.0)),
+                6,
+            ).alias("avg_bits_per_char"),
+        )
+        .orderBy("source")
+    )

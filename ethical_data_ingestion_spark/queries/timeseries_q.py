@@ -1166,3 +1166,105 @@ def traffic_heatmap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+@register(
+    "growth_accounting_stats",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, ts::DATE AS day FROM events
+    ),
+    lagged AS (
+      SELECT user_id, day,
+             LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      FROM ud
+    ),
+    daily AS (
+      SELECT day,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < day - 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM lagged GROUP BY day
+    )
+    SELECT d.day, d.n_active, d.n_new, d.n_retained, d.n_resurrected,
+           p.n_active - d.n_retained AS n_churned,
+           CASE WHEN p.n_active - d.n_retained > 0
+                THEN ROUND((d.n_new + d.n_resurrected)::DOUBLE
+                           / (p.n_active - d.n_retained)::DOUBLE, 4)
+           END AS quick_ratio
+    FROM daily d LEFT JOIN daily p ON p.day = d.day - 1
+    ORDER BY d.day
+    """,
+)
+def growth_accounting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting over the event stream (the classic
+    new / retained / resurrected / churned decomposition): each active
+    (user, day) is classified by the user's previous active day — first
+    ever (new), yesterday (retained), earlier (resurrected) — and
+    churned(d) = active(d-1) - retained(d) is the mass that did NOT come
+    back. The quick ratio (new+resurrected)/churned is the one-number
+    health readout: >1 means the corpus's contributor base grows. The
+    day-over-day pairing is a calendar self-join on day-1, NOT a row
+    LAG over the daily table — a fully quiet calendar day would silently
+    shift a row-lag's baseline to the wrong date.
+
+    Exactness: every cell is an integer count; the one ratio is a
+    mirrored guarded double division (ANSI 0/0 would raise in Spark,
+    NULL in DuckDB — the F.when guard makes both NULL). Scale shape:
+    distinct (user, day) is a map-side-combined exchange on user_id; the
+    LAG window partitions by user; the rollup output is |days| rows and
+    the self-join is on that tiny table."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = ud.withColumn("prev", F.lag("day").over(w))
+    daily = materialize(
+        lagged.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(
+                F.when(F.col("prev") == F.date_sub("day", 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("prev") < F.date_sub("day", 1)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+    )
+    prev = daily.select(
+        F.date_add("day", 1).alias("day"), F.col("n_active").alias("pa")
+    )
+    churned = F.col("pa") - F.col("n_retained")
+    return (
+        daily.join(prev, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            churned.alias("n_churned"),
+            F.when(
+                churned > 0,
+                F.round(
+                    (F.col("n_new") + F.col("n_resurrected")).cast("double")
+                    / churned.cast("double"),
+                    4,
+                ),
+            ).alias("quick_ratio"),
+        )
+        .orderBy("day")
+    )

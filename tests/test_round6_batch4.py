@@ -1,0 +1,100 @@
+"""Invariant tests for the round-6 batch-4 panels (char entropy,
+near-dup source matrix, Merkle shard manifest, growth accounting) —
+properties the hash gate can't express: bounds, conservation, integrity
+sensitivity, and the growth identity active = new + retained + resurrected."""
+
+from __future__ import annotations
+
+import math
+
+from ethical_data_ingestion_spark.registry import QUERIES, _load_everything
+
+_load_everything()
+
+from ethical_data_ingestion_spark.io import load_table  # noqa: E402
+
+
+def test_char_entropy_bounded_by_log_alphabet(spark, sf_dir):
+    rows = QUERIES["char_entropy_stats"](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    # entropy of a char distribution over an ASCII-ish alphabet is
+    # bounded by ln(128); bits = nats / ln 2 up to panel rounding.
+    for r in rows:
+        assert 0.0 <= r.min_entropy <= r.avg_entropy <= r.max_entropy
+        assert r.max_entropy <= math.log(128.0)
+        assert abs(r.avg_bits_per_char - r.avg_entropy / math.log(2)) < 1e-4
+
+
+def test_neardup_source_matrix_is_canonical_and_bounded(spark, sf_dir):
+    rows = QUERIES["neardup_source_matrix"](spark, sf_dir).collect()
+    assert rows  # the fixture plants near-dups at every SF
+    pair_total = QUERIES["dedup_jaccard_pairs"](spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == pair_total
+    for r in rows:
+        assert r.src_a <= r.src_b  # unordered pair canonicalization
+        assert 0.8 <= r.avg_jaccard <= r.max_jaccard <= 1.0
+
+
+def test_merkle_manifest_root_is_shared_and_content_sensitive(
+    spark, sf_dir, tmp_path
+):
+    rows = QUERIES["shard_merkle_manifest"](spark, sf_dir).collect()
+    assert [r.shard for r in rows] == list(range(16))
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    roots = {r.root_hash for r in rows}
+    assert len(roots) == 1  # one corpus fingerprint on every row
+    assert len({r.shard_hash for r in rows}) == 16  # shards all differ
+    # integrity: flipping ONE document's text must change that shard's
+    # hash and the root, and leave the other 15 shard hashes intact.
+    from pyspark.sql import functions as F
+
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    out = str(tmp_path / "documents.parquet")
+    mutated.coalesce(1).write.mode("overwrite").parquet(out)
+    import shutil
+
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        if t != "documents":
+            src = f"{sf_dir}/{t}.parquet"
+            dst = str(tmp_path / f"{t}.parquet")
+            try:
+                shutil.copytree(src, dst)
+            except NotADirectoryError:
+                shutil.copy(src, dst)
+    rows2 = QUERIES["shard_merkle_manifest"](spark, str(tmp_path)).collect()
+    h1 = {r.shard: r.shard_hash for r in rows}
+    h2 = {r.shard: r.shard_hash for r in rows2}
+    assert h2[0] != h1[0]
+    assert all(h2[s] == h1[s] for s in range(1, 16))
+    assert rows2[0].root_hash != rows[0].root_hash
+
+
+def test_growth_accounting_identity_and_churn_conservation(spark, sf_dir):
+    rows = QUERIES["growth_accounting_stats"](spark, sf_dir).collect()
+    assert rows
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_new for r in rows) == n_users  # each user new once
+    by_day = {r.day: r for r in rows}
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+    # churned(d) = active(d-1) - retained(d) whenever d-1 is in the table
+    days = sorted(by_day)
+    for a, b in zip(days, days[1:]):
+        if (b - a).days == 1:
+            assert by_day[b].n_churned == by_day[a].n_active - by_day[b].n_retained
