@@ -170,12 +170,14 @@ HEADLINE = [
     "survivor_selection_stats",
     "ngram_novelty_stats",
     "pagerank_trade_graph",
+    "degree_distribution_stats",
     "copurchase_triangle_stats",
     "embedding_neardup_pairs",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
     "knn_lsh_recall_stats",
     "embedding_dim_variance_stats",
+    "embedding_outlier_stats",
     "knn_cosine_ivf",
     "contrastive_pair_mining",
     "embedding_drift_stats",
@@ -214,6 +216,7 @@ HEADLINE = [
     "knn_label_accuracy",
     "dedup_threshold_sweep",
     "neardup_source_matrix",
+    "split_leakage_audit",
     "multimodal_meta_stats",
     "multimodal_frame_stats",
     "multimodal_byte_entropy",

@@ -1435,3 +1435,109 @@ def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+#: train/test split rule shared with `train_test_split_stats`
+#: (pipeline_q): 16 md5 bits of doc_id, bucket mod 20 == 0 -> test.
+_SPLIT_SQL = """CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                     % 20 = 0 THEN 'test' ELSE 'train' END"""
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    {_EXACT_JACCARD},
+    pairs AS (SELECT id1, id2, jaccard FROM jacc WHERE jaccard >= 0.8),
+    sp AS (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents),
+    lab AS (
+      SELECT LEAST(s1.split, s2.split) || '-' || GREATEST(s1.split, s2.split)
+               AS split_pair,
+             p.jaccard
+      FROM pairs p
+      JOIN sp s1 ON p.id1 = s1.doc_id
+      JOIN sp s2 ON p.id2 = s2.doc_id
+    ),
+    cats AS (
+      SELECT 'test-test' AS split_pair
+      UNION ALL SELECT 'test-train'
+      UNION ALL SELECT 'train-train'
+    )
+    SELECT c.split_pair,
+           CAST(COALESCE(COUNT(l.jaccard), 0) AS BIGINT) AS n_pairs,
+           ROUND(SUM(CAST(l.jaccard AS DECIMAL(14,4)))::DOUBLE
+                 / COUNT(l.jaccard)::DOUBLE, 4) AS avg_jaccard
+    FROM cats c LEFT JOIN lab l USING (split_pair)
+    GROUP BY c.split_pair
+    ORDER BY c.split_pair
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: every near-dup pair (the shared
+    exact-Jaccard >= 0.8 table) classified by which side of the holdout
+    split its two documents landed on, under the SAME deterministic
+    md5-bucket rule as `train_test_split_stats`. A non-zero 'test-train'
+    row is eval leakage — a held-out document with a near-duplicate in
+    the training set inflates every benchmark it appears in, which is
+    why production pipelines dedup ACROSS the split boundary (this
+    panel) and not just within the corpus. The three categories are
+    emitted unconditionally (a LEFT JOIN from the category list), so
+    "zero leaked pairs" is an auditable row, not an absent one.
+
+    Exactness: pair identity/jaccard from the shared hash-checked pair
+    pipeline; the split is a pure doc_id function (16 md5 bits mod 20 —
+    identical literal on both engines); the avg goes through a
+    DECIMAL(14,4) sum; COUNT(expr) counts only matched rows, making the
+    empty-category average NULL identically on both sides. Scale shape:
+    two doc_id equi-joins against a two-column split projection, then a
+    3-row rollup — the pair table, not the corpus, is the driver."""
+    pairs = shared_get((*_PAIR_KEY, sf_dir), spark)
+    if pairs is None:
+        pairs = shared_publish(
+            (*_PAIR_KEY, sf_dir), spark, _build_jaccard_pairs(spark, sf_dir)
+        )
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket % 20 == 0, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    lab = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id1"), F.col("split").alias("s1")),
+            "id1",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id2"), F.col("split").alias("s2")),
+            "id2",
+        )
+        .select(
+            F.concat(
+                F.least("s1", "s2"), F.lit("-"), F.greatest("s1", "s2")
+            ).alias("split_pair"),
+            "jaccard",
+        )
+    )
+    cats = spark.createDataFrame(
+        [("test-test",), ("test-train",), ("train-train",)],
+        "split_pair string",
+    )
+    return (
+        cats.join(lab, "split_pair", "left")
+        .groupBy("split_pair")
+        .agg(
+            F.coalesce(F.count("jaccard"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(14,4)")).cast("double")
+                / F.count("jaccard").cast("double"),
+                4,
+            ).alias("avg_jaccard"),
+        )
+        .orderBy("split_pair")
+    )

@@ -338,3 +338,104 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_cc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree-distribution audit of the shared trade graph.
+
+_DEG_EDGE_CTES = """
+    edges0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM edges0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges0
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src)
+"""
+
+
+@register(
+    "degree_distribution_stats",
+    oracle=f"""
+    WITH {_DEG_EDGE_CTES},
+    b AS (
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+             CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+             deg
+      FROM deg
+    ),
+    cells AS (
+      SELECT node_type, bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             MIN(deg) AS min_deg, MAX(deg) AS max_deg,
+             CAST(SUM(deg) AS BIGINT) AS sum_deg
+      FROM b GROUP BY node_type, bucket
+    ),
+    tot AS (SELECT node_type, CAST(SUM(n_nodes) AS BIGINT) AS t
+            FROM cells GROUP BY node_type)
+    SELECT c.node_type, c.bucket, c.n_nodes, c.min_deg, c.max_deg,
+           c.sum_deg,
+           ROUND(c.n_nodes::DOUBLE / t.t::DOUBLE, 6) AS pct_nodes
+    FROM cells c JOIN tot t USING (node_type)
+    ORDER BY c.node_type, c.bucket
+    """,
+)
+def degree_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the customer–supplier trade
+    graph, split by node side — the skew panel read BEFORE launching any
+    iterative graph job on this adjacency (PageRank above, components,
+    label propagation): a heavy top bucket on one side says the
+    rank-contribution shuffle will hot-spot on those keys and the job
+    wants salting or a high-degree-vertex split (GraphX/GraphFrames'
+    skewed-vertex mitigation); a straight line in log-log says
+    power-law, the usual licence to cap or sample super-nodes.
+
+    Reuses the session-shared pinned edge⋈degree artifact
+    (`_trade_graph`) — the panel costs one distinct over (node, deg)
+    plus a |buckets|-row rollup. Bucket = floor(log2(deg)) computed as
+    length(bin(deg)) - 1: pure integer arithmetic on both engines (a
+    floating log2 could land a power of two in the wrong bucket by one
+    ulp). Counts/min/max/sums are all integers; the one share is a
+    mirrored double division."""
+    with_deg, _ = _trade_graph(spark, sf_dir)
+    nodes = with_deg.select(F.col("src").alias("node"), "deg").distinct()
+    b = nodes.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        (F.length(F.bin("deg")) - 1).cast("long").alias("bucket"),
+        "deg",
+    )
+    cells = materialize(
+        b.groupBy("node_type", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+            F.sum("deg").cast("long").alias("sum_deg"),
+        )
+    )
+    tot = F.broadcast(
+        cells.groupBy("node_type").agg(
+            F.sum("n_nodes").cast("long").alias("t")
+        )
+    )
+    return (
+        cells.join(tot, "node_type")
+        .select(
+            "node_type",
+            "bucket",
+            "n_nodes",
+            "min_deg",
+            "max_deg",
+            "sum_deg",
+            F.round(
+                F.col("n_nodes").cast("double") / F.col("t").cast("double"), 6
+            ).alias("pct_nodes"),
+        )
+        .orderBy("node_type", "bucket")
+    )

@@ -1026,3 +1026,131 @@ def embedding_dim_variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("variance"), "dim")
     )
+
+
+#: diagonal-Mahalanobis outlier line: chi^2(64) ~ 64 +/- sqrt(128);
+#: 88 ~ +2.1 sigma (~p2) — flags the far tail without being empty on a
+#: well-behaved corpus.
+_OUTLIER_M2 = 88.0
+
+
+@register(
+    "embedding_outlier_stats",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    st AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(v, 9) AS DECIMAL(18,9))) AS s1,
+             SUM(CAST(ROUND(v * v, 9) AS DECIMAL(18,9))) AS s2
+      FROM comp GROUP BY dim
+    ),
+    ms AS (
+      SELECT dim,
+             s1::DOUBLE / n::DOUBLE AS mu,
+             sqrt(s2::DOUBLE / n::DOUBLE
+                  - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE))
+               AS sd
+      FROM st
+    ),
+    m2 AS (
+      SELECT c.vec_id, c.label,
+             SUM(CAST(ROUND(((c.v - ms.mu) / ms.sd)
+                            * ((c.v - ms.mu) / ms.sd), 9)
+                      AS DECIMAL(18,9))) AS m2
+      FROM comp c JOIN ms ON c.dim = ms.dim
+      GROUP BY c.vec_id, c.label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(SUM(m2)::DOUBLE / COUNT(*)::DOUBLE, 6) AS avg_m2,
+           ROUND(MAX(m2)::DOUBLE, 6) AS max_m2,
+           CAST(SUM(CASE WHEN m2 > {_OUTLIER_M2} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outlier,
+           ROUND(SUM(CASE WHEN m2 > {_OUTLIER_M2} THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 6) AS pct_outlier
+    FROM m2 GROUP BY label ORDER BY label
+    """,
+)
+def embedding_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen: per-vector diagonal Mahalanobis
+    distance (sum over dimensions of the squared z-score against the
+    corpus-wide per-dim mean/std), rolled up per label — the cheap
+    anomaly filter run before any clustering/index build, catching
+    corrupted vectors, all-zero rows, and wrong-model embeddings that
+    would otherwise poison centroids. Under a roughly isotropic corpus
+    m2 ~ chi^2(64): mass near 64, a thin tail past 88; a fat
+    tail or a label whose avg_m2 sits far from 64 means that label's
+    vectors came from a different distribution. Diagonal (not full)
+    covariance by design — one pass, no eigen work, the honest screen
+    (`embedding_dim_variance_stats` is the step that decides whether a
+    rotation would even help).
+
+    Float discipline: components and squares are round-9 DECIMAL before
+    every sum (order-free), per-dim mu/sd are the identical double
+    expression tree on both engines (sqrt is IEEE exact-rounded), and
+    each per-vector z^2 term is round-9-quantized before the per-vector
+    DECIMAL sum, so m2 is bit-identical and the threshold compare is
+    exact. Scale shape: one posexplode pass -> 64-group combine; the
+    64-row (mu, sd) table broadcasts back onto the component stream; the
+    per-vector rollup shuffles on vec_id once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    st = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("v"), 9).cast("decimal(18,9)")).alias("s1"),
+        F.sum(
+            F.round(F.col("v") * F.col("v"), 9).cast("decimal(18,9)")
+        ).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n").cast("double")
+    ms = F.broadcast(
+        st.select(
+            "dim",
+            mu.alias("mu"),
+            F.sqrt(
+                F.col("s2").cast("double") / F.col("n").cast("double")
+                - mu * mu
+            ).alias("sd"),
+        )
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    m2 = (
+        comp.join(ms, "dim")
+        .select(
+            "vec_id",
+            "label",
+            F.round(z * z, 9).cast("decimal(18,9)").alias("t"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("t").alias("m2"))
+    )
+    out = F.when(F.col("m2") > _OUTLIER_M2, 1).otherwise(0)
+    return (
+        m2.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum("m2").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_m2"),
+            F.round(F.max("m2").cast("double"), 6).alias("max_m2"),
+            F.sum(out).cast("long").alias("n_outlier"),
+            F.round(
+                F.sum(out).cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("pct_outlier"),
+        )
+        .orderBy("label")
+    )

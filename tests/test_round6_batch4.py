@@ -98,3 +98,52 @@ def test_growth_accounting_identity_and_churn_conservation(spark, sf_dir):
     for a, b in zip(days, days[1:]):
         if (b - a).days == 1:
             assert by_day[b].n_churned == by_day[a].n_active - by_day[b].n_retained
+
+
+def test_degree_distribution_conserves_nodes_and_edges(spark, sf_dir):
+    rows = QUERIES["degree_distribution_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # bucket b holds degrees in [2^b, 2^(b+1))
+        assert 2**r.bucket <= r.min_deg <= r.max_deg < 2 ** (r.bucket + 1)
+        assert r.node_type in ("customer", "supplier")
+    # undirected doubling: each side sees every edge once, so the two
+    # sides' degree sums are equal (= |edges0|)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.node_type, []).append(r)
+    sums = {t: sum(r.sum_deg for r in rs) for t, rs in by_type.items()}
+    assert sums["customer"] == sums["supplier"]
+    for t, rs in by_type.items():
+        assert abs(sum(r.pct_nodes for r in rs) - 1.0) < 1e-3
+
+
+def test_split_leakage_categories_complete_and_conserve_pairs(spark, sf_dir):
+    rows = QUERIES["split_leakage_audit"](spark, sf_dir).collect()
+    assert [r.split_pair for r in rows] == [
+        "test-test", "test-train", "train-train",
+    ]
+    total = QUERIES["dedup_jaccard_pairs"](spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == total
+    for r in rows:
+        if r.n_pairs == 0:
+            assert r.avg_jaccard is None
+        else:
+            assert 0.8 <= r.avg_jaccard <= 1.0
+
+
+def test_embedding_outliers_match_chi2_expectation(spark, sf_dir):
+    rows = QUERIES["embedding_outlier_stats"](spark, sf_dir).collect()
+    assert len(rows) == 10  # one row per label
+    from ethical_data_ingestion_spark.io import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    for r in rows:
+        # diagonal Mahalanobis over 64 standardized dims: E[m2] = 64
+        assert 40.0 < r.avg_m2 < 90.0, r
+        assert r.max_m2 >= r.avg_m2
+        assert 0.0 <= r.pct_outlier <= 0.25
+    # global standardization: overall mean m2 = 64 exactly (up to rounding)
+    overall = sum(r.avg_m2 * r.n_vecs for r in rows) / n_vecs
+    assert abs(overall - 64.0) < 0.01
