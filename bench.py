@@ -68,6 +68,7 @@ HEADLINE = [
     "large_volume_orders",
     "top_supplier_revenue",
     "nation_market_share",
+    "market_concentration_hhi",
     "rich_idle_customers",
     "order_priority_wait",
     "bilateral_trade_volume",
@@ -125,6 +126,7 @@ HEADLINE = [
     "vocab_growth_stats",
     "doc_fingerprints",
     "lang_id_confusion",
+    "lang_source_independence",
     "stratified_sample_stats",
     "weighted_sample_stats",
     "sampled_revenue_estimate",
@@ -144,6 +146,7 @@ HEADLINE = [
     "markov_entropy_stats",
     "event_path_topk",
     "attribution_last_touch",
+    "attribution_position_based",
     "scd2_user_history_stats",
     "editdist_name_pairs",
     "heavy_hitters_cms",

@@ -1442,3 +1442,148 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch")
     )
+
+
+@register(
+    "attribution_position_based",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS rgrp
+      FROM events
+    ),
+    pur AS (
+      SELECT user_id, rgrp,
+             CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v
+      FROM base WHERE event_type = 'purchase'
+    ),
+    tch AS (
+      SELECT user_id, rgrp, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, rgrp
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, rgrp) AS n
+      FROM base WHERE event_type <> 'purchase' AND rgrp >= 1
+    ),
+    credited AS (
+      SELECT t.event_type AS touch,
+             CAST(ROUND((CASE WHEN t.n = 1 THEN 1.0
+                              WHEN t.n = 2 THEN 0.5
+                              WHEN t.rn = 1 OR t.rn = t.n THEN 0.4
+                              ELSE 0.2 / (t.n - 2) END) * p.v::DOUBLE, 4)
+                  AS DECIMAL(18,4)) AS c
+      FROM tch t JOIN pur p USING (user_id, rgrp)
+      UNION ALL
+      SELECT 'direct' AS touch, CAST(p.v AS DECIMAL(18,4)) AS c
+      FROM pur p
+      WHERE NOT EXISTS (SELECT 1 FROM tch t
+                        WHERE t.user_id = p.user_id AND t.rgrp = p.rgrp)
+    ),
+    agg AS (
+      SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_credits,
+             SUM(c) AS sv
+      FROM credited GROUP BY touch
+    ),
+    tot AS (SELECT SUM(sv) AS t FROM agg)
+    SELECT a.touch, a.n_credits,
+           ROUND(a.sv::DOUBLE, 2) AS attributed_value,
+           ROUND(a.sv::DOUBLE / tot.t::DOUBLE, 6) AS value_share
+    FROM agg a, tot ORDER BY a.touch
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch revenue attribution: each
+    purchase's value splits 40/20/40 across the touch events since the
+    user's previous purchase — first touch 40%, last touch 40%, the
+    middle touches share 20% equally (1 touch takes 100%, 2 touches
+    50/50, no touches credit 'direct'). The multi-touch counterweight to
+    `attribution_last_touch`: last-touch over-pays the final click; the
+    U-shape pays discovery and closing.
+
+    The touch→purchase assignment is the reverse-cumulative-purchase
+    trick: rgrp = COUNT(purchases) over [CURRENT ROW, UNBOUNDED
+    FOLLOWING] gives every event the id of its NEXT purchase, turning a
+    per-purchase range join into one window pass plus an equi-join on
+    (user, rgrp). Exactness: each credit share is a mirrored double
+    expression (exact dyadic constants 0.4/0.5/1.0; the one true
+    division 0.2/(n-2) is identical both engines), credit x value is
+    round-4-quantized to DECIMAL before summing; conservation (sum of
+    credits = sum of purchase values) is pinned in tests. Scale shape:
+    two windowed passes partitioned by user, an equi-join on (user,
+    rgrp), and a |types|-row rollup — no range join, no explode."""
+    ev = load_table(spark, sf_dir, "events")
+    wrev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .over(wrev)
+        .alias("rgrp"),
+    )
+    pur = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "rgrp",
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+    )
+    wtch = Window.partitionBy("user_id", "rgrp").orderBy("ts", "event_id")
+    wcnt = Window.partitionBy("user_id", "rgrp")
+    tch = (
+        base.filter((F.col("event_type") != "purchase") & (F.col("rgrp") >= 1))
+        .select(
+            "user_id",
+            "rgrp",
+            "event_type",
+            F.row_number().over(wtch).alias("rn"),
+            F.count(F.lit(1)).over(wcnt).alias("n"),
+        )
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    touched = tch.join(pur, ["user_id", "rgrp"]).select(
+        F.col("event_type").alias("touch"),
+        F.round(credit * F.col("v").cast("double"), 4)
+        .cast("decimal(18,4)")
+        .alias("c"),
+    )
+    direct = (
+        pur.join(
+            tch.select("user_id", "rgrp").distinct(),
+            ["user_id", "rgrp"],
+            "left_anti",
+        ).select(
+            F.lit("direct").alias("touch"),
+            F.col("v").cast("decimal(18,4)").alias("c"),
+        )
+    )
+    agg = touched.unionByName(direct).groupBy("touch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        F.sum("c").alias("sv"),
+    )
+    tot = F.broadcast(agg.agg(F.sum("sv").alias("t")))
+    return (
+        agg.crossJoin(tot)
+        .select(
+            "touch",
+            "n_credits",
+            F.round(F.col("sv").cast("double"), 2).alias("attributed_value"),
+            F.round(
+                F.col("sv").cast("double") / F.col("t").cast("double"), 6
+            ).alias("value_share"),
+        )
+        .orderBy("touch")
+    )

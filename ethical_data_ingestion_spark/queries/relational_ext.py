@@ -413,3 +413,107 @@ def copurchase_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "brand_a", "brand_b")
         .limit(25)
     )
+
+
+@register(
+    "market_concentration_hhi",
+    oracle="""
+    WITH srev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS rev
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    nrev AS (
+      SELECT nationkey, SUM(rev) AS trev,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             MAX(rev) AS maxrev
+      FROM srev GROUP BY nationkey
+    ),
+    hhi AS (
+      SELECT s.nationkey,
+             SUM(CAST(ROUND((s.rev::DOUBLE / n.trev::DOUBLE)
+                            * (s.rev::DOUBLE / n.trev::DOUBLE), 9)
+                      AS DECIMAL(18,9))) AS h
+      FROM srev s JOIN nrev n USING (nationkey)
+      GROUP BY s.nationkey
+    )
+    SELECT nat.n_name AS nation, n.n_suppliers,
+           ROUND(n.trev::DOUBLE, 2) AS total_revenue,
+           ROUND(h.h::DOUBLE * 10000.0, 2) AS hhi,
+           ROUND(n.maxrev::DOUBLE / n.trev::DOUBLE, 6) AS top_share
+    FROM nrev n
+    JOIN hhi h USING (nationkey)
+    JOIN nation nat ON n.nationkey = nat.n_nationkey
+    ORDER BY nation
+    """,
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index of supplier
+    revenue within each nation: per-supplier discounted revenue shares
+    squared and summed (scaled to the antitrust convention, 0–10,000;
+    <1,500 competitive, >2,500 concentrated), with supplier count and
+    the single largest share. The supply-chain risk panel next to
+    `nation_market_share` (which compares nations to each other; this
+    measures fragility WITHIN one) — a nation whose parts flow through
+    two suppliers is a disruption risk no matter how big its total.
+
+    Exactness: revenue accumulates in DECIMAL(18,4) (the relational
+    family's money discipline); each squared share is round-9 DECIMAL
+    before the per-nation sum, so HHI is order-free; top_share is a
+    mirrored double division. Scale shape: one map-side-combined
+    (nation, supplier) rollup — the shuffle key is the supplier
+    dimension, not lineitem rows — then |nations|-row joins; the nation
+    name join broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    srev = materialize(
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            ).alias("rev")
+        )
+    )
+    nrev = srev.groupBy("nationkey").agg(
+        F.sum("rev").alias("trev"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.max("rev").alias("maxrev"),
+    )
+    share = F.col("rev").cast("double") / F.col("trev").cast("double")
+    hhi = (
+        srev.join(nrev.select("nationkey", "trev"), "nationkey")
+        .select(
+            "nationkey",
+            F.round(share * share, 9).cast("decimal(18,9)").alias("t"),
+        )
+        .groupBy("nationkey")
+        .agg(F.sum("t").alias("h"))
+    )
+    return (
+        nrev.join(hhi, "nationkey")
+        .join(nat, nrev.nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            F.round(F.col("trev").cast("double"), 2).alias("total_revenue"),
+            F.round(F.col("h").cast("double") * 10000.0, 2).alias("hhi"),
+            F.round(
+                F.col("maxrev").cast("double") / F.col("trev").cast("double"),
+                6,
+            ).alias("top_share"),
+        )
+        .orderBy("nation")
+    )

@@ -1456,3 +1456,99 @@ def char_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: chi-square critical value, p = 0.01 at df = 4 (5 languages - 1).
+_CHI2_CRIT_DF4 = 13.277
+
+
+@register(
+    "lang_source_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY source, lang
+    ),
+    rs AS (SELECT source, CAST(SUM(o) AS BIGINT) AS nr FROM obs
+           GROUP BY source),
+    cs AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS nc FROM obs
+           GROUP BY lang),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM obs),
+    grid AS (
+      SELECT r.source, c.lang, r.nr, c.nc, n.nt,
+             COALESCE(o.o, 0) AS o
+      FROM rs r CROSS JOIN cs c CROSS JOIN n
+      LEFT JOIN obs o USING (source, lang)
+    ),
+    terms AS (
+      SELECT source,
+             CAST(ROUND(
+               (o::DOUBLE - nr::DOUBLE * nc::DOUBLE / nt::DOUBLE)
+               * (o::DOUBLE - nr::DOUBLE * nc::DOUBLE / nt::DOUBLE)
+               / (nr::DOUBLE * nc::DOUBLE / nt::DOUBLE), 9)
+               AS DECIMAL(18,9)) AS t,
+             nr
+      FROM grid
+    )
+    SELECT source, MIN(nr) AS n_docs,
+           ROUND(SUM(t)::DOUBLE, 4) AS chi2,
+           (SUM(t)::DOUBLE > {_CHI2_CRIT_DF4}) AS skewed_p01
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of each source's language mix against
+    the corpus-wide language distribution (per-source chi2 statistic
+    over the full source x lang grid including structural zeros, df =
+    |langs|-1 = 4, flagged at the p = 0.01 critical value 13.277). The
+    corpus-composition drift alarm: a crawl source whose language mix
+    departs from the corpus profile either found a genuinely different
+    community (good — weight it) or its language-ID broke (bad — gate
+    it); either way it is the panel that catches the change BEFORE the
+    mixture weights computed by `corpus_mixing_stats` silently shift.
+
+    Exactness: observed counts are integers; each (o-e)^2/e term is one
+    mirrored double expression round-9-quantized to DECIMAL before the
+    per-source sum (order-free), so the statistic and the boolean flag
+    hash exactly. Scale shape: the contingency table is a map-side-
+    combined |sources| x |langs| rollup; margins and the dense grid are
+    tiny broadcasts; nothing after the first groupBy touches corpus
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = materialize(
+        docs.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("o")
+        )
+    )
+    rs = obs.groupBy("source").agg(F.sum("o").cast("long").alias("nr"))
+    cs = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("nc"))
+    n = obs.agg(F.sum("o").cast("long").alias("nt"))
+    grid = (
+        rs.crossJoin(F.broadcast(cs))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["source", "lang"], "left")
+        .select(
+            "source",
+            "nr",
+            "nc",
+            "nt",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    e = F.col("nr").cast("double") * F.col("nc").cast("double") / F.col(
+        "nt"
+    ).cast("double")
+    term = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e,
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        grid.select("source", "nr", term.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.min("nr").alias("n_docs"),
+            F.round(F.sum("t").cast("double"), 4).alias("chi2"),
+            (F.sum("t").cast("double") > _CHI2_CRIT_DF4).alias("skewed_p01"),
+        )
+        .orderBy("source")
+    )

@@ -147,3 +147,48 @@ def test_embedding_outliers_match_chi2_expectation(spark, sf_dir):
     # global standardization: overall mean m2 = 64 exactly (up to rounding)
     overall = sum(r.avg_m2 * r.n_vecs for r in rows) / n_vecs
     assert abs(overall - 64.0) < 0.01
+
+
+def test_hhi_bounds_and_share_consistency(spark, sf_dir):
+    rows = QUERIES["market_concentration_hhi"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HHI in (10000/n, 10000]; a single-supplier nation is 10000
+        assert 10000.0 / r.n_suppliers <= r.hhi + 1e-6, r
+        assert r.hhi <= 10000.0 + 1e-6
+        # top share bounds: at least 1/n, and hhi >= top_share^2
+        assert r.top_share >= 1.0 / r.n_suppliers - 1e-9
+        assert r.hhi >= (r.top_share**2) * 10000.0 - 0.02
+
+
+def test_position_attribution_conserves_purchase_value(spark, sf_dir):
+    rows = QUERIES["attribution_position_based"](spark, sf_dir).collect()
+    assert rows
+    from ethical_data_ingestion_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    truth = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.sum(F.round("value", 2).cast("decimal(18,2)")).alias("t"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    total = sum(r.attributed_value for r in rows)
+    # credits conserve value up to the round-4 per-credit quantization
+    n_purchases = truth.n
+    assert abs(total - float(truth.t)) <= 0.0005 * n_purchases * 3
+    assert abs(sum(r.value_share for r in rows) - 1.0) < 1e-3
+    # last-touch and U-shaped must agree on the total, not the split
+    lt = QUERIES["attribution_last_touch"](spark, sf_dir).collect()
+    assert abs(sum(r.attributed_value for r in lt) - float(truth.t)) < 0.01
+
+
+def test_lang_independence_chi2_nonnegative_and_df_sane(spark, sf_dir):
+    rows = QUERIES["lang_source_independence"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.chi2 >= 0.0
+        assert r.skewed_p01 == (r.chi2 > 13.277)
