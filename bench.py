@@ -102,6 +102,7 @@ HEADLINE = [
     "activity_bitmap_stats",
     "funnel_conversion",
     "retention_cohorts",
+    "cohort_ltv_curve",
     "rfm_segmentation",
     "event_type_runs",
     "column_profile_orders",
@@ -157,6 +158,7 @@ HEADLINE = [
     "t_closeness_audit",
     "imputation_audit",
     "sample_size_planner",
+    "bootstrap_ci_mean",
     "lexical_diversity_stats",
     "corpus_funnel_stats",
     "dedup_exact_stats",
@@ -181,6 +183,7 @@ HEADLINE = [
     "knn_lsh_recall_stats",
     "embedding_dim_variance_stats",
     "embedding_outlier_stats",
+    "pca_power_iteration_stats",
     "knn_cosine_ivf",
     "contrastive_pair_mining",
     "embedding_drift_stats",

@@ -2117,3 +2117,179 @@ def _quality_vs_dup_oracle() -> str:
 from ..registry import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
 
 _ORACLE_SQL["quality_vs_dup_lift"] = _quality_vs_dup_oracle()
+
+
+#: Poisson-bootstrap resamples.
+_BOOT_B = 32
+#: Poisson(1) CDF thresholds (P(X<=k), k=0..5); residues past the last
+#: threshold draw weight 6 — the truncation error is < 1e-4 per row.
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _pois_weight_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {arms} ELSE 6 END"
+
+
+@register(
+    "bootstrap_ci_mean",
+    oracle=f"""
+    WITH rs AS (
+      SELECT e.event_type, b.b,
+             ('0x' || substring(md5(CAST(e.event_id AS VARCHAR) || ':'
+                                    || CAST(b.b AS VARCHAR)), 1, 13))::BIGINT
+               / 4503599627370496.0 AS u,
+             CAST(ROUND(e.value, 2) AS DECIMAL(18,2)) AS v
+      FROM events e CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+    ),
+    wm AS (
+      SELECT event_type, b,
+             SUM(v * ({_pois_weight_sql('u')})) AS sv,
+             CAST(SUM({_pois_weight_sql('u')}) AS BIGINT) AS nw
+      FROM rs GROUP BY event_type, b
+    ),
+    means AS (
+      SELECT event_type,
+             CAST(ROUND(sv::DOUBLE / nw::DOUBLE, 9) AS DECIMAL(18,9)) AS m
+      FROM wm
+    ),
+    boot AS (
+      SELECT event_type,
+             SUM(m) AS s1,
+             SUM(CAST(ROUND(m::DOUBLE * m::DOUBLE, 9) AS DECIMAL(18,9)))
+               AS s2
+      FROM means GROUP BY event_type
+    ),
+    base AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS sv,
+             SUM(CAST(ROUND(value * value, 4) AS DECIMAL(18,4))) AS sv2
+      FROM events GROUP BY event_type
+    )
+    SELECT bs.event_type, bs.n,
+           ROUND(bs.sv::DOUBLE / bs.n::DOUBLE, 4) AS mean_value,
+           ROUND(sqrt((bs.sv2::DOUBLE / bs.n::DOUBLE
+                       - (bs.sv::DOUBLE / bs.n::DOUBLE)
+                         * (bs.sv::DOUBLE / bs.n::DOUBLE))
+                      / (bs.n::DOUBLE - 1.0)), 6) AS se_analytic,
+           ROUND(sqrt((bt.s2::DOUBLE
+                       - bt.s1::DOUBLE * bt.s1::DOUBLE / {_BOOT_B}.0)
+                      / ({_BOOT_B}.0 - 1.0)), 6) AS se_bootstrap
+    FROM base bs JOIN boot bt USING (event_type)
+    ORDER BY bs.event_type
+    """,
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap standard error of the per-type mean event value
+    ({_BOOT_B} deterministic resamples), next to the analytic
+    sd/sqrt(n) — the estimator-calibration panel: when the two columns
+    agree the CLT is safe and every downstream panel can quote analytic
+    intervals; when the bootstrap column is fatter the distribution is
+    heavy-tailed and `sampled_revenue_estimate`-style extrapolations
+    need the bootstrap, not the formula. Poisson(1) resampling IS the
+    distributed bootstrap (Chamandy et al.): independent per-row weights
+    need no global n, so each resample is one map-side weight draw — no
+    shuffle of resampled rows, B aggregates in a single pass.
+
+    Determinism: the resample weight is the Poisson(1) inverse CDF of a
+    52-bit md5 residue of (event_id, b) — the engine-independent hash
+    idiom of the sampling family; weighted sums stay in DECIMAL
+    (weights are small integers), each resample mean and its square are
+    round-9-quantized before the across-resample moments, and both
+    engines evaluate the same literal CDF thresholds. Scale shape: the
+    explode is x{_BOOT_B} but collapses immediately into (type, b)
+    combines; everything after is a {_BOOT_B}-row-per-type table."""
+    ev = load_table(spark, sf_dir, "events")
+    rs = ev.select(
+        "event_type",
+        "event_id",
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4503599627370496.0)
+    )
+    w = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < float(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    wm = rs.groupBy("event_type", "b").agg(
+        F.sum(F.col("v") * w).alias("sv"),
+        F.sum(w).cast("long").alias("nw"),
+    )
+    means = wm.select(
+        "event_type",
+        F.round(F.col("sv").cast("double") / F.col("nw").cast("double"), 9)
+        .cast("decimal(18,9)")
+        .alias("m"),
+    )
+    boot = means.groupBy("event_type").agg(
+        F.sum("m").alias("s1"),
+        F.sum(
+            F.round(F.col("m").cast("double") * F.col("m").cast("double"), 9)
+            .cast("decimal(18,9)")
+        ).alias("s2"),
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round("value", 2).cast("decimal(18,2)")).alias("sv"),
+        F.sum(
+            F.round(F.col("value") * F.col("value"), 4).cast("decimal(18,4)")
+        ).alias("sv2"),
+    )
+    mean = F.col("sv").cast("double") / F.col("n").cast("double")
+    bb = float(_BOOT_B)
+    return (
+        base.join(boot, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round(mean, 4).alias("mean_value"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("sv2").cast("double") / F.col("n").cast("double")
+                        - mean * mean
+                    )
+                    / (F.col("n").cast("double") - F.lit(1.0))
+                ),
+                6,
+            ).alias("se_analytic"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("s2").cast("double")
+                        - F.col("s1").cast("double")
+                        * F.col("s1").cast("double")
+                        / F.lit(bb)
+                    )
+                    / F.lit(bb - 1.0)
+                ),
+                6,
+            ).alias("se_bootstrap"),
+        )
+        .orderBy("event_type")
+    )

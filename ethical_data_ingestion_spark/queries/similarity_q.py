@@ -1154,3 +1154,169 @@ def embedding_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: power-iteration rounds for the top-eigenvector panel.
+_PCA_ITERS = 3
+#: loadings reported.
+_PCA_TOP = 8
+
+
+def _pca_oracle() -> str:
+    """Generated CTE chain (graph_q discipline): one (itK, nK, vK)
+    triple per power-iteration round, so the Spark loop and the SQL
+    mirror cannot drift."""
+    ctes = [
+        """gram AS (
+      SELECT a.dim AS i, b.dim AS j,
+             SUM(CAST(ROUND(a.v * b.v, 9) AS DECIMAL(18,9))) AS g
+      FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+      GROUP BY a.dim, b.dim
+    )""",
+        """v0 AS (SELECT DISTINCT i AS j, 0.125 AS v FROM gram)""",
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""it{t} AS (
+      SELECT g.i, SUM(CAST(ROUND(g.g::DOUBLE * v{t - 1}.v, 9)
+                           AS DECIMAL(18,9))) AS s
+      FROM gram g JOIN v{t - 1} ON g.j = v{t - 1}.j
+      GROUP BY g.i
+    )"""
+        )
+        ctes.append(
+            f"""n{t} AS (
+      SELECT sqrt(SUM(CAST(ROUND(s::DOUBLE * s::DOUBLE, 9)
+                           AS DECIMAL(18,9)))::DOUBLE) AS nrm
+      FROM it{t}
+    )"""
+        )
+        ctes.append(
+            f"""v{t} AS (
+      SELECT i AS j, s::DOUBLE / n{t}.nrm AS v FROM it{t}, n{t}
+    )"""
+        )
+    last = _PCA_ITERS
+    return f"""
+    WITH comp AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    {",".join(ctes)},
+    tr AS (SELECT SUM(g)::DOUBLE AS trace FROM gram WHERE i = j),
+    ranked AS (
+      SELECT j AS dim, v,
+             ROW_NUMBER() OVER (ORDER BY abs(v) DESC, j) AS rn
+      FROM v{last}
+    )
+    SELECT r.dim AS dim, ROUND(r.v, 6) AS loading,
+           ROUND(n{last}.nrm, 4) AS eigenvalue,
+           ROUND(n{last}.nrm / tr.trace, 6) AS var_share
+    FROM ranked r, n{last}, tr
+    WHERE r.rn <= {_PCA_TOP}
+    ORDER BY abs(ROUND(r.v, 6)) DESC, r.dim
+    """
+
+
+@register("pca_power_iteration_stats", oracle=_pca_oracle())
+def pca_power_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding gram matrix
+    by three rounds of power iteration, reporting the 8 largest
+    loadings, the Rayleigh eigenvalue estimate (= ||G·v|| at the last
+    round) and its share of trace(G) — the one-eigenvector complement of
+    `embedding_dim_variance_stats`: axis-aligned variances can look flat
+    while one oblique direction still dominates; this panel finds that
+    direction without pulling in an eigensolver. On the fixture's
+    near-isotropic vectors var_share honestly hovers near 1/64.
+
+    Exactness is the iterative-algorithm discipline (PageRank/k-means
+    precedent): the gram entries are DECIMAL sums of round-9 component
+    products (order-free; f32→f64 exact); every matrix–vector product
+    round-9-quantizes each term before its DECIMAL sum; normalization is
+    sqrt (IEEE exact-rounded) and division — the whole chain is a
+    deterministic expression tree mirrored round-for-round by generated
+    CTEs, and the DECIMAL→DOUBLE casts stay under 2^53 so they are
+    exact. Scale shape: the gram build is ONE self-join on vec_id (each
+    vector expands to dim² terms, map-side-combined into a 64×64
+    table — at 100 TB this is the classic outer-product aggregation,
+    shuffle bounded by dims², not rows); each iteration is a broadcast
+    of the 64-row vector against the 4096-row gram."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    a = comp.select(
+        "vec_id", F.col("dim").alias("i"), F.col("v").alias("vi")
+    )
+    b = comp.select(
+        "vec_id", F.col("dim").alias("j"), F.col("v").alias("vj")
+    )
+    gram = materialize(
+        a.join(b, "vec_id")
+        .select(
+            "i",
+            "j",
+            F.round(F.col("vi") * F.col("vj"), 9)
+            .cast("decimal(18,9)")
+            .alias("t"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("t").alias("g"))
+    )
+    v = gram.select(F.col("i").alias("j")).distinct().select(
+        "j", F.lit(0.125).alias("v")
+    )
+    nrm_col = None
+    for _ in range(_PCA_ITERS):
+        it = materialize(
+            gram.join(F.broadcast(v), "j")
+            .select(
+                "i",
+                F.round(F.col("g").cast("double") * F.col("v"), 9)
+                .cast("decimal(18,9)")
+                .alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("s"))
+        )
+        nrm = F.broadcast(
+            it.agg(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            F.col("s").cast("double") * F.col("s").cast("double"),
+                            9,
+                        ).cast("decimal(18,9)")
+                    ).cast("double")
+                ).alias("nrm")
+            )
+        )
+        v = it.crossJoin(nrm).select(
+            F.col("i").alias("j"),
+            (F.col("s").cast("double") / F.col("nrm")).alias("v"),
+        )
+        nrm_col = nrm
+    tr = F.broadcast(
+        gram.filter(F.col("i") == F.col("j")).agg(
+            F.sum("g").cast("double").alias("trace")
+        )
+    )
+    w = Window.orderBy(F.abs(F.col("v")).desc(), "j")
+    return (
+        v.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PCA_TOP)
+        .crossJoin(nrm_col)
+        .crossJoin(tr)
+        .select(
+            F.col("j").alias("dim"),
+            F.round("v", 6).alias("loading"),
+            F.round("nrm", 4).alias("eigenvalue"),
+            F.round(F.col("nrm") / F.col("trace"), 6).alias("var_share"),
+        )
+        .orderBy(F.abs(F.col("loading")).desc(), "dim")
+    )

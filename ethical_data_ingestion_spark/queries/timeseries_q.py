@@ -1268,3 +1268,111 @@ def growth_accounting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH uw AS (
+      SELECT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value, 2) AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END AS rev
+      FROM events
+    ),
+    first AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY user_id),
+    sizes AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY cw),
+    aged AS (
+      SELECT f.cw, (u.wk - f.cw) // 7 AS age_weeks, u.user_id, u.rev
+      FROM uw u JOIN first f USING (user_id)
+    ),
+    cells AS (
+      SELECT cw, age_weeks,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+             SUM(rev) AS rev
+      FROM aged GROUP BY cw, age_weeks
+    ),
+    cum AS (
+      SELECT cw, age_weeks, n_active, rev,
+             SUM(rev) OVER (PARTITION BY cw ORDER BY age_weeks
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM cells
+    )
+    SELECT c.cw AS cohort_week, CAST(c.age_weeks AS BIGINT) AS age_weeks,
+           c.n_active, s.cohort_size,
+           ROUND(c.rev::DOUBLE, 2) AS revenue,
+           ROUND(c.cum_rev::DOUBLE, 2) AS cum_revenue,
+           ROUND(c.cum_rev::DOUBLE / s.cohort_size::DOUBLE, 4)
+             AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cw)
+    ORDER BY cohort_week, age_weeks
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-activity
+    week, purchase revenue accumulated per cohort over age-in-weeks, and
+    LTV per cohort member (cumulative revenue / cohort size). The value
+    twin of `retention_cohorts` (which counts who comes BACK; this sums
+    what they SPEND) — together they answer whether later cohorts
+    monetize faster, the panel behind every payback-period decision.
+
+    Exactness: revenue quantizes round-2 to DECIMAL at the row, so the
+    per-cell sums and the per-cohort cumulative window (DECIMAL in,
+    DECIMAL out — the t-closeness tree-aggregation precedent) are exact;
+    age_weeks is pure DATE integer arithmetic (both engines' week
+    truncation is ISO-Monday); ratios are mirrored double divisions.
+    Scale shape: first-week per user is a map-side-combined min; the
+    cell rollup shuffles once on (cohort, age); the cumulative window
+    partitions by cohort over a calendar-bounded handful of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round("value", 2).cast("decimal(18,2)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+        .alias("rev"),
+    )
+    first = uw.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    sizes = F.broadcast(
+        first.groupBy("cw").agg(
+            F.count(F.lit(1)).cast("long").alias("cohort_size")
+        )
+    )
+    aged = uw.join(first, "user_id").select(
+        "cw",
+        (F.datediff("wk", "cw") / 7).cast("long").alias("age_weeks"),
+        "user_id",
+        "rev",
+    )
+    cells = aged.groupBy("cw", "age_weeks").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active"),
+        F.sum("rev").alias("rev"),
+    )
+    wcum = (
+        Window.partitionBy("cw")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("cum_rev", F.sum("rev").over(wcum))
+        .join(sizes, "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            "n_active",
+            "cohort_size",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            F.round(F.col("cum_rev").cast("double"), 2).alias("cum_revenue"),
+            F.round(
+                F.col("cum_rev").cast("double")
+                / F.col("cohort_size").cast("double"),
+                4,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

@@ -192,3 +192,47 @@ def test_lang_independence_chi2_nonnegative_and_df_sane(spark, sf_dir):
     for r in rows:
         assert r.chi2 >= 0.0
         assert r.skewed_p01 == (r.chi2 > 13.277)
+
+
+def test_pca_loadings_are_unit_norm_and_var_share_sane(spark, sf_dir):
+    rows = QUERIES["pca_power_iteration_stats"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    lam = {r.eigenvalue for r in rows}
+    assert len(lam) == 1  # one eigenvalue estimate on every row
+    for r in rows:
+        assert abs(r.loading) <= 1.0 + 1e-6
+        assert 0.0 < r.var_share <= 1.0
+    # top-8 of a unit vector: their mass can't exceed 1
+    assert sum(r.loading**2 for r in rows) <= 1.0 + 1e-6
+    # eigenvalue >= trace/64 (top eigenvalue >= average eigenvalue)
+    lam_v = rows[0].eigenvalue
+    trace = lam_v / rows[0].var_share
+    assert lam_v >= trace / 64.0 - 1e-6
+
+
+def test_cohort_ltv_is_monotone_in_age(spark, sf_dir):
+    rows = QUERIES["cohort_ltv_curve"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_week].append(r)
+        assert r.n_active <= r.cohort_size
+    for cw, rs in by_cohort.items():
+        ages = [r.age_weeks for r in rs]
+        assert ages == sorted(ages)
+        cums = [r.cum_revenue for r in rs]
+        assert all(b >= a - 1e-9 for a, b in zip(cums, cums[1:]))
+        last = rs[-1]
+        assert abs(last.ltv_per_user - last.cum_revenue / last.cohort_size) < 1e-3
+
+
+def test_bootstrap_se_matches_analytic_on_light_tails(spark, sf_dir):
+    rows = QUERIES["bootstrap_ci_mean"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.se_analytic > 0 and r.se_bootstrap > 0
+        # uniform-ish fixture values: the two SEs must agree within 40%
+        # (B=32 resamples give a chi2(31)-noisy SE estimate)
+        assert 0.6 < r.se_bootstrap / r.se_analytic < 1.67, r
