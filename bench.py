@@ -94,6 +94,7 @@ HEADLINE = [
     "time_decay_scores",
     "cusum_changepoint",
     "seasonality_dft_stats",
+    "seasonal_decompose_stats",
     "forecast_backtest_stats",
     "acf_daily_stats",
     "interevent_burstiness_stats",
@@ -101,6 +102,7 @@ HEADLINE = [
     "traffic_heatmap_stats",
     "activity_bitmap_stats",
     "funnel_conversion",
+    "conversion_latency_stats",
     "retention_cohorts",
     "cohort_ltv_curve",
     "rfm_segmentation",
@@ -135,6 +137,7 @@ HEADLINE = [
     "benchmark_decontam_stats",
     "doc_length_histogram",
     "train_test_split_stats",
+    "kfold_balance_audit",
     "chunk_dedup_stats",
     "training_shard_manifest",
     "shard_merkle_manifest",

@@ -795,3 +795,102 @@ def shard_merkle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shard", "n_docs", "n_bytes", "shard_hash", "root_hash")
         .orderBy("shard")
     )
+
+
+#: cross-validation folds for the balance audit.
+_KFOLDS = 5
+
+
+@register(
+    "kfold_balance_audit",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 5, 4))::BIGINT
+               % {_KFOLDS} AS fold,
+             lang,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    cells AS (
+      SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_tok) AS BIGINT) AS tok
+      FROM tagged GROUP BY fold, lang
+    ),
+    folds AS (
+      SELECT fold, CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             MAX(n) AS maxlang
+      FROM cells GROUP BY fold
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM folds)
+    SELECT f.fold, f.n_docs, f.n_tokens, f.n_langs,
+           ROUND(f.maxlang::DOUBLE / f.n_docs::DOUBLE, 6) AS maxlang_share,
+           ROUND(f.n_docs::DOUBLE * {_KFOLDS}.0 / tot.t::DOUBLE, 6)
+             AS size_ratio
+    FROM folds f, tot ORDER BY f.fold
+    """,
+)
+def kfold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation fold balance audit: documents dealt into
+    {_KFOLDS} folds by a 16-bit md5 residue of doc_id (hex chars 5–8 —
+    deliberately a DIFFERENT residue window than the train/test split's
+    chars 1–4, so the two assignments are independent), each fold
+    scored on size, token mass, language coverage, and the dominant
+    language's share. size_ratio is fold size relative to perfect
+    balance (1.0 = exact); a fold drifting past ~1.05 or missing a
+    language says the hash residue is interacting with the key space
+    and the fold count or residue window must change BEFORE anyone
+    trusts the cross-validated numbers.
+
+    Exactness: fold assignment is the sampling family's engine-
+    independent md5-residue idiom; every cell is an integer; the two
+    shares are mirrored double divisions. Scale shape: one linear pass,
+    map-side-combined (fold, lang) cells, then {_KFOLDS}-row rollups."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 5, 4), 16, 10
+        ).cast("long")
+        % _KFOLDS
+    )
+    cells = materialize(
+        docs.select(
+            fold.alias("fold"),
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_tok").cast("long").alias("tok"),
+        )
+    )
+    folds = cells.groupBy("fold").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max("n").alias("maxlang"),
+    )
+    tot = F.broadcast(folds.agg(F.sum("n_docs").cast("long").alias("t")))
+    return (
+        folds.crossJoin(tot)
+        .select(
+            "fold",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            F.round(
+                F.col("maxlang").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("maxlang_share"),
+            F.round(
+                F.col("n_docs").cast("double")
+                * float(_KFOLDS)
+                / F.col("t").cast("double"),
+                6,
+            ).alias("size_ratio"),
+        )
+        .orderBy("fold")
+    )

@@ -1376,3 +1376,246 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+@register(
+    "conversion_latency_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             LAST_VALUE(CASE WHEN event_type = 'view'
+                             THEN CAST(floor(epoch(ts)) AS BIGINT)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lv
+      FROM events
+    ),
+    lat AS (
+      SELECT sec - lv AS lat
+      FROM seq WHERE event_type = 'purchase' AND lv IS NOT NULL
+    ),
+    b AS (
+      SELECT CAST(length(bin(lat)) - 1 AS BIGINT) AS bucket, lat
+      FROM lat
+    ),
+    cells AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(lat) AS min_sec, MAX(lat) AS max_sec,
+             CAST(SUM(lat) AS BIGINT) AS s
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells)
+    SELECT c.bucket, c.n, c.min_sec, c.max_sec,
+           ROUND(c.s::DOUBLE / c.n::DOUBLE, 2) AS avg_sec,
+           ROUND(c.n::DOUBLE / tot.t::DOUBLE, 6) AS share
+    FROM cells c, tot ORDER BY c.bucket
+    """,
+)
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase conversion latency, log2-bucketed: for every
+    purchase preceded by a view, the seconds since that user's most
+    recent view, histogrammed into power-of-two buckets (bucket b holds
+    [2^b, 2^(b+1)) seconds). The latency companion to
+    `funnel_conversion` (which counts WHO converts; this times HOW
+    FAST) — the bucket where the mass sits decides both the session
+    window (`session_windows_30m`'s 30-minute gap should dominate the
+    histogram's left mass) and the watermark delay a streaming join
+    (`streaming_purchase_click_join`) needs to catch conversions
+    in-flight.
+
+    Exactness: the carried view timestamp is the family's LAST_VALUE
+    IGNORE NULLS frame; latencies are integer epoch-second differences;
+    the bucket is pure integer bit-length arithmetic (no floating log2);
+    sums are integer, the two ratios mirrored double divisions. Scale
+    shape: one windowed pass partitioned by user, then a map-side-
+    combined ~32-bucket rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        sec.alias("sec"),
+        F.last(
+            F.when(F.col("event_type") == "view", sec), ignorenulls=True
+        )
+        .over(w)
+        .alias("lv"),
+    )
+    lat = seq.filter(
+        (F.col("event_type") == "purchase") & F.col("lv").isNotNull()
+    ).select((F.col("sec") - F.col("lv")).alias("lat"))
+    cells = materialize(
+        lat.select(
+            (F.length(F.bin("lat")) - 1).cast("long").alias("bucket"), "lat"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("lat").alias("min_sec"),
+            F.max("lat").alias("max_sec"),
+            F.sum("lat").cast("long").alias("s"),
+        )
+    )
+    tot = F.broadcast(cells.agg(F.sum("n").cast("long").alias("t")))
+    return (
+        cells.crossJoin(tot)
+        .select(
+            "bucket",
+            "n",
+            "min_sec",
+            "max_sec",
+            F.round(
+                F.col("s").cast("double") / F.col("n").cast("double"), 2
+            ).alias("avg_sec"),
+            F.round(
+                F.col("n").cast("double") / F.col("t").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "seasonal_decompose_stats",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, n,
+             SUM(n) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             COUNT(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily
+    ),
+    det AS (
+      SELECT dayofweek(day) AS dow,
+             CAST(ROUND(n::DOUBLE - s7::DOUBLE / 7.0, 9)
+                  AS DECIMAL(18,9)) AS d
+      FROM tr WHERE c7 = 7
+    ),
+    seas AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(d) AS sd,
+             SUM(CAST(ROUND(d::DOUBLE * d::DOUBLE, 9) AS DECIMAL(18,9)))
+               AS sd2
+      FROM det GROUP BY dow
+    ),
+    res AS (
+      SELECT SUM(CAST(ROUND((t.d::DOUBLE - s.sd::DOUBLE / s.n_days::DOUBLE)
+                            * (t.d::DOUBLE - s.sd::DOUBLE / s.n_days::DOUBLE),
+                            9) AS DECIMAL(18,9))) AS ssr,
+             CAST(SUM(1) AS BIGINT) AS m
+      FROM det t JOIN seas s USING (dow)
+    ),
+    vtot AS (
+      SELECT SUM(sd2)::DOUBLE AS ssd, CAST(SUM(n_days) AS BIGINT) AS m
+      FROM seas
+    )
+    SELECT s.dow, s.n_days,
+           ROUND(s.sd::DOUBLE / s.n_days::DOUBLE, 4) AS seasonal,
+           ROUND(CASE WHEN v.ssd > 0
+                      THEN 1.0 - r.ssr::DOUBLE / v.ssd
+                      END, 4) AS seasonal_strength
+    FROM seas s, res r, vtot v
+    ORDER BY s.dow
+    """,
+)
+def seasonal_decompose_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    count: trend = centered 7-day moving average (only days with a full
+    window), seasonal = per-day-of-week mean of the detrended series,
+    and seasonal_strength = 1 - SS_residual/SS_detrended — the share of
+    de-trended variance the weekly pattern explains (the STL-lite
+    readout). Completes the cycle-detection trio: `seasonality_dft_stats`
+    asks IF a weekly line exists, `traffic_heatmap_stats` shows WHERE
+    load sits, this one sizes HOW MUCH of the variation the weekly shape
+    explains — the number that decides whether capacity planning can key
+    on day-of-week alone.
+
+    Exactness: daily counts are integers; the centered MA is an integer
+    window sum divided by 7.0 (one mirrored double op); detrended values
+    quantize round-9 to DECIMAL before every sum of them or their
+    squares, so all second moments are order-free; dow uses DuckDB's
+    0-based convention (`traffic_heatmap_stats` precedent). Scale shape:
+    everything after the daily rollup operates on a calendar-bounded
+    table (the unpartitioned windows span |days| rows by construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    det = (
+        daily.select(
+            "day",
+            "n",
+            F.sum("n").over(w7).alias("s7"),
+            F.count(F.lit(1)).over(w7).alias("c7"),
+        )
+        .filter(F.col("c7") == 7)
+        .select(
+            (F.dayofweek("day") - 1).alias("dow"),
+            F.round(
+                F.col("n").cast("double") - F.col("s7").cast("double") / 7.0,
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("d"),
+        )
+    )
+    det = materialize(det)
+    seas = materialize(
+        det.groupBy("dow").agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("d").alias("sd"),
+            F.sum(
+                F.round(
+                    F.col("d").cast("double") * F.col("d").cast("double"), 9
+                ).cast("decimal(18,9)")
+            ).alias("sd2"),
+        )
+    )
+    smean = F.col("sd").cast("double") / F.col("n_days").cast("double")
+    res = F.broadcast(
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            F.round(
+                (F.col("d").cast("double") - smean)
+                * (F.col("d").cast("double") - smean),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("r")
+        )
+        .agg(F.sum("r").alias("ssr"))
+    )
+    vtot = F.broadcast(
+        seas.agg(F.sum("sd2").cast("double").alias("ssd"))
+    )
+    return (
+        seas.crossJoin(res)
+        .crossJoin(vtot)
+        .select(
+            "dow",
+            "n_days",
+            F.round(smean, 4).alias("seasonal"),
+            F.round(
+                F.when(
+                    F.col("ssd") > 0,
+                    F.lit(1.0)
+                    - F.col("ssr").cast("double") / F.col("ssd"),
+                ),
+                4,
+            ).alias("seasonal_strength"),
+        )
+        .orderBy("dow")
+    )

@@ -236,3 +236,40 @@ def test_bootstrap_se_matches_analytic_on_light_tails(spark, sf_dir):
         # uniform-ish fixture values: the two SEs must agree within 40%
         # (B=32 resamples give a chi2(31)-noisy SE estimate)
         assert 0.6 < r.se_bootstrap / r.se_analytic < 1.67, r
+
+
+def test_conversion_latency_buckets_partition_conversions(spark, sf_dir):
+    rows = QUERIES["conversion_latency_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 2**r.bucket <= max(r.min_sec, 1) or r.bucket == 0
+        assert r.min_sec <= r.avg_sec <= r.max_sec
+        if r.bucket > 0:
+            assert 2**r.bucket <= r.min_sec
+        assert r.max_sec < 2 ** (r.bucket + 1)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+
+
+def test_seasonal_decompose_sums_to_zero_and_strength_bounded(spark, sf_dir):
+    rows = QUERIES["seasonal_decompose_stats"](spark, sf_dir).collect()
+    assert len(rows) == 7
+    # additive seasonal factors weighted by day counts sum to ~0
+    weighted = sum(r.seasonal * r.n_days for r in rows)
+    n_days = sum(r.n_days for r in rows)
+    assert abs(weighted / n_days) < 1.0  # detrended mean is near zero
+    strengths = {r.seasonal_strength for r in rows}
+    assert len(strengths) == 1
+    s = rows[0].seasonal_strength
+    assert s is None or 0.0 <= s <= 1.0
+
+
+def test_kfold_assignment_is_balanced_and_disjoint(spark, sf_dir):
+    rows = QUERIES["kfold_balance_audit"](spark, sf_dir).collect()
+    assert [r.fold for r in rows] == list(range(5))
+    from ethical_data_ingestion_spark.io import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0.5 < r.size_ratio < 1.5  # no pathological fold
+        assert 1 <= r.n_langs <= 5
