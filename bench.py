@@ -90,6 +90,7 @@ HEADLINE = [
     "validation_gate_stats",
     "approx_order_stats",
     "gap_fill_daily",
+    "freshness_lag_audit",
     "moving_avg_7d",
     "time_decay_scores",
     "cusum_changepoint",
@@ -157,6 +158,8 @@ HEADLINE = [
     "hll_union_cardinality",
     "kmv_distinct_stats",
     "k_anonymity_audit",
+    "generalization_tradeoff_curve",
+    "deletion_cascade_audit",
     "dp_noisy_release_calibration",
     "t_closeness_audit",
     "imputation_audit",

@@ -324,3 +324,166 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+#: deterministic "deletion request" cohort: ~4% of users by md5 residue.
+_DEL_RESIDUE = 25
+
+
+@register(
+    "deletion_cascade_audit",
+    oracle=f"""
+    WITH del AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+            % {_DEL_RESIDUE} = 0
+    ),
+    marked AS (
+      SELECT e.event_type,
+             CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+             CAST(ROUND(e.value, 2) AS DECIMAL(18,2)) AS v
+      FROM events e LEFT JOIN del d ON e.user_id = d.user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(hit) AS BIGINT) AS n_delete,
+           ROUND(SUM(hit)::DOUBLE / COUNT(*)::DOUBLE, 6) AS delete_share,
+           ROUND(SUM(CASE WHEN hit = 1 THEN v
+                          ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE, 2)
+             AS value_at_risk
+    FROM marked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: a deterministic ~4% cohort of
+    users (md5 residue — standing in for an actual deletion-request
+    table) traced through the event store, reporting per event type how
+    many rows a GDPR/CCPA erasure would cascade-delete and the metric
+    value that disappears with them. The release-side audit a data-
+    protection officer runs BEFORE approving the erasure job: a type
+    whose delete_share is far from the cohort's user share means those
+    users are over-represented in that signal and downstream aggregates
+    will shift (the ethical-ingestion posture of the reference —
+    ``ethical_crawler.py``'s compliance gates — extended to the right
+    of erasure). Swapping the residue for a real request table changes
+    one CTE, nothing else.
+
+    Exactness: the cohort is the engine-independent md5-residue idiom;
+    counts are integers, values round-2 DECIMAL sums. Scale shape: the
+    deletion cohort is a distinct-user semi-join key set (broadcast at
+    real request volumes); one linear pass over events with map-side
+    combine — exactly the shape of the real delete's dry run."""
+    ev = load_table(spark, sf_dir, "events")
+    res = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % _DEL_RESIDUE
+    )
+    deld = ev.select("user_id").distinct().filter(res == 0)
+    marked = ev.join(
+        F.broadcast(deld.withColumn("hit", F.lit(1))), "user_id", "left"
+    ).select(
+        "event_type",
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+    )
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("hit").cast("long").alias("n_delete"),
+            F.round(
+                F.sum("hit").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("delete_share"),
+            F.round(
+                F.sum(
+                    F.when(F.col("hit") == 1, F.col("v")).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("value_at_risk"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: account-balance band widths swept by the generalization curve.
+_GEN_BANDS = (500, 1000, 2000, 4000)
+
+
+@register(
+    "generalization_tradeoff_curve",
+    oracle=f"""
+    WITH widths AS (
+      SELECT unnest(ARRAY[{", ".join(str(w) for w in _GEN_BANDS)}]) AS w
+    ),
+    cls AS (
+      SELECT widths.w, c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / widths.w::DOUBLE) AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM customer CROSS JOIN widths
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT w AS band_width,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           MIN(k) AS k_min,
+           CAST(SUM(CASE WHEN k < {_K_SMALL} THEN k ELSE 0 END) AS BIGINT)
+             AS rows_small,
+           ROUND(SUM(CASE WHEN k < {_K_SMALL} THEN k ELSE 0 END)::DOUBLE
+                 / SUM(k)::DOUBLE, 6) AS pct_rows_small,
+           ROUND(SUM(k)::DOUBLE / COUNT(*)::DOUBLE, 4) AS avg_class_size
+    FROM cls GROUP BY w ORDER BY w
+    """,
+)
+def generalization_tradeoff_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-anonymity generalization ladder: the `k_anonymity_audit`
+    quasi-identifier set re-evaluated at four account-balance band
+    widths, reporting how k_min and the re-identifiable row mass fall
+    as the band coarsens — the utility-vs-privacy curve a release
+    reviewer actually negotiates over ("how much resolution must we
+    give up before k >= 5?"). The audit panel fixes one banding; this
+    one prices the knob.
+
+    Exactness: the sweep is a 4-row broadcast explode; class sizes are
+    integers; the two ratios mirror. Scale shape: the explode multiplies
+    the one groupBy's input x4 but the shuffle still carries only
+    (width, QI-class) combine cells — at 100 TB this is four k-anon
+    audits for the price of one pass over the table."""
+    cust = load_table(spark, sf_dir, "customer")
+    widths = F.explode(
+        F.array(*[F.lit(w) for w in _GEN_BANDS])
+    ).alias("w")
+    cls = (
+        cust.select("c_mktsegment", "c_nationkey", "c_acctbal", widths)
+        .groupBy(
+            "w",
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(
+                F.col("c_acctbal") / F.col("w").cast("double")
+            )
+            .cast("long")
+            .alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    small = F.when(F.col("k") < _K_SMALL, F.col("k")).otherwise(0)
+    return (
+        cls.groupBy(F.col("w").alias("band_width"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("k").alias("k_min"),
+            F.sum(small).cast("long").alias("rows_small"),
+            F.round(
+                F.sum(small).cast("double") / F.sum("k").cast("double"), 6
+            ).alias("pct_rows_small"),
+            F.round(
+                F.sum("k").cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_class_size"),
+        )
+        .orderBy("band_width")
+    )

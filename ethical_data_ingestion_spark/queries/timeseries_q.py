@@ -1619,3 +1619,66 @@ def seasonal_decompose_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+#: freshness SLA: a feed more than 6 hours behind the corpus max is late.
+_FRESH_SLA_SEC = 6 * 3600
+
+
+@register(
+    "freshness_lag_audit",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT CAST(floor(epoch(MAX(ts))) AS BIGINT) AS mx FROM events
+    ),
+    feeds AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_sec,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY event_type
+    )
+    SELECT f.event_type, f.n_rows, f.last_ts,
+           a.mx - f.last_sec AS lag_sec,
+           (a.mx - f.last_sec > {_FRESH_SLA_SEC}) AS sla_breach
+    FROM feeds f, anchor a
+    ORDER BY f.event_type
+    """,
+)
+def freshness_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness audit: each event type treated as an upstream feed,
+    scored by how far its newest record trails the newest record in the
+    whole store, with a 6-hour SLA flag. The ops panel every ingest
+    platform pages on — a feed whose lag grows monotonically is a dead
+    producer (the reference's rate-limited fetchers going quiet), and
+    catching it here beats discovering it as a silent gap in
+    `gap_fill_daily` a week later.
+
+    Exactness: lags are integer epoch-second differences off a single
+    MAX anchor; the flag is an integer comparison. Scale shape: one
+    map-side-combined MAX/COUNT per type plus a broadcast scalar anchor
+    — at 100 TB this reads parquet footer statistics almost entirely
+    (zonemap min/max on ts), the same pruning `zonemap_pruning_stats`
+    prices."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.broadcast(
+        ev.agg(F.unix_timestamp(F.max("ts")).alias("mx"))
+    )
+    feeds = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.unix_timestamp(F.max("ts")).alias("last_sec"),
+        F.max("ts").alias("last_ts"),
+    )
+    return (
+        feeds.crossJoin(anchor)
+        .select(
+            "event_type",
+            "n_rows",
+            "last_ts",
+            (F.col("mx") - F.col("last_sec")).alias("lag_sec"),
+            (F.col("mx") - F.col("last_sec") > _FRESH_SLA_SEC).alias(
+                "sla_breach"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -273,3 +273,45 @@ def test_kfold_assignment_is_balanced_and_disjoint(spark, sf_dir):
     for r in rows:
         assert 0.5 < r.size_ratio < 1.5  # no pathological fold
         assert 1 <= r.n_langs <= 5
+
+
+def test_deletion_cascade_conserves_rows_and_cohort(spark, sf_dir):
+    rows = QUERIES["deletion_cascade_audit"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    from ethical_data_ingestion_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.n_rows for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r.n_delete <= r.n_rows
+        assert r.value_at_risk >= 0.0
+    # the cohort's overall row share tracks its user share loosely
+    total_share = sum(r.n_delete for r in rows) / sum(r.n_rows for r in rows)
+    assert 0.0 <= total_share < 0.25
+
+
+def test_generalization_curve_is_monotone_in_band_width(spark, sf_dir):
+    rows = QUERIES["generalization_tradeoff_curve"](spark, sf_dir).collect()
+    assert [r.band_width for r in rows] == [500, 1000, 2000, 4000]
+    total_rows = None
+    for r in rows:
+        t = round(r.avg_class_size * r.n_classes)
+        total_rows = total_rows or t
+        assert abs(t - total_rows) <= 1  # every width covers all rows
+    # coarser bands -> fewer classes and (weakly) larger k_min
+    ncls = [r.n_classes for r in rows]
+    assert ncls == sorted(ncls, reverse=True)
+    kmins = [r.k_min for r in rows]
+    assert all(b >= a for a, b in zip(kmins, kmins[1:]))
+    smalls = [r.pct_rows_small for r in rows]
+    assert all(b <= a + 1e-9 for a, b in zip(smalls, smalls[1:]))
+
+
+def test_freshness_lag_has_one_current_feed(spark, sf_dir):
+    rows = QUERIES["freshness_lag_audit"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert min(r.lag_sec for r in rows) == 0  # someone defines the anchor
+    for r in rows:
+        assert r.lag_sec >= 0
+        assert r.sla_breach == (r.lag_sec > 6 * 3600)
