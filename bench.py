@@ -94,6 +94,7 @@ HEADLINE = [
     "moving_avg_7d",
     "time_decay_scores",
     "cusum_changepoint",
+    "mad_anomaly_days",
     "seasonality_dft_stats",
     "seasonal_decompose_stats",
     "forecast_backtest_stats",
@@ -120,6 +121,7 @@ HEADLINE = [
     "text_quality_stats",
     "token_count_bpe",
     "word_frequency_topk",
+    "collocation_pmi_topk",
     "tfidf_source_keywords",
     "text_repetition_stats",
     "char_entropy_stats",
@@ -161,6 +163,7 @@ HEADLINE = [
     "generalization_tradeoff_curve",
     "deletion_cascade_audit",
     "dp_noisy_release_calibration",
+    "dp_epsilon_utility_curve",
     "t_closeness_audit",
     "imputation_audit",
     "sample_size_planner",

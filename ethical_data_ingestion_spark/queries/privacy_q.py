@@ -487,3 +487,133 @@ def generalization_tradeoff_curve(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("band_width")
     )
+
+
+#: epsilon grid for the utility curve — dyadic values so b = 1/eps is
+#: exact in both engines.
+_DP_EPS = (0.25, 0.5, 1.0, 2.0)
+#: the 99.9% Laplace quantile is ~6.9·b; flag draws past 7·b.
+_DP_Q999 = 7.0
+
+
+@register(
+    "dp_epsilon_utility_curve",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM customer GROUP BY c_nationkey
+    ),
+    eps AS (
+      SELECT CAST(unnest(ARRAY[{", ".join(str(e) for e in _DP_EPS)}])
+                  AS DOUBLE) AS eps
+    ),
+    withu AS (
+      SELECT e.eps, c.c_nationkey, c.true_count,
+             (('0x' || substring(md5('dp:' || CAST(e.eps AS VARCHAR) || ':'
+                                     || CAST(c.c_nationkey AS VARCHAR)),
+                                 1, 8))::BIGINT + 1)::DOUBLE
+               / 4294967297.0 AS u
+      FROM cnt c CROSS JOIN eps e
+    ),
+    noised AS (
+      SELECT eps, true_count,
+             CASE WHEN u < 0.5 THEN (1.0 / eps) * ln(2.0 * u)
+                  ELSE -(1.0 / eps) * ln(2.0 * (1.0 - u)) END AS noise
+      FROM withu
+    ),
+    agg AS (
+      SELECT eps,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(true_count) AS BIGINT) AS st,
+             SUM(CAST(ROUND(abs(noise), 9) AS DECIMAL(18,9))) AS sa,
+             MAX(CAST(ROUND(abs(noise), 9) AS DECIMAL(18,9))) AS mx,
+             CAST(SUM(CASE WHEN abs(noise) <= {_DP_Q999} / eps
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+      FROM noised GROUP BY eps
+    )
+    SELECT eps, n_cells,
+           ROUND(sa::DOUBLE / n_cells::DOUBLE, 4) AS avg_abs_noise,
+           ROUND(mx::DOUBLE, 4) AS max_abs_noise,
+           ROUND(sa::DOUBLE / st::DOUBLE, 6) AS rel_err,
+           n_within
+    FROM agg ORDER BY eps
+    """,
+)
+def dp_epsilon_utility_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy-budget menu: the `dp_noisy_release_calibration`
+    release re-priced across an epsilon grid (0.25–2, Laplace scale
+    b = 1/eps), reporting mean and max absolute noise, noise as a share
+    of the released mass (the utility loss), and how many cells stay
+    inside the 99.9% quantile. This is the table a privacy review
+    actually bargains over — the audit panel fixes eps = 1; this one
+    shows what each step of the budget buys, so the "can we afford
+    eps = 0.5?" conversation happens over numbers instead of vibes.
+
+    Determinism: one md5-uniform draw per (eps, cell) through the
+    Laplace inverse CDF (the calibration panel's idiom — mirrored ln
+    expression); |noise| is round-9-quantized to DECIMAL before the
+    mean/max so the rollup is order-free. Scale shape: noise math runs
+    on |eps| x |groups| rows — free at any scale; the only corpus pass
+    is the one map-side-combined GROUP BY."""
+    cust = load_table(spark, sf_dir, "customer")
+    cnt = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    eps = F.explode(
+        F.array(*[F.lit(float(e)) for e in _DP_EPS])
+    ).alias("eps")
+    withe = cnt.select("c_nationkey", "true_count", eps)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp:"),
+                        F.col("eps").cast("string"),
+                        F.lit(":"),
+                        F.col("c_nationkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ).cast("double") / F.lit(4294967297.0)
+    b = F.lit(1.0) / F.col("eps")
+    noise = F.when(u < 0.5, b * F.log(2.0 * u)).otherwise(
+        -b * F.log(2.0 * (F.lit(1.0) - u))
+    )
+    noised = withe.select(
+        "eps",
+        "true_count",
+        noise.alias("noise"),
+    )
+    an9 = F.round(F.abs("noise"), 9).cast("decimal(18,9)")
+    agg = noised.groupBy("eps").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("true_count").cast("long").alias("st"),
+        F.sum(an9).alias("sa"),
+        F.max(an9).alias("mx"),
+        F.sum(
+            F.when(
+                F.abs("noise") <= F.lit(_DP_Q999) / F.col("eps"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within"),
+    )
+    return agg.select(
+        "eps",
+        "n_cells",
+        F.round(
+            F.col("sa").cast("double") / F.col("n_cells").cast("double"), 4
+        ).alias("avg_abs_noise"),
+        F.round(F.col("mx").cast("double"), 4).alias("max_abs_noise"),
+        F.round(
+            F.col("sa").cast("double") / F.col("st").cast("double"), 6
+        ).alias("rel_err"),
+        "n_within",
+    ).orderBy("eps")

@@ -1552,3 +1552,113 @@ def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: collocation mining: minimum bigram frequency and report size.
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+@register(
+    "collocation_pmi_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    uni AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(ws) AS w FROM toks) WHERE w <> ''
+      GROUP BY w
+    ),
+    bi AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, unnest(range(1, len(ws))) AS t(i)
+      WHERE ws[i] <> '' AND ws[i + 1] <> ''
+      GROUP BY 1, 2
+    ),
+    nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    nb AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bi),
+    scored AS (
+      SELECT b.w1, b.w2, b.c,
+             ROUND(ln((b.c::DOUBLE / nb.n::DOUBLE)
+                      / ((u1.c::DOUBLE / nu.n::DOUBLE)
+                         * (u2.c::DOUBLE / nu.n::DOUBLE))), 6) AS pmi
+      FROM bi b
+      JOIN uni u1 ON b.w1 = u1.word
+      JOIN uni u2 ON b.w2 = u2.word
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE b.c >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c AS n_pair, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOP}
+    """,
+)
+def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: adjacent
+    word pairs seen at least {_PMI_MIN_COUNT} times, scored by
+    ln(p(ab) / (p(a)p(b))) and reported top-{_PMI_TOP}. High-PMI pairs
+    are the multi-word expressions ("new york", "machine learning") a
+    tokenizer should fuse and `bpe_merge_candidates` will discover at
+    the byte level — this is the word-level twin, and on the fixture's
+    independent word soup the panel honestly tops out near PMI 0 plus
+    sampling noise (the min-count floor keeps pure-noise pairs out).
+
+    Exactness: all counts are integers; PMI is ONE mirrored double
+    expression (divisions then ln) rounded to 6, and the top-k carries
+    the (pmi DESC, w1, w2) unique tie-break. The Spark bigram stream
+    reuses the slide-by-one zip of the shingle family; DuckDB unnests
+    positional ranges — same pairs, engine-native idioms. Scale shape:
+    bigram and unigram counts are map-side-combined explodes; the two
+    vocabulary joins broadcast at fixture scale (a web-scale vocab
+    shuffles on the word key instead — same plan, AQE picks); the
+    final TakeOrderedAndProject carries {_PMI_TOP} rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("ws"))
+    uni = materialize(
+        toks.select(F.explode("ws").alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice(
+                    "ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))
+                ),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = materialize(
+        pairs.filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nu = F.broadcast(uni.agg(F.sum("c").cast("long").alias("n_uni")))
+    nb = F.broadcast(bi.agg(F.sum("c").cast("long").alias("n_bi")))
+    u1 = F.broadcast(uni.select(F.col("word").alias("w1"), F.col("c").alias("c1")))
+    u2 = F.broadcast(uni.select(F.col("word").alias("w2"), F.col("c").alias("c2")))
+    pmi = F.round(
+        F.log(
+            (F.col("c").cast("double") / F.col("n_bi").cast("double"))
+            / (
+                (F.col("c1").cast("double") / F.col("n_uni").cast("double"))
+                * (F.col("c2").cast("double") / F.col("n_uni").cast("double"))
+            )
+        ),
+        6,
+    )
+    return (
+        bi.filter(F.col("c") >= _PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(nu)
+        .crossJoin(nb)
+        .select("w1", "w2", F.col("c").alias("n_pair"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP)
+    )

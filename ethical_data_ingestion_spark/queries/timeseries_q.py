@@ -1682,3 +1682,129 @@ def freshness_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: MAD anomaly multiplier (the classic 3.5 consistency-scaled rule).
+_MAD_K = 3.5
+_MAD_CONSISTENCY = 1.4826
+
+
+@register(
+    "mad_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT AVG(n::DOUBLE) AS med FROM (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n, day) AS rn,
+               COUNT(*) OVER () AS m
+        FROM daily
+      ) WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+    ),
+    dev AS (
+      SELECT d.day, d.n, abs(d.n::DOUBLE - med.med) AS ad
+      FROM daily d, med
+    ),
+    mad AS (
+      SELECT AVG(ad) AS mad FROM (
+        SELECT ad, ROW_NUMBER() OVER (ORDER BY ad, day) AS rn,
+               COUNT(*) OVER () AS m
+        FROM dev
+      ) WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+    )
+    SELECT d.day, d.n,
+           ROUND(CASE WHEN mad.mad > 0
+                      THEN (d.n::DOUBLE - med.med)
+                           / ({_MAD_CONSISTENCY} * mad.mad) END, 4)
+             AS robust_z,
+           (mad.mad > 0 AND abs(d.n::DOUBLE - med.med)
+                            > {_MAD_K} * {_MAD_CONSISTENCY} * mad.mad)
+             AS is_anomaly
+    FROM dev d, med, mad
+    ORDER BY d.day
+    """,
+)
+def mad_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly screen: each day's event count scored
+    by its median/MAD z-score (consistency constant 1.4826, flag at
+    |z| > {_MAD_K}) — the outlier detector that still works when the
+    outliers themselves corrupt the baseline, which is exactly when the
+    mean/stddev screens (`streaming_anomaly_windows`, `cusum_changepoint`)
+    go blind: one 10x ingest spike inflates a stddev enough to hide a
+    second spike, but moves the median not at all.
+
+    Exactness: the median and MAD are exact middle-rank averages over
+    the calendar-bounded daily table (ROW_NUMBER with value+day
+    tie-break — no percentile_approx); deviations and z are mirrored
+    double expressions; the zero-MAD degenerate case NULLs the score on
+    both engines. Scale shape: after the one map-side-combined daily
+    rollup everything runs on |days| rows; the unpartitioned windows are
+    calendar-bounded by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = materialize(
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    )
+
+    def _median(df, col, tie):
+        w = Window.orderBy(col, tie)
+        ranked = df.select(
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+        )
+        return F.broadcast(
+            ranked.filter(
+                (F.col("rn") == ((F.col("m") + 1) / 2).cast("long"))
+                | (F.col("rn") == ((F.col("m") + 2) / 2).cast("long"))
+            ).agg(F.avg(F.col(col).cast("double")).alias("med"))
+        )
+
+    med = _median(daily, "n", "day")
+    dev = daily.crossJoin(med).select(
+        "day",
+        "n",
+        "med",
+        F.abs(F.col("n").cast("double") - F.col("med")).alias("ad"),
+    )
+    dev = materialize(dev)
+    madw = Window.orderBy("ad", "day")
+    mad = F.broadcast(
+        dev.select(
+            "ad",
+            F.row_number().over(madw).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+        )
+        .filter(
+            (F.col("rn") == ((F.col("m") + 1) / 2).cast("long"))
+            | (F.col("rn") == ((F.col("m") + 2) / 2).cast("long"))
+        )
+        .agg(F.avg("ad").alias("mad"))
+    )
+    scale = F.lit(_MAD_CONSISTENCY) * F.col("mad")
+    return (
+        dev.crossJoin(mad)
+        .select(
+            "day",
+            "n",
+            F.round(
+                F.when(
+                    F.col("mad") > 0,
+                    (F.col("n").cast("double") - F.col("med")) / scale,
+                ),
+                4,
+            ).alias("robust_z"),
+            (
+                (F.col("mad") > 0)
+                & (
+                    F.abs(F.col("n").cast("double") - F.col("med"))
+                    > F.lit(_MAD_K) * scale
+                )
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )

@@ -315,3 +315,38 @@ def test_freshness_lag_has_one_current_feed(spark, sf_dir):
     for r in rows:
         assert r.lag_sec >= 0
         assert r.sla_breach == (r.lag_sec > 6 * 3600)
+
+
+def test_dp_utility_curve_noise_scales_inversely_with_eps(spark, sf_dir):
+    rows = QUERIES["dp_epsilon_utility_curve"](spark, sf_dir).collect()
+    assert [r.eps for r in rows] == [0.25, 0.5, 1.0, 2.0]
+    noises = [r.avg_abs_noise for r in rows]
+    # E|Laplace(b)| = b = 1/eps: average noise must fall as eps grows
+    assert noises == sorted(noises, reverse=True)
+    for r in rows:
+        assert r.max_abs_noise >= r.avg_abs_noise
+        assert 0 <= r.n_within <= r.n_cells
+        assert r.rel_err > 0
+
+
+def test_pmi_topk_is_sorted_and_min_count_respected(spark, sf_dir):
+    rows = QUERIES["collocation_pmi_topk"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r.n_pair >= 5
+
+
+def test_mad_anomaly_zscores_are_centered(spark, sf_dir):
+    rows = QUERIES["mad_anomaly_days"](spark, sf_dir).collect()
+    assert len(rows) == 30
+    zs = [r.robust_z for r in rows if r.robust_z is not None]
+    assert zs
+    # median day has z = 0; half the days sit on each side
+    n_neg = sum(1 for z in zs if z < 0)
+    n_pos = sum(1 for z in zs if z > 0)
+    assert abs(n_neg - n_pos) <= 2
+    for r in rows:
+        if r.robust_z is not None:
+            assert r.is_anomaly == (abs(r.robust_z) > 3.5)
