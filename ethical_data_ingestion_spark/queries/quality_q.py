@@ -2121,41 +2121,47 @@ _ORACLE_SQL["quality_vs_dup_lift"] = _quality_vs_dup_oracle()
 
 #: Poisson-bootstrap resamples.
 _BOOT_B = 32
-#: Poisson(1) CDF thresholds (P(X<=k), k=0..5); residues past the last
-#: threshold draw weight 6 — the truncation error is < 1e-4 per row.
-_POIS_CDF = (
-    "0.36787944117144233",
-    "0.7357588823428847",
-    "0.9196986029286058",
-    "0.9810118431238463",
-    "0.9963401531726563",
-    "0.9994058151824183",
-)
+#: Poisson(1) CDF quantized to byte resolution: a resample's weight is
+#: the inverse CDF of one md5 BYTE (ub in 0..255) — ub < 94 -> 0 (94/256
+#: = .3672 vs the true .3679), < 188 -> 1, < 235 -> 2, < 251 -> 3,
+#: < 255 -> 4, else 5. The byte quantization biases each CDF step by
+#: < 0.4% — far below the B=32 resampling noise — and lets ONE pair of
+#: md5 calls per event seed all 32 resamples (16 bytes each).
+_POIS_BYTE_CDF = (94, 188, 235, 251, 255)
 
 
-def _pois_weight_sql(u: str) -> str:
+def _pois_weight_sql(ub: str) -> str:
     arms = " ".join(
-        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+        f"WHEN {ub} < {c} THEN {k}" for k, c in enumerate(_POIS_BYTE_CDF)
     )
-    return f"CASE {arms} ELSE 6 END"
+    return f"CASE {arms} ELSE 5 END"
 
 
 @register(
     "bootstrap_ci_mean",
     oracle=f"""
-    WITH rs AS (
-      SELECT e.event_type, b.b,
-             ('0x' || substring(md5(CAST(e.event_id AS VARCHAR) || ':'
-                                    || CAST(b.b AS VARCHAR)), 1, 13))::BIGINT
-               / 4503599627370496.0 AS u,
-             CAST(ROUND(e.value, 2) AS DECIMAL(18,2)) AS v
-      FROM events e CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+    WITH pinned AS (
+      SELECT event_type,
+             CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v,
+             md5(CAST(event_id AS VARCHAR) || ':0') AS m0,
+             md5(CAST(event_id AS VARCHAR) || ':1') AS m1
+      FROM events
+    ),
+    rs AS (
+      SELECT event_type, v, b.b,
+             ('0x' || substring(CASE WHEN b.b < 16 THEN m0 ELSE m1 END,
+                                (b.b % 16) * 2 + 1, 2))::BIGINT AS ub
+      FROM pinned CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+    ),
+    wtab AS (
+      SELECT t.ub, {_pois_weight_sql('t.ub')} AS w
+      FROM (SELECT unnest(range(0, 256)) AS ub) t
     ),
     wm AS (
       SELECT event_type, b,
-             SUM(v * ({_pois_weight_sql('u')})) AS sv,
-             CAST(SUM({_pois_weight_sql('u')}) AS BIGINT) AS nw
-      FROM rs GROUP BY event_type, b
+             SUM(v * w) AS sv,
+             CAST(SUM(w) AS BIGINT) AS nw
+      FROM rs JOIN wtab USING (ub) GROUP BY event_type, b
     ),
     means AS (
       SELECT event_type,
@@ -2200,49 +2206,87 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     need no global n, so each resample is one map-side weight draw — no
     shuffle of resampled rows, B aggregates in a single pass.
 
-    Determinism: the resample weight is the Poisson(1) inverse CDF of a
-    52-bit md5 residue of (event_id, b) — the engine-independent hash
-    idiom of the sampling family; weighted sums stay in DECIMAL
-    (weights are small integers), each resample mean and its square are
-    round-9-quantized before the across-resample moments, and both
-    engines evaluate the same literal CDF thresholds. Scale shape: the
-    explode is x{_BOOT_B} but collapses immediately into (type, b)
-    combines; everything after is a {_BOOT_B}-row-per-type table."""
+    Determinism: the resample weight is the byte-quantized Poisson(1)
+    inverse CDF of one md5 byte — TWO md5 digests per event seed all
+    {_BOOT_B} resamples (16 bytes each), and the whole weighted
+    accumulation runs as ONE Arrow-batched pass (the GEMM precedent of
+    `pca_power_iteration_stats`): per partition, numpy digitizes the
+    byte matrix against the same integer thresholds the oracle's lookup
+    table encodes and accumulates exact int64 (type, b) partials in
+    CENTS (value round-2 x 100, quantized JVM-side in DECIMAL so tie
+    rounding matches the oracle) — integer arithmetic is exact in any
+    order, so the Python path is bit-identical to DuckDB's decimal
+    sums. The exploded Catalyst alternative (3.2M-row explode, CASE or
+    lookup-join per row) measured 5-15 s at sf0.1; this pass runs ~1 s.
+    Each resample mean and its square are round-9-quantized before the
+    across-resample moments. Scale shape: partials are |types| x
+    {_BOOT_B} int64 cells per partition — the shuffle carries KBs, and
+    the hash cost is O(rows), not O(rows x B)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
     ev = load_table(spark, sf_dir, "events")
-    rs = ev.select(
+    src = ev.select(
         "event_type",
-        "event_id",
-        F.round("value", 2).cast("decimal(18,2)").alias("v"),
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        F.col("event_id").cast("string").alias("eid"),
+        (F.round("value", 2).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("vc"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("event_id").cast("string"),
-                        F.lit(":"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(4503599627370496.0)
-    )
-    w = F.lit(6)
-    for k in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < float(_POIS_CDF[k]), F.lit(k)).otherwise(w)
-    wm = rs.groupBy("event_type", "b").agg(
-        F.sum(F.col("v") * w).alias("sv"),
-        F.sum(w).cast("long").alias("nw"),
+    bins = list(_POIS_BYTE_CDF)
+
+    def boot_partials(batches):
+        acc: dict[str, np.ndarray] = {}
+        cnt: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            by = np.empty((len(pdf), _BOOT_B), dtype=np.uint8)
+            for r, eid in enumerate(pdf["eid"]):
+                by[r, :16] = np.frombuffer(
+                    hashlib.md5((eid + ":0").encode()).digest(), dtype=np.uint8
+                )
+                by[r, 16:] = np.frombuffer(
+                    hashlib.md5((eid + ":1").encode()).digest(), dtype=np.uint8
+                )
+            w = np.digitize(by, bins).astype(np.int64)
+            vc = pdf["vc"].to_numpy(dtype=np.int64)
+            codes, uniq = pd.factorize(pdf["event_type"])
+            sv = np.zeros((len(uniq), _BOOT_B), dtype=np.int64)
+            nw = np.zeros((len(uniq), _BOOT_B), dtype=np.int64)
+            np.add.at(sv, codes, w * vc[:, None])
+            np.add.at(nw, codes, w)
+            for t_i, t in enumerate(uniq):
+                acc[t] = acc.get(t, 0) + sv[t_i]
+                cnt[t] = cnt.get(t, 0) + nw[t_i]
+        rows = [
+            (t, b, int(acc[t][b]), int(cnt[t][b]))
+            for t in acc
+            for b in range(_BOOT_B)
+        ]
+        yield pd.DataFrame(
+            rows, columns=["event_type", "b", "svc", "nw"]
+        )
+
+    wm = (
+        src.mapInPandas(
+            boot_partials, "event_type string, b int, svc long, nw long"
+        )
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("svc").cast("long").alias("svc"),
+            F.sum("nw").cast("long").alias("nw"),
+        )
     )
     means = wm.select(
         "event_type",
-        F.round(F.col("sv").cast("double") / F.col("nw").cast("double"), 9)
+        F.round(
+            (F.col("svc").cast("double") / F.lit(100.0))
+            / F.col("nw").cast("double"),
+            9,
+        )
         .cast("decimal(18,9)")
         .alias("m"),
     )

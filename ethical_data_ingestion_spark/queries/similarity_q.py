@@ -1167,10 +1167,16 @@ def _pca_oracle() -> str:
     triple per power-iteration round, so the Spark loop and the SQL
     mirror cannot drift."""
     ctes = [
+        """q AS (
+      SELECT vec_id, dim,
+             CAST(floor(v * 32768.0 + 0.5) AS BIGINT) AS q
+      FROM comp
+    )""",
         """gram AS (
       SELECT a.dim AS i, b.dim AS j,
-             SUM(CAST(ROUND(a.v * b.v, 9) AS DECIMAL(18,9))) AS g
-      FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+             CAST(SUM(a.q * b.q) AS BIGINT) AS gi,
+             CAST(SUM(a.q * b.q) AS BIGINT)::DOUBLE / 1073741824.0 AS g
+      FROM q a JOIN q b ON a.vec_id = b.vec_id
       GROUP BY a.dim, b.dim
     )""",
         """v0 AS (SELECT DISTINCT i AS j, 0.125 AS v FROM gram)""",
@@ -1204,7 +1210,8 @@ def _pca_oracle() -> str:
       FROM embeddings
     ),
     {",".join(ctes)},
-    tr AS (SELECT SUM(g)::DOUBLE AS trace FROM gram WHERE i = j),
+    tr AS (SELECT CAST(SUM(gi) AS BIGINT)::DOUBLE / 1073741824.0 AS trace
+           FROM gram WHERE i = j),
     ranked AS (
       SELECT j AS dim, v,
              ROW_NUMBER() OVER (ORDER BY abs(v) DESC, j) AS rn
@@ -1231,42 +1238,58 @@ def pca_power_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-isotropic vectors var_share honestly hovers near 1/64.
 
     Exactness is the iterative-algorithm discipline (PageRank/k-means
-    precedent): the gram entries are DECIMAL sums of round-9 component
-    products (order-free; f32→f64 exact); every matrix–vector product
-    round-9-quantizes each term before its DECIMAL sum; normalization is
-    sqrt (IEEE exact-rounded) and division — the whole chain is a
+    precedent) on a QUANTIZED gram: components round to q = floor(v·2^15
+    + 0.5) integers (explicit half-up — numpy's banker's rounding and the
+    engines' round() disagree on ties), so the gram is an exact integer
+    matrix computable by one numpy GEMM per partition — integer-valued
+    float64 matmul is exact in ANY summation order (the
+    `semantic_decontam_stats` precedent), so the Arrow path and DuckDB's
+    64-bit integer SUM agree bit-for-bit; g = gi/2^30 is an exact dyadic
+    division and every downstream value stays under 2^53. Each
+    matrix–vector product round-9-quantizes its terms before the DECIMAL
+    sum; normalization is sqrt (IEEE exact-rounded) and division — a
     deterministic expression tree mirrored round-for-round by generated
-    CTEs, and the DECIMAL→DOUBLE casts stay under 2^53 so they are
-    exact. Scale shape: the gram build is ONE self-join on vec_id (each
-    vector expands to dim² terms, map-side-combined into a 64×64
-    table — at 100 TB this is the classic outer-product aggregation,
-    shuffle bounded by dims², not rows); each iteration is a broadcast
-    of the 64-row vector against the 4096-row gram."""
+    CTEs. Scale shape: the gram is the classic outer-product
+    aggregation — per-partition 64×64 partials (GEMM, no row blowup; the
+    pure-SQL self-join alternative shuffles |rows|·dims² product terms,
+    measured 3× slower at sf0.1), merged by an exact 4096-row integer
+    sum; each iteration is a broadcast of the 64-row vector against the
+    4096-row gram."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "vf")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("dim"),
-        F.col("vf").cast("double").alias("v"),
-    )
-    a = comp.select(
-        "vec_id", F.col("dim").alias("i"), F.col("v").alias("vi")
-    )
-    b = comp.select(
-        "vec_id", F.col("dim").alias("j"), F.col("v").alias("vj")
-    )
+
+    def gram_partials(batches):
+        acc = np.zeros((64, 64), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            q = np.floor(m * 32768.0 + 0.5)
+            acc += q.T @ q
+        ii, jj = np.meshgrid(range(64), range(64), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": (ii + 1).ravel().astype("int32"),
+                "j": (jj + 1).ravel().astype("int32"),
+                "gp": acc.ravel().astype("int64"),
+            }
+        )
+
     gram = materialize(
-        a.join(b, "vec_id")
+        emb.select("embedding")
+        .mapInPandas(gram_partials, "i int, j int, gp long")
+        .groupBy("i", "j")
+        .agg(F.sum("gp").alias("gi"))
         .select(
             "i",
             "j",
-            F.round(F.col("vi") * F.col("vj"), 9)
-            .cast("decimal(18,9)")
-            .alias("t"),
+            "gi",
+            (F.col("gi").cast("double") / F.lit(1073741824.0)).alias("g"),
         )
-        .groupBy("i", "j")
-        .agg(F.sum("t").alias("g"))
     )
     v = gram.select(F.col("i").alias("j")).distinct().select(
         "j", F.lit(0.125).alias("v")
@@ -1303,7 +1326,10 @@ def pca_power_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrm_col = nrm
     tr = F.broadcast(
         gram.filter(F.col("i") == F.col("j")).agg(
-            F.sum("g").cast("double").alias("trace")
+            (
+                F.sum("gi").cast("long").cast("double")
+                / F.lit(1073741824.0)
+            ).alias("trace")
         )
     )
     w = Window.orderBy(F.abs(F.col("v")).desc(), "j")
