@@ -151,6 +151,7 @@ HEADLINE = [
     "dsir_selection_stats",
     "event_transition_matrix",
     "markov_entropy_stats",
+    "markov_stationary_dist",
     "event_path_topk",
     "attribution_last_touch",
     "attribution_position_based",
@@ -216,6 +217,7 @@ HEADLINE = [
     "join_skew_report",
     "revenue_gini_stats",
     "quality_vs_dup_lift",
+    "quality_screen_venn",
     "zonemap_pruning_stats",
     "zorder_pruning_stats",
     "corr_matrix_lineitem",

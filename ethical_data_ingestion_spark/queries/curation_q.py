@@ -1587,3 +1587,137 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch")
     )
+
+
+#: power-iteration rounds for the stationary distribution.
+_STAT_ITERS = 4
+
+
+def _stationary_oracle() -> str:
+    """Generated CTE chain (graph_q/PCA discipline): one iteration CTE
+    per power-iteration round over the 5x5 transition matrix."""
+    its = []
+    for t in range(1, _STAT_ITERS + 1):
+        prev = "p0" if t == 1 else f"it{t - 1}"
+        its.append(
+            f"""it{t} AS (
+      SELECT pm.next_type AS t,
+             SUM(CAST(ROUND({prev}.p * pm.p, 9)
+                      AS DECIMAL(18,9)))::DOUBLE AS p
+      FROM pm JOIN {prev} ON pm.prev_type = {prev}.t
+      GROUP BY pm.next_type
+    )"""
+        )
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    pm AS (
+      SELECT prev_type, next_type,
+             n::DOUBLE / SUM(n) OVER (PARTITION BY prev_type)::DOUBLE AS p
+      FROM pairs
+    ),
+    p0 AS (SELECT DISTINCT prev_type AS t, 0.2 AS p FROM pm),
+    {",".join(its)},
+    obs AS (
+      SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM obs)
+    SELECT obs.t AS event_type, obs.n AS n_events,
+           ROUND(obs.n::DOUBLE / tot.tn::DOUBLE, 6) AS observed_share,
+           ROUND(it{_STAT_ITERS}.p, 6) AS stationary_p,
+           ROUND(it{_STAT_ITERS}.p
+                 - obs.n::DOUBLE / tot.tn::DOUBLE, 6) AS gap
+    FROM obs JOIN it{_STAT_ITERS} ON obs.t = it{_STAT_ITERS}.t, tot
+    ORDER BY event_type
+    """
+
+
+@register("markov_stationary_dist", oracle=_stationary_oracle())
+def markov_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-event Markov chain
+    (`event_transition_matrix`'s P, taken to the limit by four rounds of
+    power iteration from uniform), next to the observed marginal share
+    of each event type. The gap column is the behavioral-drift readout:
+    the marginal says where traffic IS, the stationary says where the
+    transition dynamics would take it if they kept running — a positive
+    gap on 'error' means the chain funnels sessions toward errors
+    faster than today's mix shows, the early-warning complement of
+    `markov_entropy_stats` (which scores predictability, not
+    destination).
+
+    Exactness follows the iterative discipline (PageRank/PCA): the
+    transition probabilities are one mirrored double division off
+    integer counts; each iteration round-9-quantizes its 25 product
+    terms before the DECIMAL sum; four rounds are generated as chained
+    CTEs so the engines cannot drift. Scale shape: one windowed pass
+    partitioned by user builds the 5x5 matrix; every iteration runs on
+    25 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pm = materialize(
+        pairs.select(
+            "prev_type",
+            "next_type",
+            (
+                F.col("n").cast("double")
+                / F.sum("n")
+                .over(Window.partitionBy("prev_type"))
+                .cast("double")
+            ).alias("p"),
+        )
+    )
+    p = pm.select(F.col("prev_type").alias("t")).distinct().select(
+        "t", F.lit(0.2).alias("p")
+    )
+    for _ in range(_STAT_ITERS):
+        p = (
+            pm.join(
+                F.broadcast(p.withColumnRenamed("p", "pv")),
+                pm.prev_type == F.col("t"),
+            )
+            .select(
+                F.col("next_type").alias("nt"),
+                F.round(F.col("pv") * F.col("p"), 9)
+                .cast("decimal(18,9)")
+                .alias("term"),
+            )
+            .groupBy("nt")
+            .agg(F.sum("term").cast("double").alias("p"))
+            .select(F.col("nt").alias("t"), "p")
+        )
+    obs = ev.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = F.broadcast(obs.agg(F.sum("n").cast("long").alias("tn")))
+    oshare = F.col("n").cast("double") / F.col("tn").cast("double")
+    return (
+        obs.join(p, "t")
+        .crossJoin(tot)
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("n").alias("n_events"),
+            F.round(oshare, 6).alias("observed_share"),
+            F.round("p", 6).alias("stationary_p"),
+            F.round(F.col("p") - oshare, 6).alias("gap"),
+        )
+        .orderBy("event_type")
+    )

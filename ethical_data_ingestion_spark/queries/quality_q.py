@@ -2337,3 +2337,113 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: short-document screen threshold (chars).
+_VENN_SHORT = 250
+
+
+@register("quality_screen_venn", oracle=None)  # composed below
+def quality_screen_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen-overlap Venn: every document classified by three
+    independent curation screens — bottom-quartile quality (global
+    rank of the frozen z-score, the `_global_ranks` TeraSort ranker),
+    exact duplicate (normalized-text fingerprint shared), short (< 250
+    chars) — with one row per combination. The redundancy audit a
+    pipeline owner reads before ordering the screens: documents caught
+    ONLY by the expensive screen justify running it; a screen whose
+    flagged mass is entirely contained in cheaper screens' cells is
+    dead weight at 100 TB (`quality_vs_dup_lift` asks this for one
+    pair of screens as a lift curve; the Venn shows all eight cells).
+
+    Exactness: the z-score is the frozen-weight bit-deterministic
+    quality core and the quartile cut is pure integer rank arithmetic
+    (rn*4//n — no ntile, no unbounded window); the dup flag is the
+    exact-dedup fingerprint; all cells are integer counts plus one
+    mirrored share division. Scale shape: the rank is the TeraSort
+    pattern (range partition + broadcast offsets), the other screens
+    are linear projections, and the rollup is 8 rows."""
+    from .text_q import quality_z_df
+    from ..operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    qz = quality_z_df(docs)
+    fps = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(normalize_text("text")).alias("fp"),
+    )
+    dup = fps.select(
+        "doc_id",
+        "n_chars",
+        (F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1).alias(
+            "is_dup"
+        ),
+    )
+    vals = qz.select("doc_id", "z").join(dup, "doc_id")
+    ranked, n = _global_ranks(vals, "z", "doc_id")
+    flags = ranked.select(
+        ((F.col("rn") * 4 / F.lit(n)).cast("long") == 0).alias(
+            "low_quality"
+        ),
+        "is_dup",
+        (F.col("n_chars") < _VENN_SHORT).alias("is_short"),
+    )
+    cells = materialize(
+        flags.groupBy("low_quality", "is_dup", "is_short").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+    )
+    tot = F.broadcast(cells.agg(F.sum("n_docs").cast("long").alias("t")))
+    return (
+        cells.crossJoin(tot)
+        .select(
+            "low_quality",
+            "is_dup",
+            "is_short",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("t").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("low_quality", "is_dup", "is_short")
+    )
+
+
+def _venn_oracle() -> str:
+    from .text_q import QUALITY_Z_CTE
+    from .dedup_q import _NORM
+
+    return f"""
+    WITH {QUALITY_Z_CTE},
+    fps AS (SELECT doc_id, n_chars, md5({_NORM}) AS fp FROM documents),
+    dup AS (
+      SELECT doc_id, n_chars,
+             (COUNT(*) OVER (PARTITION BY fp) > 1) AS is_dup
+      FROM fps
+    ),
+    rk AS (
+      SELECT qz.z, d.is_dup, d.n_chars,
+             ROW_NUMBER() OVER (ORDER BY qz.z, qz.doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM qz JOIN dup d USING (doc_id)
+    ),
+    flags AS (
+      SELECT ((rn - 1) * 4 // n = 0) AS low_quality, is_dup,
+             (n_chars < {_VENN_SHORT}) AS is_short
+      FROM rk
+    ),
+    cells AS (
+      SELECT low_quality, is_dup, is_short,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM flags GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM cells)
+    SELECT c.low_quality, c.is_dup, c.is_short, c.n_docs,
+           ROUND(c.n_docs::DOUBLE / tot.t::DOUBLE, 6) AS share
+    FROM cells c, tot
+    ORDER BY c.low_quality, c.is_dup, c.is_short
+    """
+
+
+_ORACLE_SQL["quality_screen_venn"] = _venn_oracle()

@@ -350,3 +350,29 @@ def test_mad_anomaly_zscores_are_centered(spark, sf_dir):
     for r in rows:
         if r.robust_z is not None:
             assert r.is_anomaly == (abs(r.robust_z) > 3.5)
+
+
+def test_stationary_dist_is_a_distribution_near_observed(spark, sf_dir):
+    rows = QUERIES["markov_stationary_dist"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    s = sum(r.stationary_p for r in rows)
+    assert abs(s - 1.0) < 1e-3  # power iteration preserves total mass
+    o = sum(r.observed_share for r in rows)
+    assert abs(o - 1.0) < 1e-3
+    for r in rows:
+        assert 0.0 < r.stationary_p < 1.0
+        assert abs(r.gap - (r.stationary_p - r.observed_share)) < 1e-5
+        # uniform-ish fixture chain: stationary within 10pp of marginal
+        assert abs(r.gap) < 0.1
+
+
+def test_quality_venn_cells_partition_corpus(spark, sf_dir):
+    rows = QUERIES["quality_screen_venn"](spark, sf_dir).collect()
+    from ethical_data_ingestion_spark.io import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    lowq = sum(r.n_docs for r in rows if r.low_quality)
+    # bottom quartile by construction
+    assert abs(lowq - n_docs // 4) <= 1
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
