@@ -195,6 +195,7 @@ HEADLINE = [
     "embedding_outlier_stats",
     "pca_power_iteration_stats",
     "knn_cosine_ivf",
+    "ivf_nprobe_sweep",
     "contrastive_pair_mining",
     "embedding_drift_stats",
     "embedding_quantization_stats",

@@ -1346,3 +1346,184 @@ def pca_power_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.abs(F.col("loading")).desc(), "dim")
     )
+
+
+#: nprobe grid for the IVF tuning sweep.
+_IVF_NPROBES = (1, 2, 4, 8)
+
+
+@register(
+    "ivf_nprobe_sweep",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings),
+    c AS (SELECT vec_id AS cid, bv AS cv FROM b WHERE vec_id < 16),
+    ascore AS (
+      SELECT b.vec_id, c.cid,
+             ROUND(list_dot_product(bv, cv) /
+                   (sqrt(list_dot_product(bv, bv)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+      FROM b, c
+    ),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        FROM ascore
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, bv AS qv FROM b WHERE vec_id < 5),
+    scoredall AS (
+      SELECT query_id, vec_id, {_COS} AS cos
+      FROM b, q WHERE vec_id <> query_id
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scoredall
+      ) WHERE rank <= 10
+    ),
+    qrank AS (
+      SELECT query_id, cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               ROUND(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+               DESC, cid) AS rq
+      FROM q, c
+    ),
+    csize AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM cells GROUP BY cell),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+    nps AS (SELECT unnest(ARRAY[{", ".join(str(p) for p in _IVF_NPROBES)}])
+              AS nprobe),
+    hits AS (
+      SELECT t.query_id, qr.rq
+      FROM truth t
+      JOIN cells ce ON t.vec_id = ce.vec_id
+      JOIN qrank qr ON qr.query_id = t.query_id AND qr.cell = ce.cell
+    ),
+    rec AS (
+      SELECT nps.nprobe,
+             ROUND(SUM(CASE WHEN h.rq <= nps.nprobe THEN 1 ELSE 0 END)::DOUBLE
+                   / COUNT(*)::DOUBLE, 4) AS recall_at10
+      FROM hits h CROSS JOIN nps GROUP BY nps.nprobe
+    ),
+    scan AS (
+      SELECT nps.nprobe,
+             ROUND(SUM(CASE WHEN qr.rq <= nps.nprobe THEN cs.sz
+                            ELSE 0 END)::DOUBLE
+                   / (5.0 * nb.n::DOUBLE), 6) AS scan_frac
+      FROM qrank qr JOIN csize cs ON qr.cell = cs.cell
+      CROSS JOIN nps CROSS JOIN nb
+      GROUP BY nps.nprobe, nb.n
+    )
+    SELECT CAST(r.nprobe AS INTEGER) AS nprobe, r.recall_at10, s.scan_frac
+    FROM rec r JOIN scan s ON r.nprobe = s.nprobe
+    ORDER BY nprobe
+    """,
+)
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning sweep: candidate recall@10 (share of the exact
+    top-10 that lands in probed cells) against the scanned base-table
+    fraction, at nprobe = 1/2/4/8 of 16 cells. The recall-vs-cost curve
+    that picks `knn_cosine_ivf`'s operating point — candidate recall is
+    the right tuning metric because ranking inside the candidate set is
+    exact, so it upper-bounds and determines retrieval recall. Computed
+    in ONE pass via the rank-of-true-cell trick: for each (query, true
+    neighbor) pair, find the rank rq of the neighbor's cell in the
+    query's probe order; recall@np is then just AVG(rq <= np) — no
+    per-nprobe pipelines, the whole sweep is a 4-value explode over a
+    50-row table.
+
+    Exactness: cell assignment/probe order/truth use the family's
+    round-6 cosines with deterministic tie-breaks; recalls and scan
+    fractions are integer-count ratios. Scale shape: one broadcast
+    centroid scoring pass over the base table (argmax, map-side), one
+    brute-force truth pass over the 5 probes, then everything runs on
+    |queries| x |cells| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", S.as_double(F.col("embedding")).alias("bv"))
+    cents = b.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("bv").alias("cv")
+    )
+    ascore = b.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.round(S.cosine(F.col("bv"), F.col("cv")), 6).alias("ccos"),
+    )
+    cells = materialize(
+        ascore.groupBy("vec_id").agg(
+            F.expr("max_by(cid, struct(ccos, -cid))").alias("cell")
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = S.knn_bruteforce(emb, queries, k=10).select("query_id", "vec_id")
+    q = queries.select(
+        "query_id", S.as_double(F.col("embedding")).alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), "cid")
+    qrank = materialize(
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            F.col("cid").alias("cell"),
+            F.round(S.cosine(F.col("qv"), F.col("cv")), 6).alias("qcos"),
+        )
+        .withColumnRenamed("cell", "cid")
+        .withColumn("rq", F.row_number().over(wq))
+        .select("query_id", F.col("cid").alias("cell"), "rq")
+    )
+    csize = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    nb = F.broadcast(b.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    nps = F.explode(
+        F.array(*[F.lit(p) for p in _IVF_NPROBES])
+    ).alias("nprobe")
+    hits = (
+        truth.join(cells, "vec_id")
+        .join(qrank, ["query_id", "cell"])
+        .select("query_id", "rq")
+    )
+    rec = (
+        hits.select("rq", nps)
+        .groupBy("nprobe")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("rq") <= F.col("nprobe"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("recall_at10")
+        )
+    )
+    scan = (
+        qrank.join(csize, "cell")
+        .crossJoin(nb)
+        .select("rq", "sz", "n", nps)
+        .groupBy("nprobe", "n")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("rq") <= F.col("nprobe"), F.col("sz")
+                    ).otherwise(0)
+                ).cast("double")
+                / (F.lit(5.0) * F.col("n").cast("double")),
+                6,
+            ).alias("scan_frac")
+        )
+        .select("nprobe", "scan_frac")
+    )
+    return (
+        rec.join(scan, "nprobe")
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "recall_at10",
+            "scan_frac",
+        )
+        .orderBy("nprobe")
+    )

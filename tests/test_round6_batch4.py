@@ -376,3 +376,18 @@ def test_quality_venn_cells_partition_corpus(spark, sf_dir):
     # bottom quartile by construction
     assert abs(lowq - n_docs // 4) <= 1
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+
+
+def test_ivf_sweep_recall_and_cost_are_monotone(spark, sf_dir):
+    rows = QUERIES["ivf_nprobe_sweep"](spark, sf_dir).collect()
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    recalls = [r.recall_at10 for r in rows]
+    scans = [r.scan_frac for r in rows]
+    # probing more cells can only add candidates
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:]))
+    assert all(b >= a - 1e-9 for a, b in zip(scans, scans[1:]))
+    for r in rows:
+        assert 0.0 <= r.recall_at10 <= 1.0
+        assert 0.0 < r.scan_frac <= 1.0
+    # probing half the cells must capture a majority of true neighbors
+    assert rows[-1].recall_at10 >= 0.5
