@@ -733,7 +733,11 @@ _EWMA_ALPHA = 0.3
             FROM daily d, b),
     ew AS (
       SELECT cur.t, cur.x,
-             CAST(SUM(CAST(prev.x AS DECIMAL(18,6))
+             -- x is an integer count: scale-0, width-12 keeps the
+             -- product's internal width at 12+18=30 (int128 path) —
+             -- DECIMAL(18,6) * DECIMAL(18,9) overflowed DuckDB's int64
+             -- multiply at sf0.1 daily volumes (x ~ 3344)
+             CAST(SUM(CAST(prev.x AS DECIMAL(12,0))
                       * CAST(ROUND({_EWMA_ALPHA}
                               * pow({1 - _EWMA_ALPHA}, cur.t - 1 - prev.t),
                               9) AS DECIMAL(18,9)))
