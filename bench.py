@@ -125,6 +125,7 @@ HEADLINE = [
     "tfidf_source_keywords",
     "text_repetition_stats",
     "char_entropy_stats",
+    "char_bigram_entropy_stats",
     "bigram_lm_perplexity",
     "lexicon_screen_stats",
     "pii_scrub_stats",
@@ -219,6 +220,7 @@ HEADLINE = [
     "revenue_gini_stats",
     "quality_vs_dup_lift",
     "quality_screen_venn",
+    "screen_mutual_information",
     "zonemap_pruning_stats",
     "zorder_pruning_stats",
     "corr_matrix_lineitem",

@@ -2447,3 +2447,162 @@ def _venn_oracle() -> str:
 
 
 _ORACLE_SQL["quality_screen_venn"] = _venn_oracle()
+
+
+@register("screen_mutual_information", oracle=None)  # composed below
+def screen_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the length-quartile and quality-
+    quartile of each document — the information-theoretic answer to
+    "is the quality screen just a length screen in disguise?". The
+    16-cell contingency table (both quartiles cut by the TeraSort
+    ranker) is reported with each cell's pointwise MI, plus the total
+    MI in bits and the normalized redundancy MI/H(quality): 0 means the
+    screens are independent (run both), 1 means quality is a function
+    of length (drop the expensive one). The pairwise-dependence
+    complement of `quality_screen_venn` (which shows overlap mass, not
+    dependence) and `quality_calibration_stats` (quality vs an outcome,
+    not vs another screen).
+
+    Exactness: quartiles are pure integer rank arithmetic; every MI and
+    entropy term is one mirrored double expression round-9-quantized to
+    DECIMAL before summing. Scale shape: two TeraSort rankings (range
+    partition + broadcast offsets), one 16-cell combine, then
+    constant-size arithmetic."""
+    from .text_q import quality_z_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    qz = quality_z_df(docs).select("doc_id", "z")
+    vals = docs.select("doc_id", "n_chars").join(qz, "doc_id")
+    ranked_l, n = _global_ranks(vals, "n_chars", "doc_id")
+    lq = ranked_l.select(
+        "doc_id",
+        "z",
+        (F.col("rn") * 4 / F.lit(n)).cast("long").alias("len_q"),
+    )
+    ranked_q, _ = _global_ranks(lq, "z", "doc_id")
+    cells = materialize(
+        ranked_q.select(
+            "len_q",
+            (F.col("rn") * 4 / F.lit(n)).cast("long").alias("qual_q"),
+        )
+        .groupBy("len_q", "qual_q")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    rowm = cells.groupBy("len_q").agg(F.sum("k").cast("long").alias("kr"))
+    colm = cells.groupBy("qual_q").agg(F.sum("k").cast("long").alias("kc"))
+    nn = float(n)
+    pmi_term = F.round(
+        (F.col("k").cast("double") / F.lit(nn))
+        * F.log(
+            (F.col("k").cast("double") * F.lit(nn))
+            / (F.col("kr").cast("double") * F.col("kc").cast("double"))
+        ),
+        9,
+    ).cast("decimal(12,9)")
+    terms = (
+        cells.join(F.broadcast(rowm), "len_q")
+        .join(F.broadcast(colm), "qual_q")
+        .select(
+            "len_q",
+            "qual_q",
+            "k",
+            pmi_term.alias("t"),
+            F.round(
+                F.log(
+                    (F.col("k").cast("double") * F.lit(nn))
+                    / (F.col("kr").cast("double") * F.col("kc").cast("double"))
+                )
+                / F.log(F.lit(2.0)),
+                4,
+            ).alias("pmi_bits"),
+        )
+    )
+    terms = materialize(terms)
+    mi = F.broadcast(
+        terms.agg(
+            (F.sum("t").cast("double") / F.log(F.lit(2.0))).alias("mib")
+        )
+    )
+    hq_term = F.round(
+        (F.col("kc").cast("double") / F.lit(nn))
+        * F.log(F.lit(nn) / F.col("kc").cast("double")),
+        9,
+    ).cast("decimal(12,9)")
+    hq = F.broadcast(
+        colm.select(hq_term.alias("t")).agg(
+            (F.sum("t").cast("double") / F.log(F.lit(2.0))).alias("hqb")
+        )
+    )
+    return (
+        terms.crossJoin(mi)
+        .crossJoin(hq)
+        .select(
+            "len_q",
+            "qual_q",
+            F.col("k").alias("n_docs"),
+            "pmi_bits",
+            F.round("mib", 6).alias("mi_bits"),
+            F.round(F.col("mib") / F.col("hqb"), 6).alias("redundancy"),
+        )
+        .orderBy("len_q", "qual_q")
+    )
+
+
+def _smi_oracle() -> str:
+    from .text_q import QUALITY_Z_CTE
+
+    return f"""
+    WITH {QUALITY_Z_CTE},
+    vals AS (
+      SELECT d.doc_id, d.n_chars, qz.z
+      FROM documents d JOIN qz ON d.doc_id = qz.doc_id
+    ),
+    rl AS (
+      SELECT doc_id, z,
+             (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) * 4
+               // COUNT(*) OVER () AS len_q,
+             COUNT(*) OVER () AS n
+      FROM vals
+    ),
+    rq AS (
+      SELECT len_q, n,
+             (ROW_NUMBER() OVER (ORDER BY z, doc_id) - 1) * 4
+               // n AS qual_q
+      FROM rl
+    ),
+    cells AS (
+      SELECT len_q, qual_q, CAST(COUNT(*) AS BIGINT) AS k, MIN(n) AS n
+      FROM rq GROUP BY len_q, qual_q
+    ),
+    rowm AS (SELECT len_q, CAST(SUM(k) AS BIGINT) AS kr FROM cells
+             GROUP BY len_q),
+    colm AS (SELECT qual_q, CAST(SUM(k) AS BIGINT) AS kc FROM cells
+             GROUP BY qual_q),
+    terms AS (
+      SELECT c.len_q, c.qual_q, c.k,
+             CAST(ROUND((c.k::DOUBLE / c.n::DOUBLE)
+                        * ln((c.k::DOUBLE * c.n::DOUBLE)
+                             / (r.kr::DOUBLE * m.kc::DOUBLE)), 9)
+                  AS DECIMAL(12,9)) AS t,
+             ROUND(ln((c.k::DOUBLE * c.n::DOUBLE)
+                      / (r.kr::DOUBLE * m.kc::DOUBLE)) / ln(2.0), 4)
+               AS pmi_bits,
+             c.n
+      FROM cells c JOIN rowm r USING (len_q) JOIN colm m USING (qual_q)
+    ),
+    mi AS (SELECT SUM(t)::DOUBLE / ln(2.0) AS mib FROM terms),
+    hq AS (
+      SELECT SUM(CAST(ROUND((m.kc::DOUBLE / t.n::DOUBLE)
+                            * ln(t.n::DOUBLE / m.kc::DOUBLE), 9)
+                      AS DECIMAL(12,9)))::DOUBLE / ln(2.0) AS hqb
+      FROM colm m, (SELECT MIN(n) AS n FROM terms) t
+    )
+    SELECT tr.len_q, tr.qual_q, tr.k AS n_docs, tr.pmi_bits,
+           ROUND(mi.mib, 6) AS mi_bits,
+           ROUND(mi.mib / hq.hqb, 6) AS redundancy
+    FROM terms tr, mi, hq
+    ORDER BY tr.len_q, tr.qual_q
+    """
+
+
+_ORACLE_SQL["screen_mutual_information"] = _smi_oracle()

@@ -1662,3 +1662,123 @@ def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOP)
     )
+
+
+@register(
+    "char_bigram_entropy_stats",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, source, string_split(text, '') AS cs FROM documents
+    ),
+    pair AS (
+      SELECT doc_id, source, cs[i] AS c1, cs[i + 1] AS c2
+      FROM ch, unnest(range(1, len(cs))) AS t(i)
+    ),
+    pcnt AS (
+      SELECT source, c1, c2, CAST(COUNT(*) AS BIGINT) AS k
+      FROM pair GROUP BY source, c1, c2
+    ),
+    ptot AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n FROM pcnt
+             GROUP BY source),
+    hpair AS (
+      SELECT p.source,
+             SUM(CAST(ROUND((p.k::DOUBLE / t.n::DOUBLE)
+                            * ln(t.n::DOUBLE / p.k::DOUBLE), 9)
+                      AS DECIMAL(12,9))) AS h2
+      FROM pcnt p JOIN ptot t USING (source) GROUP BY p.source
+    ),
+    ucnt AS (
+      SELECT source, c1 AS c, CAST(SUM(k) AS BIGINT) AS k
+      FROM pcnt GROUP BY source, c1
+    ),
+    huni AS (
+      SELECT u.source,
+             SUM(CAST(ROUND((u.k::DOUBLE / t.n::DOUBLE)
+                            * ln(t.n::DOUBLE / u.k::DOUBLE), 9)
+                      AS DECIMAL(12,9))) AS h1
+      FROM ucnt u JOIN ptot t USING (source) GROUP BY u.source
+    )
+    SELECT h2.source,
+           ROUND(h1.h1::DOUBLE, 6) AS h_order0,
+           ROUND(h2.h2::DOUBLE - h1.h1::DOUBLE, 6) AS h_order1,
+           ROUND((h2.h2::DOUBLE - h1.h1::DOUBLE) / ln(2.0), 6)
+             AS bits_per_char_o1,
+           ROUND(1.0 - (h2.h2::DOUBLE - h1.h1::DOUBLE)
+                       / h1.h1::DOUBLE, 6) AS predictability_gain
+    FROM hpair h2 JOIN huni h1 USING (source)
+    ORDER BY h2.source
+    """,
+)
+def char_bigram_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-1 (conditional) character entropy per source: H(c2|c1) =
+    H(pairs) - H(first chars), from corpus-level bigram counts — the
+    next rung above `char_entropy_stats`' order-0 screen. bits_per_
+    char_o1 is what an order-1 coder would pay, and predictability_gain
+    (1 - H1/H0) is the share of the order-0 entropy that character
+    context already explains: natural language sits far above zero,
+    random byte junk at ~0, and templated spam near 1 — the three-way
+    separation one entropy number can't make. Marginals are taken over
+    the FIRST pair element, so the identity H(c2|c1) = H(pair) - H(c1)
+    holds exactly on the same sample space.
+
+    Exactness: bigram counts are integers at (source, c1, c2) grain;
+    every entropy term is round-9 DECIMAL before its sum (order-free,
+    `char_entropy_stats` discipline); the two entropies subtract as one
+    mirrored double expression. Scale shape: the pair explode collapses
+    into a map-side-combined count bounded by |alphabet|^2 per source;
+    the unigram table folds from the pair table — no second corpus
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    cs = docs.select("source", F.split("text", "").alias("cs"))
+    pair = cs.select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice("cs", 1, F.greatest(F.size("cs") - 1, F.lit(0))),
+                F.slice("cs", 2, F.greatest(F.size("cs") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("c1"), b.alias("c2")),
+            )
+        ).alias("p")
+    ).select("source", "p.c1", "p.c2")
+    pcnt = materialize(
+        pair.groupBy("source", "c1", "c2").agg(
+            F.count(F.lit(1)).cast("long").alias("k")
+        )
+    )
+    ptot = pcnt.groupBy("source").agg(F.sum("k").cast("long").alias("n"))
+
+    def _h(cnts: DataFrame) -> DataFrame:
+        term = F.round(
+            (F.col("k").cast("double") / F.col("n").cast("double"))
+            * F.log(F.col("n").cast("double") / F.col("k").cast("double")),
+            9,
+        ).cast("decimal(12,9)")
+        return (
+            cnts.join(ptot, "source")
+            .select("source", term.alias("t"))
+            .groupBy("source")
+            .agg(F.sum("t").alias("h"))
+        )
+
+    hpair = _h(pcnt).withColumnRenamed("h", "h2")
+    ucnt = pcnt.groupBy("source", F.col("c1").alias("c")).agg(
+        F.sum("k").cast("long").alias("k")
+    )
+    huni = _h(ucnt).withColumnRenamed("h", "h1")
+    h1d = F.col("h1").cast("double")
+    h2d = F.col("h2").cast("double")
+    return (
+        hpair.join(huni, "source")
+        .select(
+            "source",
+            F.round(h1d, 6).alias("h_order0"),
+            F.round(h2d - h1d, 6).alias("h_order1"),
+            F.round((h2d - h1d) / F.log(F.lit(2.0)), 6).alias(
+                "bits_per_char_o1"
+            ),
+            F.round(F.lit(1.0) - (h2d - h1d) / h1d, 6).alias(
+                "predictability_gain"
+            ),
+        )
+        .orderBy("source")
+    )

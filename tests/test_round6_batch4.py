@@ -391,3 +391,29 @@ def test_ivf_sweep_recall_and_cost_are_monotone(spark, sf_dir):
         assert 0.0 < r.scan_frac <= 1.0
     # probing half the cells must capture a majority of true neighbors
     assert rows[-1].recall_at10 >= 0.5
+
+
+def test_bigram_entropy_below_order0_and_gain_bounded(spark, sf_dir):
+    rows = QUERIES["char_bigram_entropy_stats"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    import math
+
+    for r in rows:
+        # conditioning never increases entropy
+        assert 0.0 < r.h_order1 <= r.h_order0 + 1e-9
+        assert 0.0 <= r.predictability_gain < 1.0
+        assert abs(r.bits_per_char_o1 - r.h_order1 / math.log(2)) < 1e-4
+
+
+def test_screen_mi_cells_partition_and_redundancy_bounded(spark, sf_dir):
+    rows = QUERIES["screen_mutual_information"](spark, sf_dir).collect()
+    assert len(rows) == 16  # full 4x4 grid on this fixture
+    from ethical_data_ingestion_spark.io import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    mis = {r.mi_bits for r in rows}
+    assert len(mis) == 1
+    mi = rows[0].mi_bits
+    assert -1e-6 <= mi <= 2.0 + 1e-6  # MI <= H(quality) = log2(4)
+    assert -1e-6 <= rows[0].redundancy <= 1.0 + 1e-6
