@@ -76,6 +76,7 @@ HEADLINE = [
     "small_quantity_revenue",
     "disjunctive_part_revenue",
     "late_shipment_suppliers",
+    "leadtime_quantity_ols",
     "suppliers_without_recent_sales",
     "pivot_status_by_priority",
     "running_value_by_user",
@@ -200,6 +201,7 @@ HEADLINE = [
     "contrastive_pair_mining",
     "embedding_drift_stats",
     "embedding_quantization_stats",
+    "quantization_bits_sweep",
     "product_quantization_stats",
     "embedding_kmeans_stats",
     "kmeans_silhouette_stats",

@@ -517,3 +517,84 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "leadtime_quantity_ols",
+    oracle="""
+    WITH pts AS (
+      SELECT o.o_orderpriority AS grp,
+             CAST(l.l_quantity AS BIGINT) AS x,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                  AS BIGINT) AS y
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    sums AS (
+      SELECT grp,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+      FROM pts GROUP BY grp
+    )
+    SELECT grp AS priority,
+           CAST(n AS BIGINT) AS n_items,
+           ROUND(sy / n, 4) AS avg_ship_days,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM sums ORDER BY priority
+    """,
+)
+def leadtime_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does order size slow fulfilment? Per order priority, the OLS
+    regression of order-to-ship latency (days) on line-item quantity:
+    slope in days-per-unit with intercept and R². The logistics twin of
+    `zipf_fit_stats`' regression discipline — on TPC-H's uniform random
+    delays the slope is honestly ~0 with R² ~ 0 (stated here so the
+    flat fixture readout is a feature: the panel's job is to FLAG a
+    dependence, and the null fixture proves it doesn't hallucinate
+    one).
+
+    Exactness: x and y are exact integers, so all five moment sums are
+    exact BIGINTs (no rounding anywhere before the final mirrored
+    double formula — simpler than the zipf fit, which must quantize its
+    logs). Scale shape: the orders join shuffles on the fact's own
+    orderkey, then one map-side-combined pass into |priorities| rows of
+    moments; the regression algebra runs on 5 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    pts = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("y"),
+    )
+    sums = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("long").cast("double").alias("sx"),
+        F.sum("y").cast("long").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        F.col("grp").alias("priority"),
+        n.cast("long").alias("n_items"),
+        F.round(sy / n, 4).alias("avg_ship_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("priority")

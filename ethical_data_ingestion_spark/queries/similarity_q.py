@@ -1527,3 +1527,144 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+#: bit depths priced by the quantization sweep (int8 is the family's
+#: `embedding_quantization_stats` operating point).
+_QBITS = (2, 4, 8)
+
+
+@register(
+    "quantization_bits_sweep",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    bits AS (SELECT unnest(ARRAY[{", ".join(str(b) for b in _QBITS)}])
+               AS bits),
+    dq AS (
+      SELECT b.bits, c.vec_id, c.v,
+             GREATEST(LEAST(floor(c.v * (2 ** (b.bits - 1) - 1) + 0.5),
+                            (2 ** (b.bits - 1) - 1)::DOUBLE),
+                      -((2 ** (b.bits - 1))::DOUBLE))
+               / (2 ** (b.bits - 1) - 1)::DOUBLE AS q
+      FROM comp c CROSS JOIN bits b
+    ),
+    terms AS (
+      SELECT bits, vec_id,
+             CAST(ROUND((v - q) * (v - q), 9) AS DECIMAL(18,9)) AS se,
+             CAST(ROUND(v * q, 9) AS DECIMAL(18,9)) AS dot,
+             CAST(ROUND(v * v, 9) AS DECIMAL(18,9)) AS n1,
+             CAST(ROUND(q * q, 9) AS DECIMAL(18,9)) AS n2
+      FROM dq
+    ),
+    pv AS (
+      SELECT bits, vec_id,
+             SUM(se) AS se, SUM(dot) AS dot,
+             SUM(n1) AS n1, SUM(n2) AS n2
+      FROM terms GROUP BY bits, vec_id
+    ),
+    cosr AS (
+      SELECT bits, vec_id, se,
+             CAST(ROUND(dot::DOUBLE
+                        / (sqrt(n1::DOUBLE) * sqrt(n2::DOUBLE)), 9)
+                  AS DECIMAL(12,9)) AS cosv
+      FROM pv WHERE n2 > 0
+    )
+    SELECT CAST(bits AS INTEGER) AS bits,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(SUM(se)::DOUBLE / (COUNT(*) * 64)::DOUBLE, 9) AS mse,
+           ROUND(SUM(cosv)::DOUBLE / COUNT(*)::DOUBLE, 6) AS avg_cos,
+           ROUND(MIN(cosv)::DOUBLE, 6) AS min_cos
+    FROM cosr GROUP BY bits ORDER BY bits
+    """,
+)
+def quantization_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization bit-depth sweep: every embedding re-encoded
+    at 2/4/8 bits per component (symmetric round-to-nearest with
+    clipping at the int range, scale 2^(b-1)-1), scored by
+    reconstruction MSE and by the cosine between original and
+    reconstruction (mean and worst vector). The storage-budget menu
+    above `embedding_quantization_stats` (which prices the int8
+    operating point in depth) and beside `embedding_dim_ablation`
+    (which cuts dimensions instead of bits): together they answer "to
+    fit the index in memory, drop dims or drop bits?" — at 8 bits
+    cosine is ~1 and MSE noise-floor; the 2-bit row shows where
+    aggressive compression starts eating retrieval.
+
+    Exactness: the quantizer is floor(v·scale + 0.5) with explicit
+    GREATEST/LEAST clipping — all mirrored double arithmetic (the
+    half-up floor idiom; no banker's-rounding ambiguity); every
+    per-component error/dot/norm term is round-9 DECIMAL before the
+    per-vector sums, and the per-vector cosine re-quantizes before the
+    final mean so the rollup is order-free. Scale shape: one
+    posexplode x |bits| pass, map-side-combined per-(bits, vector)
+    sums, then a 3-row rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select("vec_id", F.col("vf").cast("double").alias("v"))
+    bits = F.explode(F.array(*[F.lit(b) for b in _QBITS])).alias("bits")
+    scale = F.pow(F.lit(2.0), F.col("bits") - 1) - 1
+    lo = -F.pow(F.lit(2.0), F.col("bits") - 1)
+    q = (
+        F.greatest(
+            F.least(F.floor(F.col("v") * scale + 0.5).cast("double"), scale),
+            lo,
+        )
+        / scale
+    )
+    dq = comp.select("vec_id", "v", bits).select(
+        "bits", "vec_id", "v", q.alias("q")
+    )
+    pv = dq.select(
+        "bits",
+        "vec_id",
+        F.round((F.col("v") - F.col("q")) * (F.col("v") - F.col("q")), 9)
+        .cast("decimal(18,9)")
+        .alias("se"),
+        F.round(F.col("v") * F.col("q"), 9).cast("decimal(18,9)").alias("dot"),
+        F.round(F.col("v") * F.col("v"), 9).cast("decimal(18,9)").alias("n1"),
+        F.round(F.col("q") * F.col("q"), 9).cast("decimal(18,9)").alias("n2"),
+    ).groupBy("bits", "vec_id").agg(
+        F.sum("se").alias("se"),
+        F.sum("dot").alias("dot"),
+        F.sum("n1").alias("n1"),
+        F.sum("n2").alias("n2"),
+    )
+    cosv = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("n1").cast("double"))
+            * F.sqrt(F.col("n2").cast("double"))
+        ),
+        9,
+    ).cast("decimal(12,9)")
+    return (
+        pv.filter(F.col("n2") > 0)
+        .select("bits", "se", cosv.alias("cosv"))
+        .groupBy("bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum("se").cast("double")
+                / (F.count(F.lit(1)) * 64).cast("double"),
+                9,
+            ).alias("mse"),
+            F.round(
+                F.sum("cosv").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_cos"),
+            F.round(F.min("cosv").cast("double"), 6).alias("min_cos"),
+        )
+        .select(
+            F.col("bits").cast("int").alias("bits"),
+            "n_vecs",
+            "mse",
+            "avg_cos",
+            "min_cos",
+        )
+        .orderBy("bits")
+    )

@@ -417,3 +417,30 @@ def test_screen_mi_cells_partition_and_redundancy_bounded(spark, sf_dir):
     mi = rows[0].mi_bits
     assert -1e-6 <= mi <= 2.0 + 1e-6  # MI <= H(quality) = log2(4)
     assert -1e-6 <= rows[0].redundancy <= 1.0 + 1e-6
+
+
+def test_quantization_sweep_quality_rises_with_bits(spark, sf_dir):
+    rows = QUERIES["quantization_bits_sweep"](spark, sf_dir).collect()
+    assert rows  # 2-bit row may legitimately vanish (all-zero vectors)
+    bits = [r.bits for r in rows]
+    assert bits == sorted(bits)
+    mses = [r.mse for r in rows]
+    assert mses == sorted(mses, reverse=True)  # more bits, less error
+    coss = [r.avg_cos for r in rows]
+    assert coss == sorted(coss)
+    last = rows[-1]
+    assert last.bits == 8 and last.avg_cos > 0.99 and last.mse < 1e-4
+    for r in rows:
+        assert r.min_cos <= r.avg_cos <= 1.0 + 1e-9
+
+
+def test_leadtime_ols_is_flat_on_uniform_fixture(spark, sf_dir):
+    rows = QUERIES["leadtime_quantity_ols"](spark, sf_dir).collect()
+    assert len(rows) == 5  # one row per order priority
+    for r in rows:
+        assert r.n_items > 0
+        assert 0.0 <= r.r2 <= 1.0 + 1e-9
+        # quantity explains ~nothing of the latency variance (r2 is the
+        # scale-free check; raw slope is noisy at tiny SFs)
+        assert r.r2 < 0.05
+        assert r.avg_ship_days > 0
