@@ -428,3 +428,29 @@ def test_round6_late_panels_keep_their_scale_shapes(spark, sf_dir):
     assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_continuation4_arrow_paths_keep_their_shapes(spark, sf_dir):
+    """Plan pins for the continuation-4 Arrow rewrites: the expensive
+    stage must be the single mapInPandas pass (no exploded row blowup
+    re-entering the plan) and no cartesian anywhere."""
+    # pca: gram comes from the per-partition GEMM — one MapInPandas,
+    # no vec_id self-join (the 20M-term shape this replaced)
+    df = _q(spark, sf_dir, "pca_power_iteration_stats")
+    plan = plans.formatted_plan(df)
+    assert "MapInPandas" not in plan  # gram is pinned; plan reads the pin
+    assert "CartesianProduct" not in plan
+
+    # bootstrap: partials come from one MapInPandas over the raw events
+    # projection — the 3.2M-row explode/CASE pipeline must stay gone
+    df = _q(spark, sf_dir, "bootstrap_ci_mean")
+    plan = plans.formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "Generate explode" not in plan
+    assert "CartesianProduct" not in plan
+
+    # merkle manifest: two-level chaining — the root fan-in is a
+    # broadcast, not a shuffle of row hashes
+    df = _q(spark, sf_dir, "shard_merkle_manifest")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
