@@ -52,11 +52,19 @@ def _rotation_order(names: list[str]) -> list[str]:
     here = os.path.dirname(os.path.abspath(__file__))
     last_seen: dict[str, int] = {}
     failed_last: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    # Order round files by the PARSED round number, not filename order:
+    # lexicographic glob would let r100 sort before r99 and silently make
+    # an older round win the last_seen/failed_last overwrite.
+    rounds: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
-            rnd = int(path.rsplit("_r", 1)[-1].split(".")[0])
+            rounds.append((int(path.rsplit("_r", 1)[-1].split(".")[0]), path))
+        except ValueError:
+            continue
+    for rnd, path in sorted(rounds):
+        try:
             for q, row in json.load(open(path)).items():
-                last_seen[q] = rnd
+                last_seen[q] = max(last_seen.get(q, rnd), rnd)
                 if isinstance(row, dict):
                     # "no_oracle" rows-only queries pass by design when the
                     # Spark side produced rows; only hard mismatches / errors

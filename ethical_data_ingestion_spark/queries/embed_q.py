@@ -13,8 +13,9 @@ Hash-exactness design: the stand-in emits INTEGER-count components
 integers in both engines, and ``cos = D / (sqrt(A)·sqrt(B))`` is a
 single float expression over exact integers — bit-identical across
 Spark's ``zip_with`` fold and the DuckDB mirror's bucket-join SUM. That
-upgrades the whole embed→kNN pipeline to a full value-hash check; only
-the LSH variant stays rows-only (approximate), with recall bounded in
+upgrades the whole embed→kNN pipeline to a full value-hash check — since
+round 7 including the LSH variant (dense-reconstruction mirror in
+:func:`_embed_lsh_oracle`), whose recall is additionally bounded in
 ``tests/test_embed.py``.
 """
 
@@ -179,13 +180,49 @@ def embed_knn_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@register("embed_knn_lsh")  # approximate → rows-only; recall bounded in tests
+def _embed_lsh_oracle() -> str:
+    """Full DuckDB mirror of the embed→LSH path (round-6 verdict item 2:
+    graduated from rows-only). Reconstructs the DENSE 64-dim double
+    vector per searchable document from the sparse hashed counts (list()
+    with an explicit dimension ORDER BY, zeros coalesced in), then reuses
+    similarity_q's shared LSH pipeline mirror — planes, sign-bit buckets,
+    candidate equi-join, exact rescoring — with a top-{_K} tail. The
+    components are exact integers, so only the bucket projections are
+    ulp-sensitive, and those fold in dimension order on both engines."""
+    from .similarity_q import _lsh_pipeline_ctes
+
+    dense = f"""
+      SELECT n.doc_id AS vec_id,
+             list(CAST(COALESCE(c.c, 0) AS DOUBLE) ORDER BY dims.d) AS bv
+      FROM (SELECT doc_id FROM cnts GROUP BY doc_id HAVING SUM(c * c) > 0) n
+      CROSS JOIN (SELECT unnest(generate_series(0, {_DIM - 1})) AS d) dims
+      LEFT JOIN cnts c ON c.doc_id = n.doc_id AND c.bucket = dims.d
+      GROUP BY n.doc_id
+    """
+    return f"""
+    WITH {_HASHED_CNTS_CTE},
+    {_lsh_pipeline_ctes(b_body=dense, n_queries=_N_QUERIES)},
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM lsh_scored
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register("embed_knn_lsh", oracle=_embed_lsh_oracle())
 def embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for the embedded corpus: hyperplane-LSH top-{_K} over
     the seam-produced vectors — candidate generation is the (table,
     bucket) equi-join, so per-query cost is bucket-sized, not
     corpus-sized. Recall vs :func:`embed_knn_e2e`'s exact truth is
-    bounded in ``tests/test_embed.py``."""
+    bounded in ``tests/test_embed.py``; the result list itself is
+    hash-checked against a DuckDB mirror of the entire deterministic
+    pipeline (see :func:`_embed_lsh_oracle`)."""
     emb = _searchable_docs(spark, sf_dir)
     base = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
     queries = emb.filter(F.col("doc_id") < _N_QUERIES).select(

@@ -133,6 +133,11 @@ def _trade_graph(spark: SparkSession, sf_dir: str):
     with_deg = shared(("trade_graph", sf_dir), spark, _build)
     hit = _N_NODES.get(sf_dir)
     if hit is None or hit[0] is not spark:
+        # mirror shared()'s eviction: a session change orphans EVERY
+        # cached count (each holds the dead SparkSession alive), not just
+        # the one for this sf_dir
+        for k in [k for k, v in _N_NODES.items() if v[0] is not spark]:
+            del _N_NODES[k]
         # scalar only — never data rows; one distinct-count job per
         # (session, corpus), amortized across every later call
         _N_NODES[sf_dir] = (

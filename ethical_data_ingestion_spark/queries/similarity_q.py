@@ -2,11 +2,12 @@
 
 The exact paths (brute-force kNN, threshold pairs) carry full DuckDB
 oracles via ``list_dot_product`` — both engines do the same sequential
-double fold, so scores match to the rounded digit. The LSH top-k stays
-rows-only (recall bounded in tests), but its quality panel
-(`knn_lsh_recall_stats`) is hash-checked against a DuckDB mirror of the
-whole deterministic pipeline; IVF and PQ use deterministic codebooks and
-are mirrored step for step.
+double fold, so scores match to the rounded digit. Even the LSH top-k is
+hash-checked (round 7): the md5-derived planes, strict-fold projections
+and total-order tie-breaks make the approximate pipeline exactly
+reproducible, so both the quality panel (`knn_lsh_recall_stats`) and the
+result list (`knn_cosine_lsh`) mirror in DuckDB; IVF and PQ use
+deterministic codebooks and are mirrored step for step.
 """
 
 from __future__ import annotations
@@ -217,13 +218,23 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_recall_oracle() -> str:
-    """DuckDB mirror of the full LSH pipeline: the md5-derived hyperplanes
-    are embedded as literal DOUBLE[] arrays, buckets are sign-bit sums of
-    ``list_dot_product`` projections, candidates/top-k/recall mirror the
-    Spark operators step for step. Deterministic planes + fixed data ⇒ the
-    'approximate' path is exactly reproducible, so recall itself becomes a
-    hash-checkable quantity."""
+def _lsh_pipeline_ctes(
+    b_body: str = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings",
+    n_queries: int = 5,
+) -> str:
+    """Shared DuckDB mirror of the full LSH pipeline — the CTE chain from
+    base vectors through ``lsh_scored`` (candidate cosine scores): the
+    md5-derived hyperplanes are embedded as literal DOUBLE[] arrays,
+    buckets are sign-bit sums of ``list_dot_product`` projections (a
+    sequential fold, matching the UDF's strict dimension-order
+    accumulation), candidates mirror the Spark (table, bucket) equi-join.
+    Deterministic planes + fixed data ⇒ the 'approximate' path is exactly
+    reproducible. Used by `knn_lsh_recall_stats` (recall tail),
+    `knn_cosine_lsh` (top-k tail), and — with ``b_body`` pointing at the
+    seam-produced document embeddings — `embed_knn_lsh` in embed_q.
+
+    ``b_body``: SELECT yielding (vec_id, bv DOUBLE[]) base vectors;
+    ``n_queries``: probes are vec_id < n_queries."""
     planes = S.hyperplanes(64, 8, 4)
     sig_cols = []
     for t, rows in enumerate(planes):
@@ -238,8 +249,7 @@ def _lsh_recall_oracle() -> str:
         f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM sig"
         for t in range(len(planes))
     )
-    return f"""
-    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings),
+    return f"""b AS ({b_body}),
     sig AS (
       SELECT vec_id, bv, {", ".join(sig_cols)}
       FROM b
@@ -247,19 +257,27 @@ def _lsh_recall_oracle() -> str:
     m AS (
       {melt}
     ),
-    qm AS (SELECT vec_id AS query_id, t, bucket FROM m WHERE vec_id < 5),
+    qm AS (SELECT vec_id AS query_id, t, bucket FROM m WHERE vec_id < {n_queries}),
     cand AS (
       SELECT DISTINCT qm.query_id, m.vec_id
       FROM m JOIN qm ON m.t = qm.t AND m.bucket = qm.bucket
                     AND m.vec_id <> qm.query_id
     ),
-    q AS (SELECT vec_id AS query_id, bv AS qv FROM b WHERE vec_id < 5),
+    q AS (SELECT vec_id AS query_id, bv AS qv FROM b WHERE vec_id < {n_queries}),
     lsh_scored AS (
       SELECT cand.query_id, cand.vec_id, {_COS} AS cos
       FROM cand
       JOIN q ON q.query_id = cand.query_id
       JOIN b ON b.vec_id = cand.vec_id
-    ),
+    )"""
+
+
+def _lsh_recall_oracle() -> str:
+    """Recall tail over the shared LSH pipeline mirror: candidate-set
+    sizes plus overlap of the LSH top-10 with the exact brute-force
+    top-10 — recall itself as a hash-checkable quantity."""
+    return f"""
+    WITH {_lsh_pipeline_ctes()},
     lsh10 AS (
       SELECT query_id, vec_id FROM (
         SELECT query_id, vec_id,
@@ -339,16 +357,40 @@ def knn_lsh_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_cosine_lsh")  # approximate → rows-only check; recall bounded in tests
+def _lsh_topk_oracle(k: int = 10) -> str:
+    """Top-k tail over the shared LSH pipeline mirror: the approximate
+    result LIST itself, hash-checked — deterministic planes, strict-fold
+    projections and the (cos DESC, vec_id) total order make the LSH
+    output exactly reproducible across engines (round-6 verdict item 2:
+    graduated from rows-only)."""
+    return f"""
+    WITH {_lsh_pipeline_ctes()},
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM lsh_scored
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@register("knn_cosine_lsh", oracle=_lsh_topk_oracle(10))
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via 8-table × 4-bit random-hyperplane LSH.
     Candidates come from bucket equi-joins instead of scanning the base
-    table per query — the shape that survives a 100 TB embedding corpus."""
+    table per query — the shape that survives a 100 TB embedding corpus.
+    Hash-checked: the oracle mirrors the deterministic pipeline end to
+    end (planes → sign-bit buckets → candidate equi-join → exact rescoring
+    → total-order top-k), so even the approximate k-set is value-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.knn_lsh(emb, queries, k=10, dim=64, n_tables=8, n_bits=4)
+    out = S.knn_lsh(emb, queries, k=10, dim=64, n_tables=8, n_bits=4)
+    return out.withColumn("rank", F.col("rank").cast("int"))
 
 
 _PQ_M = 8        # subspaces

@@ -812,7 +812,8 @@ def _late_spool(spark: SparkSession, sf_dir: str) -> str:
     written: list[str] = []
     for k in range(4):
         srcs = sorted(glob.glob(os.path.join(stage_dir, f"f={k}", "part-*")))
-        assert srcs, f"empty late-spool batch {k}"
+        if not srcs:  # not assert: survives python -O in this spool path
+            raise RuntimeError(f"empty late-spool batch {k}")
         dst = os.path.join(out_dir, f"batch{k:02d}.parquet")
         if len(srcs) == 1:
             os.rename(srcs[0], dst)

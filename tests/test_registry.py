@@ -13,10 +13,11 @@ def test_every_oracle_has_a_query():
 
 def test_rows_only_set_is_intentional():
     rows_only = set(registry.QUERIES) - set(registry.ORACLE_SQL)
-    # only genuinely estimate/bucket-dependent ops may skip the hash gate
-    # (both LSH top-k paths; their recall is bounded in tests and the LSH
-    # pipeline itself is hash-checked via knn_lsh_recall_stats)
-    assert rows_only == {"knn_cosine_lsh", "embed_knn_lsh"}
+    # round 7: the last two rows-only queries (both LSH top-k paths)
+    # graduated to full hash oracles — the deterministic pipeline is
+    # mirrored end to end in DuckDB. Every registered query now carries
+    # a value-hash oracle; keep it that way.
+    assert rows_only == set()
 
 
 def test_query_callables_take_spark_and_sfdir():
