@@ -454,3 +454,22 @@ def test_continuation4_arrow_paths_keep_their_shapes(spark, sf_dir):
     df = _q(spark, sf_dir, "shard_merkle_manifest")
     plan = plans.formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_degree_join_has_no_forced_broadcast(spark, sf_dir):
+    """Round-6 verdict item 3: the degree table in the triangle
+    orientation is O(|V|) — a MANDATORY build-side there OOMs executors
+    at a web-scale graph. The orientation subplan must carry no broadcast
+    hint (AQE may still choose broadcast at runtime from measured sizes —
+    that's the point); the 1-row aggregate broadcasts live outside this
+    subplan."""
+    from ethical_data_ingestion_spark.queries import graph_q
+
+    edges, deg = graph_q._copurchase_edges_and_degrees(spark, sf_dir)
+    oriented = graph_q._degree_oriented(edges, deg)
+    logical = oriented._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+    # the degree joins are still equi-joins on the node key (shuffle-able
+    # co-partitioned at scale) — a lost key would plan a cartesian
+    assert "Join Inner" in logical or "Join UsingJoin" in logical
+    assert "Cartesian" not in logical
