@@ -785,14 +785,18 @@ def lexicon_screen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", F.explode(T.tokens("text")).alias("word")
         ).filter(F.col("word") != "")
     )
-    from pyspark.sql import Window
-
     freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    # Two-phase top-k instead of a vocabulary-sized global window (round-6
+    # verdict item 6): rank band [LO, HI] = top-HI minus top-(LO-1), both
+    # TakeOrderedAndProject under the (f DESC, word) total order (word is
+    # unique in freq, so the prefix property makes the anti-join exact).
+    # The HI-row head is pinned so the second top-k and the anti-join read
+    # it, not the vocabulary; no WindowExec with an empty partition spec
+    # anywhere in the plan.
+    top_hi = materialize(freq.orderBy(F.desc("f"), "word").limit(_LEX_HI))
+    top_lo = top_hi.orderBy(F.desc("f"), "word").limit(_LEX_LO - 1)
     lex = (
-        freq.withColumn(
-            "r", F.row_number().over(Window.orderBy(F.desc("f"), "word"))
-        )
-        .filter(F.col("r").between(_LEX_LO, _LEX_HI))
+        top_hi.join(top_lo, "word", "left_anti")
         .select("word")
         .withColumn("_hit", F.lit(1))
     )
