@@ -216,6 +216,7 @@ HEADLINE = [
     "quality_filter_ensemble",
     "quality_calibration_stats",
     "bpe_merge_candidates",
+    "bpe_training_rounds",
     "dataset_diff_stats",
     "dataset_snapshot_chain",
     "join_skew_report",

@@ -574,3 +574,169 @@ def kmv_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("colname")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE trainer (round-7; round-6 verdict item 4): the full
+# count→argmax→merge→re-segment loop of Sennrich et al., N rounds — the
+# fourth canonical iterative shape after connected components, PageRank,
+# and k-center, mirrored via generated CTE rounds like PageRank's oracle.
+
+_BPE_ROUNDS = 6
+_BPE_SEP = "\x1f"           # unit separator: never occurs in fixture text
+_BPE_SEP2 = _BPE_SEP * 2
+
+
+def _bpe_training_oracle(n_rounds: int) -> str:
+    """Generated-CTE DuckDB mirror of the BPE training loop. Segmentations
+    are carried as strings — tokens joined by a DOUBLE separator and
+    bracketed by single separators (``|a||b||c|``) — so one merge round is
+    a plain ``replace(seg, |a||b|, |ab|)``: both engines' ``replace`` is
+    left-to-right non-overlapping, which is exactly BPE's greedy merge
+    (``aaa`` + pair (a,a) → ``aa a``, one merge, not two). The double
+    separator gives each adjacent pair its own delimiters, so back-to-back
+    occurrences (``abab``) all merge in one pass and a pair can never
+    falsely match across token boundaries (``xa|by`` vs pair (a,b))."""
+    s1 = "chr(31)"
+    s2 = "chr(31) || chr(31)"
+    ctes = [
+        f"""vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    seg0 AS (
+      SELECT freq,
+             {s1} || array_to_string(string_split(word, ''), {s2}) || {s1}
+               AS seg
+      FROM vocab
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""toklist{p} AS (
+      SELECT freq,
+             string_split(substr(seg, 2, length(seg) - 2), {s2}) AS toks
+      FROM seg{p}
+    ),
+    pairs{r} AS (
+      SELECT toks[i] AS a, toks[i + 1] AS b,
+             CAST(SUM(freq) AS BIGINT) AS weight
+      FROM toklist{p}, unnest(range(1, len(toks))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    best{r} AS (
+      SELECT a, b, weight FROM pairs{r} ORDER BY weight DESC, a, b LIMIT 1
+    ),
+    seg{r} AS (
+      SELECT s.freq,
+             replace(s.seg, {s1} || b.a || {s2} || b.b || {s1},
+                     {s1} || b.a || b.b || {s1}) AS seg
+      FROM seg{p} s, best{r} b
+    ),
+    tok{r} AS (
+      SELECT freq,
+             unnest(string_split(substr(seg, 2, length(seg) - 2), {s2})) AS s
+      FROM seg{r}
+    ),
+    stats{r} AS (
+      SELECT CAST(SUM(freq) AS BIGINT) AS corpus_symbols,
+             CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct_symbols
+      FROM tok{r}
+    )"""
+        )
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS merge_round, b.a AS sym_a, b.b AS sym_b, "
+        f"b.a || b.b AS merged, b.weight AS pair_weight, "
+        f"st.corpus_symbols, st.n_distinct_symbols "
+        f"FROM best{r} b, stats{r} st"
+        for r in range(1, n_rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    {rows}\n    ORDER BY merge_round"
+    )
+
+
+@register("bpe_training_rounds", oracle=_bpe_training_oracle(_BPE_ROUNDS))
+def bpe_training_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, {_BPE_ROUNDS} full merge rounds: count every
+    adjacent symbol pair (corpus-weighted), merge the argmax pair
+    ((weight DESC, a, b) total order) into every word's segmentation,
+    re-segment, repeat — `bpe_merge_candidates` is one count step of this
+    loop; this is the loop itself, the algorithm behind every production
+    tokenizer's vocabulary.
+
+    Scale shape: the corpus is scanned ONCE (vocabulary collapse —
+    everything after runs on |vocab| rows); each round is a vocab-sized
+    pair aggregation (map-side combined), a 1-row argmax broadcast into a
+    pure-JVM ``replace`` over the segmentation strings (no fold, no UDF),
+    and a pinned re-segmentation so round plans stay O(1)-deep (PageRank's
+    pin discipline). Segmentations ride a bracketed double-separator
+    string encoding — see :func:`_bpe_training_oracle` for why that makes
+    greedy non-overlapping merge exactly ``replace()`` in both engines.
+
+    Per round the panel reports the merged pair, its pre-merge weight, and
+    post-merge corpus totals: ``corpus_symbols`` strictly decreases (every
+    merge collapses ≥1 occurrence) while the symbol inventory grows the
+    merge list monotonically — pinned in ``tests/test_bpe_training.py``."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    sep = F.lit(_BPE_SEP)
+    seg = materialize(
+        vocab.select(
+            "freq",
+            F.concat(
+                sep, F.concat_ws(_BPE_SEP2, F.split("word", "")), sep
+            ).alias("seg"),
+        )
+    )
+    inner = F.expr("substring(seg, 2, length(seg) - 2)")
+    out: DataFrame | None = None
+    for r in range(1, _BPE_ROUNDS + 1):
+        toks = F.split(inner, _BPE_SEP2)
+        adj = F.zip_with(
+            F.slice("toks", 1, F.size("toks") - 1),
+            F.slice("toks", 2, F.size("toks") - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+        pairs = (
+            seg.select("freq", toks.alias("toks"))
+            .filter(F.size("toks") >= 2)
+            .select("freq", F.explode(adj).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("long").alias("weight"))
+        )
+        best = pairs.orderBy(F.desc("weight"), "a", "b").limit(1)
+        seg = materialize(
+            seg.crossJoin(F.broadcast(best)).select(
+                "freq",
+                F.replace(
+                    F.col("seg"),
+                    F.concat(sep, F.col("a"), F.lit(_BPE_SEP2), F.col("b"), sep),
+                    F.concat(sep, F.col("a"), F.col("b"), sep),
+                ).alias("seg"),
+            )
+        )
+        stats = seg.select("freq", F.explode(F.split(inner, _BPE_SEP2)).alias("s")).agg(
+            F.sum("freq").cast("long").alias("corpus_symbols"),
+            F.countDistinct("s").cast("long").alias("n_distinct_symbols"),
+        )
+        row = best.crossJoin(stats).select(
+            F.lit(r).alias("merge_round"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            F.concat("a", "b").alias("merged"),
+            F.col("weight").alias("pair_weight"),
+            "corpus_symbols",
+            "n_distinct_symbols",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("merge_round")
