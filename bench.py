@@ -192,6 +192,7 @@ HEADLINE = [
     "embedding_neardup_pairs",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
+    "knn_cosine_nsw",
     "knn_lsh_recall_stats",
     "embedding_dim_variance_stats",
     "embedding_outlier_stats",

@@ -393,3 +393,126 @@ def cosine_pairs(
         .select("id1", "id2", "cos")
         .orderBy("id1", "id2")
     )
+
+
+def nsw_neighbor_graph(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    degree: int = 8,
+) -> DataFrame:
+    """Deterministic navigable-small-world layer: per-node top-``degree``
+    out-neighbors by exact cosine among the node's LSH bucket-collision
+    candidates — the graph-ANN index (HNSW layer 0) built the way a
+    distributed system actually builds it (LSH/NN-descent candidates,
+    never all-pairs).
+
+    Scale shape: bucket ids from ONE Arrow-batched matmul pass; the
+    candidate self-join is a SHUFFLE equi-join on (table, bucket) — both
+    sides are the full corpus, so no broadcast; exact rescoring touches
+    only colliding pairs; top-``degree`` is a per-node window. Returns
+    (src, dst, cos) directed edges.
+    """
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_tables, n_bits)
+    b = base.select(F.col(id_col), as_double(F.col(vec_col)).alias("_bv"))
+    buckets = lsh_bucket_udf(planes)
+    bb = b.select(id_col, F.posexplode(buckets("_bv")).alias("t", "bucket"))
+    other = bb.select(
+        F.col(id_col).alias("_dst"), F.col("t"), F.col("bucket")
+    )
+    cand = (
+        bb.join(other, ["t", "bucket"])
+        .filter(F.col(id_col) != F.col("_dst"))
+        .select(F.col(id_col).alias("_src"), "_dst")
+        .distinct()
+    )
+    sv = b.select(F.col(id_col).alias("_src"), F.col("_bv").alias("_sv"))
+    dv = b.select(F.col(id_col).alias("_dst"), F.col("_bv").alias("_dv"))
+    scored = (
+        cand.join(sv, "_src")
+        .join(dv, "_dst")
+        .withColumn("cos", F.round(cosine(F.col("_sv"), F.col("_dv")), 6))
+    )
+    w = Window.partitionBy("_src").orderBy(F.desc("cos"), F.col("_dst"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= degree)
+        .select(F.col("_src").alias("src"), F.col("_dst").alias("dst"), "cos")
+    )
+
+
+def knn_nsw(
+    base: DataFrame,
+    queries: DataFrame,
+    nbrs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    beam_width: int = 8,
+    n_hops: int = 3,
+    entry_id: int = 0,
+) -> DataFrame:
+    """Graph-ANN search over a prebuilt NSW layer: batched greedy beam
+    search — all queries walk the graph simultaneously; each hop expands
+    the beam's out-neighbors (equi-join on the node key), scores the
+    visited set against the query, and keeps the per-query top-``beam
+    width``. After ``n_hops`` hops the visited set's top-k (self
+    excluded) is the answer. Everything is deterministic — fixed entry
+    point, rounded scores, (cos DESC, id) total orders — so the whole
+    walk mirrors in SQL as generated per-hop CTEs.
+
+    The batched hop (expand-whole-beam) is the distributed form of
+    HNSW's sequential best-first descent: one join + one bounded window
+    per hop, frontier size ≤ |queries|·W·degree, never a corpus scan.
+    """
+    from pyspark.sql import Window
+
+    b = base.select(F.col(id_col), as_double(F.col(vec_col)).alias("_bv"))
+    qv = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv")
+    )
+    visited = qv.select(
+        query_id_col, F.lit(entry_id).cast("long").alias("_node")
+    )
+    beam = visited
+    sc = None
+    nodes = b.select(F.col(id_col).alias("_node"), "_bv")
+    for _ in range(n_hops):
+        exp = (
+            beam.join(nbrs, beam._node == nbrs.src)
+            .select(query_id_col, F.col("dst").alias("_node"))
+        )
+        visited = visited.unionByName(exp).distinct()
+        sc = (
+            visited.join(F.broadcast(qv), query_id_col)
+            .join(nodes, "_node")
+            .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_bv")), 6))
+            .select(query_id_col, "_node", "cos")
+        )
+        wb = Window.partitionBy(query_id_col).orderBy(
+            F.desc("cos"), F.col("_node")
+        )
+        beam = (
+            sc.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= beam_width)
+            .select(query_id_col, "_node")
+        )
+    wk = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col("_node"))
+    return (
+        sc.filter(F.col("_node") != F.col(query_id_col))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("_node").alias(id_col),
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy(query_id_col, "rank")
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..materialize import materialize
+from ..materialize import materialize, shared
 from ..operators import similarity as S
 from ..registry import register
 
@@ -1709,4 +1709,116 @@ def quantization_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_cos",
         )
         .orderBy("bits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph ANN (round-7; round-6 verdict item 8): HNSW-lite — a deterministic
+# navigable-small-world layer + batched greedy beam search, completing the
+# similarity family beyond IVF/LSH/PQ. Index build and walk are both
+# mirrored in DuckDB (generated per-hop CTEs, PageRank discipline), so even
+# this "approximate" operator is value-hash-checked end to end.
+
+_NSW_E = 16  # out-degree of the NSW layer (HNSW's default M)
+_NSW_W = 16  # beam width (efSearch)
+_NSW_H = 4   # hops
+_NSW_K = 10  # results per probe
+
+
+def _nsw_oracle() -> str:
+    """DuckDB mirror of build + search. The graph reuses the shared LSH
+    pipeline mirror with EVERY node as a probe (n_queries beyond any id):
+    ``lsh_scored`` is then exactly the exact-rescored bucket-collision pair
+    set, and top-{_NSW_E} per source is the NSW layer. The walk unrolls as
+    one CTE trio per hop — expand beam along edges, union into the visited
+    set, score and re-beam — matching the batched Spark hops op for op."""
+    hops = []
+    for h in range(1, _NSW_H + 1):
+        hops.append(
+            f"""e{h} AS (
+      SELECT DISTINCT bm.query_id, n.dst AS node
+      FROM beam{h - 1} bm JOIN nbrs n ON n.src = bm.node
+    ),
+    v{h} AS (
+      SELECT query_id, node FROM v{h - 1}
+      UNION
+      SELECT query_id, node FROM e{h}
+    ),
+    sc{h} AS (
+      SELECT v.query_id, v.node,
+             ROUND(list_dot_product(p.qv2, nb.bv) /
+                   (sqrt(list_dot_product(p.qv2, p.qv2)) *
+                    sqrt(list_dot_product(nb.bv, nb.bv))), 6) AS cos
+      FROM v{h} v
+      JOIN probes p ON p.query_id = v.query_id
+      JOIN b nb ON nb.vec_id = v.node
+    ),
+    beam{h} AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, node) AS rn
+        FROM sc{h}) WHERE rn <= {_NSW_W}
+    )"""
+        )
+    return f"""
+    WITH {_lsh_pipeline_ctes(n_queries=1 << 62)},
+    nbrs AS (
+      SELECT query_id AS src, vec_id AS dst FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM lsh_scored) WHERE rn <= {_NSW_E}
+    ),
+    probes AS (SELECT vec_id AS query_id, bv AS qv2 FROM b WHERE vec_id < 5),
+    v0 AS (SELECT query_id, 0 AS node FROM probes),
+    beam0 AS (SELECT query_id, node FROM v0),
+    {",".join(hops)},
+    ranked AS (
+      SELECT query_id, node, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, node) AS rank
+      FROM sc{_NSW_H} WHERE node <> query_id
+    )
+    SELECT query_id, node AS vec_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_NSW_K}
+    ORDER BY query_id, rank
+    """
+
+
+def _nsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared NSW layer (the index is built once, queried many
+    times — same artifact pattern as the trade graph)."""
+    return shared(
+        ("nsw_graph", sf_dir, _NSW_E),
+        spark,
+        lambda: S.nsw_neighbor_graph(
+            load_table(spark, sf_dir, "embeddings"), degree=_NSW_E
+        ),
+    )
+
+
+@register("knn_cosine_nsw", oracle=_nsw_oracle())
+def knn_cosine_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN top-{_NSW_K}: greedy beam search ({_NSW_W}-wide,
+    {_NSW_H} hops from a fixed entry point) over a deterministic
+    {_NSW_E}-degree NSW layer whose edges are each node's exact-cosine
+    top-{_NSW_E} among its LSH bucket-collision candidates — HNSW's
+    serving dataflow (hop → neighbor expansion → bounded re-rank), built
+    the way a distributed system builds it (banded candidates, never
+    all-pairs). Per-hop cost is |probes|·W·E rows against the node-keyed
+    edge table: bucket-sized, not corpus-sized; recall vs brute force is
+    bounded in tests, and the walk itself is hash-checked against the
+    generated-CTE mirror."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.knn_nsw(
+        emb,
+        queries,
+        _nsw_graph(spark, sf_dir),
+        k=_NSW_K,
+        beam_width=_NSW_W,
+        n_hops=_NSW_H,
     )

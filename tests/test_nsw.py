@@ -1,0 +1,48 @@
+"""Graph-ANN (NSW) invariants: recall vs exact truth, graph degree bound,
+and the scale shape of the walk."""
+
+from __future__ import annotations
+
+from ethical_data_ingestion_spark import plans, registry
+from ethical_data_ingestion_spark.queries import similarity_q as SQ
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_nsw_recall_against_bruteforce(spark):
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in registry.QUERIES["knn_cosine_bruteforce"](spark, SF_DIR).collect()
+    }
+    approx = (
+        registry.QUERIES["knn_cosine_nsw"](spark, SF_DIR).collect()
+    )
+    got = {(r.query_id, r.vec_id) for r in approx}
+    # per the family convention: bound recall, don't demand exactness —
+    # a 4-hop, 16-wide walk on a degree-16 layer (measured 0.96 here) keeps
+    # comfortably above this floor across fixture revisions
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, f"NSW recall {recall:.2f} below bound"
+    # ranks well-formed per probe
+    by_q: dict[int, list[int]] = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_nsw_graph_degree_bounded(spark):
+    g = SQ._nsw_graph(spark, SF_DIR)
+    mx = g.groupBy("src").count().agg({"count": "max"}).collect()[0][0]
+    assert mx <= SQ._NSW_E
+    # no self-loops
+    assert g.filter("src = dst").count() == 0
+
+
+def test_nsw_walk_never_scans_corpus_per_hop(spark):
+    """The search plan must touch vectors only through node-keyed joins
+    (the pinned graph + visited set), never a per-hop corpus rescan with
+    a nested loop: no CartesianProduct anywhere."""
+    df = registry.QUERIES["knn_cosine_nsw"](spark, SF_DIR)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
