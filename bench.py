@@ -245,6 +245,7 @@ HEADLINE = [
     "multimodal_frame_stats",
     "multimodal_byte_entropy",
     "multimodal_neardup_simhash",
+    "multimodal_cdc_stats",
     "streaming_tumbling_hourly",
     "streaming_dedup_keys",
     "streaming_incremental_dedup",

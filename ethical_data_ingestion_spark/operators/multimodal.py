@@ -191,3 +191,86 @@ def decode_image(assets: DataFrame, target_size: tuple[int, int] = (64, 64)):
 def expected_frames(size_bytes: int, frame_bytes: int = FRAME_BYTES) -> int:
     """Oracle-side arithmetic mirror of :func:`sample_frames` counts."""
     return max(1, math.ceil(size_bytes / frame_bytes))
+
+
+#: Content-defined chunking parameters: rolling window width (bytes) and
+#: the boundary modulus — a cut lands after byte i when the base-256 value
+#: of the 4-byte window ending at i is ≡ 0 (mod CDC_MOD), giving ~CDC_MOD
+#: expected bytes per chunk. A production CDC (FastCDC) swaps the window
+#: polynomial for a gear table and adds min/max bounds; the dataflow — and
+#: the shift-resistance property the panel demonstrates — is identical.
+CDC_WINDOW = 4
+CDC_MOD = 61
+
+CDC_SCHEMA = (
+    "asset_id bigint, modality string, chunk_no int, "
+    "chunk_bytes bigint, chunk_md5 string"
+)
+
+
+def cdc_chunks(assets: DataFrame) -> DataFrame:
+    """Content-defined chunking of binary payloads: boundaries are placed
+    where the rolling window value hits the modulus, so an insertion near
+    the head re-chunks only its neighborhood instead of shifting every
+    fixed-size block — the property that makes chunk-level dedup survive
+    edits (rsync/LBFS/FastCDC lineage). Per-chunk md5 (over the lowercase
+    hex of the chunk bytes — string-hash on both engines) keys the
+    content-addressable store.
+
+    Same scale shape as the other byte operators: Arrow-batched
+    ``mapInPandas`` over the existing partitioning, numpy-vectorized
+    boundary detection, zero shuffle introduced.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, modality, content in zip(
+                pdf["asset_id"], pdf["modality"], pdf["content"]
+            ):
+                buf = bytes(content)
+                if not buf:
+                    continue
+                b = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+                if len(b) >= CDC_WINDOW:
+                    h = (
+                        (b[:-3] << 24) + (b[1:-2] << 16) + (b[2:-1] << 8) + b[3:]
+                    )
+                    # h[j] is the window ending at byte j+3; cut AFTER it
+                    cuts = (np.nonzero(h % CDC_MOD == 0)[0] + CDC_WINDOW).tolist()
+                else:
+                    cuts = []
+                starts = [0] + cuts
+                ends = cuts + [len(buf)]
+                cno = 0
+                for s, e in zip(starts, ends):
+                    if e <= s:  # a cut on the final byte: no trailing chunk
+                        continue
+                    piece = buf[s:e]
+                    out.append(
+                        (
+                            aid,
+                            modality,
+                            cno,
+                            e - s,
+                            hashlib.md5(piece.hex().encode()).hexdigest(),
+                        )
+                    )
+                    cno += 1
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id",
+                    "modality",
+                    "chunk_no",
+                    "chunk_bytes",
+                    "chunk_md5",
+                ],
+            )
+
+    return assets.select("asset_id", "modality", "content").mapInPandas(
+        chunk, schema=CDC_SCHEMA
+    )

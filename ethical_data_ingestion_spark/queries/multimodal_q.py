@@ -235,3 +235,116 @@ def multimodal_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id1", "id2", "modality1", "modality2",
         F.col("hamming").cast("int").alias("hamming"),
     ).orderBy("id1", "id2")
+
+
+@register(
+    "multimodal_cdc_stats",
+    oracle=f"""
+    WITH assets AS ({_ASSETS_SQL}),
+    hexed AS (
+      SELECT asset_id, modality, lower(hex(content)) AS h, size_bytes AS n
+      FROM assets WHERE size_bytes > 0
+    ),
+    bytes AS (
+      SELECT asset_id, modality, h, i,
+             ('0x' || substr(h, 2 * i + 1, 2))::BIGINT AS b
+      FROM (SELECT asset_id, modality, h, n, unnest(range(n)) AS i FROM hexed)
+    ),
+    win AS (
+      SELECT asset_id, modality, h, i, b,
+             LAG(b, 3) OVER w AS b3, LAG(b, 2) OVER w AS b2,
+             LAG(b, 1) OVER w AS b1
+      FROM bytes
+      WINDOW w AS (PARTITION BY asset_id ORDER BY i)
+    ),
+    cuts AS (
+      SELECT asset_id, modality, h, i,
+             CASE WHEN i >= {MM.CDC_WINDOW - 1}
+                       AND (b3 * 16777216 + b2 * 65536 + b1 * 256 + b)
+                           % {MM.CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS cut
+      FROM win
+    ),
+    numbered AS (
+      SELECT asset_id, modality, h, i,
+             COALESCE(SUM(cut) OVER (PARTITION BY asset_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_no
+      FROM cuts
+    ),
+    chunks AS (
+      SELECT asset_id, modality, chunk_no,
+             CAST(COUNT(*) AS BIGINT) AS chunk_bytes,
+             md5(substr(ANY_VALUE(h), 2 * MIN(i) + 1, 2 * COUNT(*)))
+               AS chunk_md5
+      FROM numbered
+      GROUP BY asset_id, modality, chunk_no
+    ),
+    by_hash AS (
+      SELECT modality, chunk_md5,
+             COUNT(*) AS cnt, MIN(chunk_bytes) AS cb
+      FROM chunks GROUP BY modality, chunk_md5
+    )
+    SELECT c.modality,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT c.chunk_md5) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(c.chunk_bytes) AS BIGINT) AS total_bytes,
+           ROUND(CAST(SUM(CAST(c.chunk_bytes AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_chunk_bytes,
+           CAST(d.dup_bytes AS BIGINT) AS dup_bytes,
+           ROUND(CAST(d.dup_bytes AS DOUBLE) / SUM(c.chunk_bytes), 6)
+             AS dup_ratio
+    FROM chunks c
+    JOIN (SELECT modality, SUM((cnt - 1) * cb) AS dup_bytes
+          FROM by_hash GROUP BY modality) d USING (modality)
+    GROUP BY c.modality, d.dup_bytes
+    ORDER BY c.modality
+    """,
+)
+def multimodal_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup panel — the blob-store tier below
+    document-level near-dup: payloads split at rolling-hash boundaries
+    (insertion-shift-resistant, unlike fixed frames), chunks keyed by
+    content hash, and the per-modality ledger reports exactly what a
+    content-addressable store would save (duplicate chunk mass + ratio).
+
+    Spark computes boundaries numpy-vectorized inside one Arrow
+    ``mapInPandas`` pass (no shuffle introduced); the oracle re-derives
+    the identical cuts from the hex-exploded blob with window LAGs and a
+    running cut count — chunk hashes are md5 over lowercase hex on BOTH
+    engines, so the panel is value-hash-checked end to end."""
+    assets = MM.as_assets(load_table(spark, sf_dir, "documents"))
+    chunks = MM.cdc_chunks(assets)
+    by_hash = (
+        chunks.groupBy("modality", "chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("chunk_bytes").alias("cb"),
+        )
+        .groupBy("modality")
+        .agg(
+            F.sum((F.col("cnt") - 1) * F.col("cb")).alias("dup_bytes")
+        )
+    )
+    return (
+        chunks.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_md5").alias("n_distinct_chunks"),
+            F.sum("chunk_bytes").cast("long").alias("total_bytes"),
+            davg("chunk_bytes", "avg_chunk_bytes"),
+        )
+        .join(by_hash, "modality")
+        .select(
+            "modality",
+            "n_chunks",
+            "n_distinct_chunks",
+            "total_bytes",
+            "avg_chunk_bytes",
+            F.col("dup_bytes").cast("long").alias("dup_bytes"),
+            F.round(
+                F.col("dup_bytes").cast("double") / F.col("total_bytes"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("modality")
+    )
