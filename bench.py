@@ -235,6 +235,7 @@ HEADLINE = [
     "unimax_allocation_stats",
     "zipf_fit_stats",
     "source_vocab_affinity",
+    "source_divergence_matrix",
     "embedding_dim_ablation",
     "kcenter_coreset_stats",
     "knn_label_accuracy",

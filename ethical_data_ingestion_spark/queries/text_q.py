@@ -1786,3 +1786,103 @@ def char_bigram_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "source_divergence_matrix",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    f AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE word <> '' GROUP BY source, word
+    ),
+    n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nt FROM f GROUP BY source),
+    fs AS (SELECT f.source, f.word, f.c, n.nt FROM f JOIN n USING (source)),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.c::DOUBLE / a.nt::DOUBLE AS p,
+             b.c::DOUBLE / b.nt::DOUBLE AS q
+      FROM fs a JOIN fs b ON a.word = b.word AND a.source < b.source
+    ),
+    terms AS (
+      SELECT source_a, source_b,
+             ROUND(p * log2(2 * p / (p + q)) + q * log2(2 * q / (p + q)), 9)
+               AS t,
+             ROUND(p, 9) AS rp, ROUND(q, 9) AS rq
+      FROM pairs
+    ),
+    agg AS (
+      SELECT source_a, source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_words,
+             CAST(SUM(CAST(t AS DECIMAL(18,9))) AS DOUBLE) AS st,
+             CAST(SUM(CAST(rp AS DECIMAL(18,9))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(rq AS DECIMAL(18,9))) AS DOUBLE) AS sq
+      FROM terms GROUP BY source_a, source_b
+    )
+    SELECT source_a, source_b, n_shared_words,
+           ROUND(0.5 * st + 0.5 * (2.0 - sp - sq), 6) AS js_divergence
+    FROM agg
+    ORDER BY source_a, source_b
+    """,
+)
+def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence (bits) between per-source unigram
+    distributions — the domain-shift / mixture-drift metric behind data-
+    mixing weights (a source whose JS to every sibling jumps between
+    snapshots changed its generator). Zero-overlap mass needs no full
+    outer join: JS = ½Σ_shared[p·log2(2p/(p+q)) + q·log2(2q/(p+q))]
+    + ½(2 − Σ_shared p − Σ_shared q), so the only join is the word
+    equi-join on the pinned (source, word, count) table — the same
+    vocabulary-collapse shape as `source_vocab_affinity`, never a corpus
+    cross join. Terms round to 9 into DECIMAL sums (order-insensitive);
+    the final bits round to 6, mirrored expression-for-expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = f.groupBy("source").agg(F.sum("c").cast("long").alias("nt"))
+    fs = materialize(f.join(n, "source").select("source", "word", "c", "nt"))
+    a = fs.alias("a")
+    b = fs.alias("b")
+    p = F.col("a.c").cast("double") / F.col("a.nt").cast("double")
+    q = F.col("b.c").cast("double") / F.col("b.nt").cast("double")
+    t = F.round(
+        p * F.log2(F.lit(2) * p / (p + q)) + q * F.log2(F.lit(2) * q / (p + q)),
+        9,
+    )
+    agg = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            t.alias("t"),
+            F.round(p, 9).alias("rp"),
+            F.round(q, 9).alias("rq"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_words"),
+            F.sum(F.col("t").cast("decimal(18,9)")).cast("double").alias("st"),
+            F.sum(F.col("rp").cast("decimal(18,9)")).cast("double").alias("sp"),
+            F.sum(F.col("rq").cast("decimal(18,9)")).cast("double").alias("sq"),
+        )
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_shared_words",
+        F.round(
+            F.lit(0.5) * F.col("st")
+            + F.lit(0.5) * (F.lit(2.0) - F.col("sp") - F.col("sq")),
+            6,
+        ).alias("js_divergence"),
+    ).orderBy("source_a", "source_b")

@@ -51,3 +51,15 @@ def test_cdc_panel_consistency(spark):
         assert r.n_distinct_chunks <= r.n_chunks
         assert 0 <= r.dup_ratio < 1
         assert r.dup_bytes <= r.total_bytes
+
+
+def test_source_divergence_matrix_invariants(spark):
+    """JS in [0,1] bits, full pair matrix, symmetric-by-construction keys."""
+    rows = registry.QUERIES["source_divergence_matrix"](spark, SF_DIR).collect()
+    srcs = {r.source_a for r in rows} | {r.source_b for r in rows}
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0.0 <= r.js_divergence <= 1.0
+        assert r.n_shared_words > 0
