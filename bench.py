@@ -175,6 +175,7 @@ HEADLINE = [
     "corpus_funnel_stats",
     "dedup_exact_stats",
     "ngram_span_overlap",
+    "suffix_doubling_profile",
     "bloom_decontam_stats",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",

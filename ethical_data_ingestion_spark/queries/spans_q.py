@@ -33,7 +33,7 @@ of the north-star LLM-pipeline extension surface (SURVEY §2 #45).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -211,3 +211,132 @@ def ngram_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.desc("max_span_tokens"), "doc_a", "doc_b"
     ).limit(_TOPN)
+
+
+# ---------------------------------------------------------------------------
+# Suffix-class doubling (round 7): the prefix-doubling primitive behind
+# distributed suffix-array construction, used here to produce the
+# duplicated-window profile at exponentially growing widths.
+
+_SDP_ROUNDS = 7  # windows 1, 2, 4, ..., 64 tokens (fixture docs <= 99)
+
+
+def _sdp_oracle() -> str:
+    """Generated CTE chain mirroring the class-doubling rounds: round k's
+    class id is md5(prev || '|' || prev at +2^(k-1)), with '$' past the
+    document end — the rank-doubling recurrence of suffix-array builders
+    (Manber–Myers / Flick–Bader), hash classes instead of ordered ranks
+    because the PANEL only consumes equality structure. One LEAD per
+    round, windows partitioned by doc (never corpus-wide)."""
+    ctes = [
+        """toks AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS cls0
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )"""
+    ]
+    prev = "toks"
+    for k in range(1, _SDP_ROUNDS):
+        h = 1 << (k - 1)
+        ctes.append(
+            f"""r{k} AS (
+      SELECT doc_id, i, {', '.join(f'cls{j}' for j in range(k))},
+             md5(cls{k - 1} || '|' ||
+                 COALESCE(LEAD(cls{k - 1}, {h})
+                          OVER (PARTITION BY doc_id ORDER BY i), '$'))
+               AS cls{k}
+      FROM {prev}
+    )"""
+        )
+        prev = f"r{k}"
+    melt = "\n      UNION ALL\n      ".join(
+        f"SELECT {1 << k} AS window_tokens, cls{k} AS cls FROM {prev}"
+        for k in range(_SDP_ROUNDS)
+    )
+    return f"""
+    WITH {','.join(ctes)},
+    melt AS (
+      {melt}
+    ),
+    sizes AS (
+      SELECT window_tokens, cls, CAST(COUNT(*) AS BIGINT) AS s
+      FROM melt GROUP BY window_tokens, cls
+    )
+    SELECT window_tokens,
+           CAST(SUM(s) AS BIGINT) AS n_positions,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN s >= 2 THEN s ELSE 0 END) AS BIGINT)
+             AS dup_positions,
+           ROUND(SUM(CASE WHEN s >= 2 THEN s ELSE 0 END)::DOUBLE
+                 / SUM(s)::DOUBLE, 6) AS dup_share,
+           CAST(MAX(s) AS BIGINT) AS max_class_size
+    FROM sizes
+    GROUP BY window_tokens
+    ORDER BY window_tokens
+    """
+
+
+@register("suffix_doubling_profile", oracle=_sdp_oracle())
+def suffix_doubling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-window profile at exponentially growing widths (1, 2, 4,
+    … 64 tokens) via suffix-class DOUBLING — the O(log n)-round primitive
+    distributed suffix-array builders use (Manber–Myers rank doubling),
+    with hash classes replacing ordered ranks because only equality
+    structure feeds the panel: round k's class id is the hash of (class
+    at p, class at p+2^(k-1)), so two positions share a class iff their
+    2^k-token windows (suffix-truncated, '$' past doc end) are verbatim
+    equal. Complements `ngram_span_overlap`'s fixed-k diagonal islands
+    with the full dup-mass-vs-width curve in log rounds — the panel that
+    picks Lee et al.'s span threshold.
+
+    Scale shape: ONE exchange on doc_id feeds all {_SDP_ROUNDS - 1}
+    chained LEADs (same window spec — sort reused), the melt is a narrow
+    explode, and the rollup is one (width, class) aggregation with
+    map-side combine. No corpus-wide window, no join anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "cls0")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "cls0")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    cur = toks
+    for k in range(1, _SDP_ROUNDS):
+        h = 1 << (k - 1)
+        cur = cur.withColumn(
+            f"cls{k}",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col(f"cls{k - 1}"),
+                    F.coalesce(F.lead(f"cls{k - 1}", h).over(w), F.lit("$")),
+                )
+            ),
+        )
+    melt = cur.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(1 << k).alias("window_tokens"),
+                        F.col(f"cls{k}").alias("cls"),
+                    )
+                    for k in range(_SDP_ROUNDS)
+                ]
+            )
+        ).alias("m")
+    ).select("m.window_tokens", "m.cls")
+    sizes = melt.groupBy("window_tokens", "cls").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    dup = F.sum(F.when(F.col("s") >= 2, F.col("s")).otherwise(F.lit(0)))
+    return (
+        sizes.groupBy("window_tokens")
+        .agg(
+            F.sum("s").cast("long").alias("n_positions"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            dup.cast("long").alias("dup_positions"),
+            F.round(
+                dup.cast("double") / F.sum("s").cast("double"), 6
+            ).alias("dup_share"),
+            F.max("s").cast("long").alias("max_class_size"),
+        )
+        .orderBy("window_tokens")
+    )

@@ -1,0 +1,28 @@
+"""Suffix-class doubling invariants."""
+
+from __future__ import annotations
+
+from ethical_data_ingestion_spark import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_suffix_doubling_profile_invariants(spark):
+    rows = sorted(
+        registry.QUERIES["suffix_doubling_profile"](spark, SF_DIR).collect(),
+        key=lambda r: r.window_tokens,
+    )
+    assert [r.window_tokens for r in rows] == [1, 2, 4, 8, 16, 32, 64]
+    n = rows[0].n_positions
+    for r in rows:
+        assert r.n_positions == n          # every width profiles all positions
+        assert r.dup_positions <= n
+        assert r.n_classes <= n
+        assert 0.0 <= r.dup_share <= 1.0
+        assert r.max_class_size >= 1
+    # doubling refines classes: wider windows can only SPLIT equality
+    # classes, so class counts rise and duplicated mass falls monotonically
+    classes = [r.n_classes for r in rows]
+    dups = [r.dup_positions for r in rows]
+    assert all(a <= b for a, b in zip(classes, classes[1:]))
+    assert all(a >= b for a, b in zip(dups, dups[1:]))
