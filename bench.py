@@ -180,6 +180,7 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "minhash_recall_stats",
+    "minhash_band_sweep",
     "incremental_dedup_stats",
     "dedup_simhash",
     "neardup_clusters",

@@ -32,6 +32,18 @@ def _doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_sig16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared 16-hash MinHash signature table over the shared
+    shingle sets — the LSH index artifact both the recall panel and the
+    band-geometry sweep read (computed once per session, like the shingle
+    table itself)."""
+    return shared(
+        ("mh_sig", sf_dir, 16),
+        spark,
+        lambda: D._minhash_from_sets(_doc_sets(spark, sf_dir), "doc_id", 16),
+    )
+
+
 _PAIR_KEY = ("jaccard_pairs", 3, 0.8)
 
 
@@ -471,11 +483,10 @@ def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "minhash_recall_stats",
-    oracle=f"""
-    WITH sh AS ({_SHINGLES}),
-    hs AS (
+#: DuckDB mirror of the md5 Carter-Wegman MinHash signature derivation —
+#: shared by the recall panel and the band-geometry sweep so the two
+#: oracles cannot drift from each other (or from operators/dedup.py).
+_MINHASH_SIG_CTES = """hs AS (
       SELECT doc_id,
              list_transform(shingles,
                s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS h1s,
@@ -489,7 +500,14 @@ def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> list_min(list_transform(range(1, len(h1s) + 1),
                  x -> (h1s[x] + i * h2s[x]) % 4294967296))) AS sig
       FROM hs
-    ),
+    )"""
+
+
+@register(
+    "minhash_recall_stats",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    {_MINHASH_SIG_CTES},
     bands AS (
       SELECT doc_id, j AS band_idx,
              md5(array_to_string(
@@ -536,8 +554,7 @@ def minhash_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and banding from the same md5 Carter-Wegman scheme the oracle
     mirrors bit-for-bit, truth from the inverted-index exact join —
     hash-checked end to end (empty corpus ⇒ vacuous 1.0s, mirrored)."""
-    sets = _doc_sets(spark, sf_dir)
-    sig = D._minhash_from_sets(sets, "doc_id", 16)
+    sig = _doc_sig16(spark, sf_dir)
     cands = materialize(D.minhash_band_candidates(sig, "doc_id", 16, 4))
     truth = materialize(
         _build_jaccard_pairs(spark, sf_dir).select("id1", "id2")
@@ -1540,4 +1557,148 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_jaccard"),
         )
         .orderBy("split_pair")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash band-geometry sweep (round 7): the (bands × rows) S-curve panel.
+
+_SWEEP_GEOMS = [(2, 8), (4, 4), (8, 2), (16, 1)]
+
+
+def _band_sweep_oracle() -> str:
+    geom_bands = []
+    for b, r in _SWEEP_GEOMS:
+        geom_bands.append(
+            f"""SELECT {b} AS bands, doc_id, j AS band_idx,
+             md5(array_to_string(
+               list_transform(sig[j*{r}+1:j*{r}+{r}], v -> CAST(v AS VARCHAR)),
+               ',')) AS band_key
+      FROM sig, range(0, {b}) g{b}(j)"""
+        )
+    geom_rows = " UNION ALL ".join(
+        f"SELECT {b} AS bands, {r} AS rows_per_band" for b, r in _SWEEP_GEOMS
+    )
+    return f"""
+    WITH sh AS ({_SHINGLES}),
+    {_MINHASH_SIG_CTES},
+    bands_all AS (
+      {" UNION ALL ".join(geom_bands)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.bands, a.doc_id AS id1, b.doc_id AS id2
+      FROM bands_all a JOIN bands_all b
+        ON a.bands = b.bands AND a.band_idx = b.band_idx
+       AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    {_EXACT_JACCARD}
+    , truth AS (SELECT id1, id2 FROM jacc WHERE jaccard >= 0.8),
+    per AS (
+      SELECT c.bands,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+      FROM cand c LEFT JOIN truth t USING (id1, id2)
+      GROUP BY c.bands
+    ),
+    geoms AS ({geom_rows}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth)
+    SELECT g.bands, g.rows_per_band,
+           COALESCE(p.n_candidates, 0) AS n_candidates,
+           COALESCE(p.n_hits, 0) AS n_hits,
+           tot.n_true_pairs,
+           CASE WHEN tot.n_true_pairs = 0 THEN 1.0
+                ELSE ROUND(COALESCE(p.n_hits, 0)::DOUBLE
+                           / tot.n_true_pairs::DOUBLE, 6) END AS recall,
+           CASE WHEN COALESCE(p.n_candidates, 0) = 0 THEN 1.0
+                ELSE ROUND(COALESCE(p.n_hits, 0)::DOUBLE
+                           / p.n_candidates::DOUBLE, 6)
+           END AS candidate_precision
+    FROM geoms g LEFT JOIN per p ON p.bands = g.bands, tot
+    ORDER BY g.bands
+    """
+
+
+@register("minhash_band_sweep", oracle=_band_sweep_oracle())
+def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-geometry sweep over ONE 16-hash signature table: recall and
+    candidate volume at (bands × rows/band) = 2×8, 4×4, 8×2, 16×1 — the
+    full LSH S-curve family (catch threshold ≈ (1/b)^(1/r): 0.917, 0.707,
+    0.435, 0.0625) priced against the exact-Jaccard ≥0.8 truth. This is
+    the panel that TUNES the dedup tier: `minhash_recall_stats` prices the
+    production 4×4 point; this shows what the neighboring geometries buy.
+
+    One pipeline: signatures pinned once, every geometry's band keys
+    unioned into a single (geometry, band, key) table, ONE self-equi-join
+    keyed on all three, one LEFT JOIN against the shared truth pairs —
+    never a per-geometry rerun, same rank-trick economy as
+    `ivf_nprobe_sweep`. Geometry rows emitted unconditionally (a geometry
+    with zero candidates still reports, vacuous precisions mirrored)."""
+    sig = _doc_sig16(spark, sf_dir)
+    banded_all = None
+    for b, _ in _SWEEP_GEOMS:
+        part = D._banded(sig, "doc_id", 16, b).withColumn("bands", F.lit(b))
+        banded_all = part if banded_all is None else banded_all.unionByName(part)
+    a, bb = banded_all.alias("a"), banded_all.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+        )
+        .distinct()
+    )
+    truth = materialize(
+        _build_jaccard_pairs(spark, sf_dir).select("id1", "id2")
+    ).withColumn("_t", F.lit(1))
+    per = (
+        cand.join(truth, ["id1", "id2"], "left")
+        .groupBy("bands")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("_t").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    geoms = spark.createDataFrame(
+        _SWEEP_GEOMS, "bands int, rows_per_band int"
+    )
+    tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    return (
+        geoms.join(per, "bands", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            "n_true_pairs",
+            F.when(F.col("n_true_pairs") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / F.col("n_true_pairs").cast("double"),
+                    6,
+                )
+            )
+            .alias("recall"),
+            F.when(F.coalesce("n_candidates", F.lit(0)) == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)).cast("double")
+                    / F.col("n_candidates").cast("double"),
+                    6,
+                )
+            )
+            .alias("candidate_precision"),
+        )
+        .orderBy("bands")
     )

@@ -26,3 +26,24 @@ def test_suffix_doubling_profile_invariants(spark):
     dups = [r.dup_positions for r in rows]
     assert all(a <= b for a, b in zip(classes, classes[1:]))
     assert all(a >= b for a, b in zip(dups, dups[1:]))
+
+
+def test_minhash_band_sweep_s_curve(spark):
+    """More bands (fewer rows/band) monotonically buys recall with
+    candidate volume; the 4x4 row must agree with minhash_recall_stats."""
+    rows = sorted(
+        registry.QUERIES["minhash_band_sweep"](spark, SF_DIR).collect(),
+        key=lambda r: r.bands,
+    )
+    assert [(r.bands, r.rows_per_band) for r in rows] == [
+        (2, 8), (4, 4), (8, 2), (16, 1)
+    ]
+    recalls = [r.recall for r in rows]
+    cands = [r.n_candidates for r in rows]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert all(a <= b for a, b in zip(cands, cands[1:]))
+    base = registry.QUERIES["minhash_recall_stats"](spark, SF_DIR).collect()[0]
+    mid = rows[1]
+    assert (mid.n_candidates, mid.n_hits, mid.recall) == (
+        base.n_candidates, base.n_hits, base.recall
+    )
