@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..materialize import materialize
 from ..operators import dedup as D
 from ..operators import multimodal as MM
 from ..operators.analytics import davg
@@ -314,7 +315,9 @@ def multimodal_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     running cut count — chunk hashes are md5 over lowercase hex on BOTH
     engines, so the panel is value-hash-checked end to end."""
     assets = MM.as_assets(load_table(spark, sf_dir, "documents"))
-    chunks = MM.cdc_chunks(assets)
+    # pin: two aggregation branches read the chunk table; without the pin
+    # each would re-run the Python chunker (plan pin asserts ONE pass)
+    chunks = materialize(MM.cdc_chunks(assets))
     by_hash = (
         chunks.groupBy("modality", "chunk_md5")
         .agg(

@@ -473,3 +473,46 @@ def test_triangle_degree_join_has_no_forced_broadcast(spark, sf_dir):
     # co-partitioned at scale) — a lost key would plan a cartesian
     assert "Join Inner" in logical or "Join UsingJoin" in logical
     assert "Cartesian" not in logical
+
+
+def test_round7_queries_keep_their_scale_shapes(spark, sf_dir):
+    """Plan pins for the round-7 additions."""
+    import re
+
+    # BPE trainer: after the vocabulary collapse every round reads pinned
+    # segmentations — the corpus parquet is scanned zero times in the
+    # final plan (pins), and nothing cartesians on data (the only
+    # crossJoin is the 1-row argmax broadcast)
+    df = _q(spark, sf_dir, "bpe_training_rounds")
+    plan = plans.formatted_plan(df)
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+    # suffix doubling: every window is doc-partitioned (no corpus-wide
+    # WindowExec), no join anywhere in the profile
+    df = _q(spark, sf_dir, "suffix_doubling_profile")
+    plan = plans.formatted_plan(df)
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.startswith("doc_id"), f"unpartitioned window: {spec[:80]}"
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+    # CDC ledger: vector bytes reach Python exactly once (one
+    # ArrowEvalPython/MapInPandas pass), no cartesian
+    df = _q(spark, sf_dir, "multimodal_cdc_stats")
+    plan = plans.formatted_plan(df)
+    assert "MapInPandas" not in plan  # chunk table pinned: UDF ran once at pin time
+    assert "CartesianProduct" not in plan
+
+    # JS divergence: the only join over words is the equi-join on the
+    # pinned (source, word) table — a cartesian means the key was lost
+    df = _q(spark, sf_dir, "source_divergence_matrix")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan  # pinned vocab, no corpus re-scan
+
+    # band sweep: one self-equi-join keyed on (geometry, band, key);
+    # the only crossJoin is the 1-row truth-count broadcast
+    df = _q(spark, sf_dir, "minhash_band_sweep")
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
