@@ -213,6 +213,7 @@ HEADLINE = [
     "embed_knn_e2e",
     "embed_knn_lsh",
     "chunk_embed_topk",
+    "rag_retrieval_quality",
     "semantic_decontam_stats",
     "domain_cap_sampling",
     "padding_efficiency_stats",

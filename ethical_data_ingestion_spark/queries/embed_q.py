@@ -265,10 +265,56 @@ def _packed_ckey(doc_id: F.Column, chunk_idx: F.Column) -> F.Column:
     )
 
 
-@register(
-    "chunk_embed_topk",
-    oracle=f"""
-    WITH dtoks AS (
+def _chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedded+filtered chunk table — the INDEX a RAG deployment
+    persists once and serves many queries from; session-shared like the
+    document-embedding artifact (per-query work is retrieval, not
+    re-embedding the corpus). Consumed by `chunk_embed_topk` and
+    `rag_retrieval_quality`."""
+
+    def _build_chunks() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), "\\s+", " ")), " "
+            ).alias("t"),
+        )
+        chunks = (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(0), F.size("t") - 1, F.lit(_CHUNK_STRIDE))
+                ).alias("s"),
+                "t",
+            )
+            .select(
+                "doc_id",
+                _packed_ckey(
+                    F.col("doc_id"), (F.col("s") / _CHUNK_STRIDE).cast("long")
+                ).alias("ckey"),
+                F.concat_ws(
+                    " ", F.slice("t", F.col("s") + 1, _CHUNK_SIZE)
+                ).alias("text"),
+            )
+        )
+        return (
+            E.embed_texts(chunks, dim=_DIM)
+            .withColumn("n2", E.embedding_norm2("embedding"))
+            .filter(F.col("n2") > 0)
+            .select("doc_id", "ckey", "embedding", "n2")
+        )
+
+    return shared(
+        ("chunk_index", sf_dir, _DIM, _CHUNK_SIZE, _CHUNK_STRIDE),
+        spark,
+        _build_chunks,
+    )
+
+
+#: DuckDB mirror of the sliding-window chunk index (tokenize → chunk →
+#: hashed counts → nonzero norms) — shared by the retrieval top-k and the
+#: retrieval-quality panel so the two oracles cannot drift.
+_CHUNK_INDEX_CTES = f"""dtoks AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
                           ' ') AS t
@@ -292,7 +338,13 @@ def _packed_ckey(doc_id: F.Column, chunk_idx: F.Column) -> F.Column:
     cnorm AS (
       SELECT ckey, CAST(SUM(c * c) AS BIGINT) AS n2
       FROM ccnt GROUP BY ckey HAVING SUM(c * c) > 0
-    ),
+    )"""
+
+
+@register(
+    "chunk_embed_topk",
+    oracle=f"""
+    WITH {_CHUNK_INDEX_CTES},
     {_HASHED_CNTS_CTE.strip().lstrip()},
     qnorm AS (
       SELECT doc_id AS query_id, CAST(SUM(c * c) AS BIGINT) AS qn2
@@ -351,47 +403,7 @@ def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval broadcasts the query vectors against the chunk table —
     the chunk index itself would be the LSH/IVF variant at production
     query volume (see ``embed_knn_lsh``)."""
-    # The embedded+filtered chunk table is the INDEX a RAG deployment
-    # persists once and serves many queries from — session-shared like
-    # the document-embedding artifact (the per-query work is retrieval,
-    # not re-embedding the corpus).
-    def _build_chunks() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id",
-            F.split(
-                F.trim(F.regexp_replace(F.lower("text"), "\\s+", " ")), " "
-            ).alias("t"),
-        )
-        chunks = (
-            docs.select(
-                "doc_id",
-                F.explode(
-                    F.sequence(F.lit(0), F.size("t") - 1, F.lit(_CHUNK_STRIDE))
-                ).alias("s"),
-                "t",
-            )
-            .select(
-                "doc_id",
-                _packed_ckey(
-                    F.col("doc_id"), (F.col("s") / _CHUNK_STRIDE).cast("long")
-                ).alias("ckey"),
-                F.concat_ws(
-                    " ", F.slice("t", F.col("s") + 1, _CHUNK_SIZE)
-                ).alias("text"),
-            )
-        )
-        return (
-            E.embed_texts(chunks, dim=_DIM)
-            .withColumn("n2", E.embedding_norm2("embedding"))
-            .filter(F.col("n2") > 0)
-            .select("doc_id", "ckey", "embedding", "n2")
-        )
-
-    cemb = shared(
-        ("chunk_index", sf_dir, _DIM, _CHUNK_SIZE, _CHUNK_STRIDE),
-        spark,
-        _build_chunks,
-    )
+    cemb = _chunk_index(spark, sf_dir)
     q = (
         _embedded_docs(spark, sf_dir)
         .filter(F.col("doc_id") < _RAG_QUERIES)
@@ -580,4 +592,135 @@ def semantic_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("m"), 6).alias("max_cos"),
         )
         .orderBy("source")
+    )
+
+
+_RRQ_PROBES = 10  # probe documents for the retrieval-quality panel
+_RRQ_K = 5        # hits@k window
+
+
+@register(
+    "rag_retrieval_quality",
+    oracle=f"""
+    WITH {_CHUNK_INDEX_CTES},
+    {_HASHED_CNTS_CTE.strip().lstrip()},
+    qnorm AS (
+      SELECT doc_id AS query_id, CAST(SUM(c * c) AS BIGINT) AS qn2
+      FROM cnts WHERE doc_id < {_RRQ_PROBES}
+      GROUP BY doc_id HAVING SUM(c * c) > 0
+    ),
+    pairs AS (
+      SELECT q.query_id, ch.ckey, q.qn2, cn.n2
+      FROM qnorm q, chunks ch JOIN cnorm cn USING (ckey)
+    ),
+    dots AS (
+      SELECT qc.doc_id AS query_id, cc.ckey,
+             CAST(SUM(qc.c * cc.c) AS BIGINT) AS dotp
+      FROM cnts qc JOIN ccnt cc ON qc.bucket = cc.bucket
+      WHERE qc.doc_id < {_RRQ_PROBES}
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.query_id, p.ckey,
+             ROUND(CAST(COALESCE(d.dotp, 0) AS DOUBLE)
+                   / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(p.n2 AS DOUBLE))),
+                   6) AS cos
+      FROM pairs p LEFT JOIN dots d USING (query_id, ckey)
+    ),
+    ranked AS (
+      SELECT query_id, ckey,
+             ckey // {_CHUNK_KEYMUL} AS cdoc,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, ckey) AS rank
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(MIN(CASE WHEN cdoc = query_id THEN rank END) AS BIGINT)
+             AS first_own_rank,
+           ROUND(1.0 / MIN(CASE WHEN cdoc = query_id THEN rank END), 6)
+             AS reciprocal_rank,
+           CAST(SUM(CASE WHEN cdoc = query_id AND rank <= {_RRQ_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS own_in_top{_RRQ_K},
+           CAST(MAX(CASE WHEN rank = 1 AND cdoc = query_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS top1_is_own
+    FROM ranked
+    GROUP BY query_id
+    ORDER BY query_id
+    """,
+)
+def rag_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-retrieval sanity eval for the RAG chunk index — the standard
+    zero-label check run before shipping an index: query with each of the
+    first {_RRQ_PROBES} documents' WHOLE-document embeddings against ALL
+    chunks (own document included this time) and ask where the document's
+    own passages land. Per probe: rank of the first own chunk (its
+    reciprocal is the per-query MRR contribution), own chunks inside the
+    top {_RRQ_K}, and whether rank 1 is an own chunk. A healthy index
+    puts own passages at/near the top; a drop in this panel after a
+    re-embed or re-chunk is the canary for an embedding/chunking
+    regression.
+
+    Same integer-exactness chain as `chunk_embed_topk` (counts exact,
+    one float expression per cosine, total-order ranks), same shared
+    chunk-index artifact; the score pass is the broadcast-probe shape —
+    |probes| × |chunks| rows, chunk-table-scan bound, never quadratic in
+    the corpus."""
+    cemb = _chunk_index(spark, sf_dir)
+    q = (
+        _embedded_docs(spark, sf_dir)
+        .filter(F.col("doc_id") < _RRQ_PROBES)
+        .select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .withColumn("qn2", E.embedding_norm2("qv"))
+        .filter(F.col("qn2") > 0)
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qv").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = cemb.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "ckey",
+        F.expr(f"ckey div {_CHUNK_KEYMUL}").alias("cdoc"),
+        F.round(
+            dot
+            / (
+                F.sqrt(F.col("qn2").cast("double"))
+                * F.sqrt(F.col("n2").cast("double"))
+            ),
+            6,
+        ).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("ckey"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    own_rank = F.min(
+        F.when(F.col("cdoc") == F.col("query_id"), F.col("rank"))
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            own_rank.cast("long").alias("first_own_rank"),
+            F.round(F.lit(1.0) / own_rank, 6).alias("reciprocal_rank"),
+            F.sum(
+                (
+                    (F.col("cdoc") == F.col("query_id"))
+                    & (F.col("rank") <= _RRQ_K)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias(f"own_in_top{_RRQ_K}"),
+            F.max(
+                ((F.col("rank") == 1) & (F.col("cdoc") == F.col("query_id")))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("top1_is_own"),
+        )
+        .orderBy("query_id")
     )

@@ -47,3 +47,17 @@ def test_minhash_band_sweep_s_curve(spark):
     assert (mid.n_candidates, mid.n_hits, mid.recall) == (
         base.n_candidates, base.n_hits, base.recall
     )
+
+
+def test_rag_retrieval_quality_invariants(spark):
+    rows = registry.QUERIES["rag_retrieval_quality"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.first_own_rank >= 1
+        assert abs(r.reciprocal_rank - round(1.0 / r.first_own_rank, 6)) < 1e-9
+        assert 0 <= r.own_in_top5 <= 5
+        assert r.top1_is_own in (0, 1)
+        if r.top1_is_own:
+            assert r.first_own_rank == 1
+        if r.first_own_rank <= 5:
+            assert r.own_in_top5 >= 1
