@@ -587,8 +587,9 @@ _BPE_SEP = "\x1f"           # unit separator: never occurs in fixture text
 _BPE_SEP2 = _BPE_SEP * 2
 
 
-def _bpe_training_oracle(n_rounds: int) -> str:
-    """Generated-CTE DuckDB mirror of the BPE training loop. Segmentations
+def _bpe_round_ctes(n_rounds: int) -> str:
+    """Generated CTE chain of the BPE training loop (shared by the
+    trainer panel and the tokenizer-compression apply panel). Segmentations
     are carried as strings — tokens joined by a DOUBLE separator and
     bracketed by single separators (``|a||b||c|``) — so one merge round is
     a plain ``replace(seg, |a||b|, |ab|)``: both engines' ``replace`` is
@@ -596,7 +597,9 @@ def _bpe_training_oracle(n_rounds: int) -> str:
     (``aaa`` + pair (a,a) → ``aa a``, one merge, not two). The double
     separator gives each adjacent pair its own delimiters, so back-to-back
     occurrences (``abab``) all merge in one pass and a pair can never
-    falsely match across token boundaries (``xa|by`` vs pair (a,b))."""
+    falsely match across token boundaries (``xa|by`` vs pair (a,b)).
+    Word identity rides along every seg CTE so `seg{{n}}` maps word →
+    final segmentation."""
     s1 = "chr(31)"
     s2 = "chr(31) || chr(31)"
     ctes = [
@@ -606,7 +609,7 @@ def _bpe_training_oracle(n_rounds: int) -> str:
       WHERE word <> '' GROUP BY word
     ),
     seg0 AS (
-      SELECT freq,
+      SELECT word, freq,
              {s1} || array_to_string(string_split(word, ''), {s2}) || {s1}
                AS seg
       FROM vocab
@@ -630,7 +633,7 @@ def _bpe_training_oracle(n_rounds: int) -> str:
       SELECT a, b, weight FROM pairs{r} ORDER BY weight DESC, a, b LIMIT 1
     ),
     seg{r} AS (
-      SELECT s.freq,
+      SELECT s.word, s.freq,
              replace(s.seg, {s1} || b.a || {s2} || b.b || {s1},
                      {s1} || b.a || b.b || {s1}) AS seg
       FROM seg{p} s, best{r} b
@@ -646,6 +649,10 @@ def _bpe_training_oracle(n_rounds: int) -> str:
       FROM tok{r}
     )"""
         )
+    return ",\n    ".join(ctes)
+
+
+def _bpe_training_oracle(n_rounds: int) -> str:
     rows = "\n    UNION ALL\n    ".join(
         f"SELECT {r} AS merge_round, b.a AS sym_a, b.b AS sym_b, "
         f"b.a || b.b AS merged, b.weight AS pair_weight, "
@@ -655,7 +662,7 @@ def _bpe_training_oracle(n_rounds: int) -> str:
     )
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + _bpe_round_ctes(n_rounds)
         + f"\n    {rows}\n    ORDER BY merge_round"
     )
 
