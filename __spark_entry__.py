@@ -52,6 +52,7 @@ def _rotation_order(names: list[str]) -> list[str]:
     here = os.path.dirname(os.path.abspath(__file__))
     last_seen: dict[str, int] = {}
     failed_last: dict[str, bool] = {}
+    rows_only_last: dict[str, bool] = {}
     # Order round files by the PARSED round number, not filename order:
     # lexicographic glob would let r100 sort before r99 and silently make
     # an older round win the last_seen/failed_last overwrite.
@@ -69,6 +70,7 @@ def _rotation_order(names: list[str]) -> list[str]:
                     # "no_oracle" rows-only queries pass by design when the
                     # Spark side produced rows; only hard mismatches / errors
                     # count as red.
+                    rows_only_last[q] = row.get("err") == "no_oracle"
                     if row.get("err") == "no_oracle":
                         failed_last[q] = row.get("spark_rows") in (None, 0)
                     else:
@@ -81,10 +83,21 @@ def _rotation_order(names: list[str]) -> list[str]:
                         failed_last[q] = not ok
         except Exception:  # malformed round file: ignore, keep rotating
             continue
+    # Round-8 refinement (round-7 verdict item 1): a query whose most
+    # recent driver row was rows-only ("no_oracle") but which has SINCE
+    # gained a registered hash oracle has never had that hash checked by
+    # the driver — treat it as never-seen so it re-enters the sample
+    # window immediately (e.g. the two LSH top-k queries graduated in
+    # round 7 while their last driver rows were r1/r5 rows-only entries).
+    def effective_last_seen(n: str) -> int:
+        if rows_only_last.get(n, False) and n in registry.ORACLE_SQL:
+            return -1
+        return last_seen.get(n, -1)
+
     reg_pos = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
-        key=lambda n: (not failed_last.get(n, False), last_seen.get(n, -1), reg_pos[n]),
+        key=lambda n: (not failed_last.get(n, False), effective_last_seen(n), reg_pos[n]),
     )
 
 

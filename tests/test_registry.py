@@ -79,6 +79,33 @@ def test_rotation_pins_failed_queries_first(tmp_path, monkeypatch):
     assert set(order[3:]) == {"green_q", "rowsonly_q"}
 
 
+def test_rotation_bumps_hash_graduated_rows_only(tmp_path, monkeypatch):
+    """A query whose latest driver row was rows-only but which NOW has a
+    registered hash oracle counts as never hash-checked: it sorts with
+    the never-seen group, ahead of every green query (round-7 verdict
+    item 1 — the two graduated LSH queries must re-enter the window)."""
+    import json
+
+    import __spark_entry__ as entry
+
+    # knn_cosine_lsh has a real entry in registry.ORACLE_SQL; fabricate a
+    # history where its latest row was rows-only while a green sibling was
+    # hash-checked the same round.
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "knn_cosine_lsh": {"rows_match": None, "schema_match": None,
+                           "hash_match": None, "spark_rows": 50,
+                           "oracle_rows": None, "err": "no_oracle"},
+        "green_q": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "spark_rows": 5, "oracle_rows": 5,
+                    "err": None},
+    }))
+    monkeypatch.setattr(entry.os.path, "dirname", lambda _p: str(tmp_path))
+    order = entry._rotation_order(["green_q", "knn_cosine_lsh", "never_q"])
+    # graduated rows-only + never-seen (registration order within the
+    # group), green last
+    assert order == ["knn_cosine_lsh", "never_q", "green_q"]
+
+
 def test_rotation_later_green_clears_earlier_red(tmp_path, monkeypatch):
     import json
 
