@@ -470,7 +470,16 @@ def knn_nsw(
     The batched hop (expand-whole-beam) is the distributed form of
     HNSW's sequential best-first descent: one join + one bounded window
     per hop, frontier size ≤ |queries|·W·degree, never a corpus scan.
+
+    Assumes query ids are drawn from the base ``id_col`` space (queries
+    ARE base rows probing their own index): the final self-exclusion
+    filter drops ``_node == query_id``, so a caller with a DISJOINT
+    query-id space that happens to collide with a base id would silently
+    lose that neighbor. Requires ``n_hops >= 1`` — with zero hops no
+    scoring pass runs and there is no result to rank.
     """
+    if n_hops < 1:
+        raise ValueError(f"knn_nsw requires n_hops >= 1, got {n_hops}")
     from pyspark.sql import Window
 
     b = base.select(F.col(id_col), as_double(F.col(vec_col)).alias("_bv"))

@@ -46,3 +46,17 @@ def test_nsw_walk_never_scans_corpus_per_hop(spark):
     df = registry.QUERIES["knn_cosine_nsw"](spark, SF_DIR)
     plan = plans.formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_nsw_rejects_zero_hops(spark):
+    """n_hops < 1 would leave the scored set unbuilt and crash on a None
+    attribute deep in the plan — fail fast instead (round-7 ADVICE)."""
+    import pytest
+
+    from ethical_data_ingestion_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    g = SQ._nsw_graph(spark, SF_DIR)
+    probes = emb.limit(2).selectExpr("vec_id as query_id", "embedding")
+    with pytest.raises(ValueError, match="n_hops"):
+        S.knn_nsw(emb, probes, g, n_hops=0)

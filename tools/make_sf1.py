@@ -12,8 +12,11 @@ semantics stay the shape the sf0.1 plans see:
   becomes 10 disjoint copies — output metrics scale linearly and a
   superlinear wall-time can only come from the ENGINE, which is what
   the gate measures.
-* documents.text: replica i Caesar-rotates a-z by i, making replica
-  vocabularies (and therefore shingle/fingerprint spaces) disjoint —
+* documents.text: replica i Caesar-rotates a-z by i and 0-9 by i
+  (two independent cycles — the fixture text is lowercase
+  alphanumeric, so this covers the whole token alphabet), making
+  replica vocabularies (and therefore shingle/fingerprint spaces)
+  disjoint —
   near-dup pair density per document stays constant instead of every
   doc gaining 9 cross-replica twins (which would quadratically inflate
   the OUTPUT, not the engine work under test). Lengths, frequencies,
@@ -73,13 +76,18 @@ def main() -> None:
         u.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
         print(f"{name}: x{REPLICAS}")
 
+    digits = string.digits
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     parts = []
     for i in range(REPLICAS):
-        rot = alpha[i:] + alpha[:i]
+        # rotate letters and digits as independent cycles so every
+        # alphanumeric token is remapped (uppercase/punctuation don't
+        # occur in the fixture text; anything unmapped passes through)
+        src_al = alpha + digits
+        dst_al = (alpha[i:] + alpha[:i]) + (digits[i:] + digits[:i])
         parts.append(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * PAD))
-            .withColumn("text", F.translate("text", alpha, rot))
+            .withColumn("text", F.translate("text", src_al, dst_al))
         )
     u = parts[0]
     for p in parts[1:]:

@@ -38,6 +38,16 @@ HEAVY = [
     "neardup_clusters",
     "kcenter_coreset_stats",
     "bpe_training_rounds",
+    # round-7 panels (round-7 verdict item 3): suffix_doubling_profile is
+    # the largest unadjudicated non-streaming deficit (3.9x vs DuckDB at
+    # sf0.1 — expected to amortize: its cost is log-round plan depth, not
+    # data volume); the rest joined the suite after the round-6 sweep ran
+    "suffix_doubling_profile",
+    "knn_cosine_nsw",
+    "multimodal_cdc_stats",
+    "source_divergence_matrix",
+    "minhash_band_sweep",
+    "rag_retrieval_quality",
 ]
 
 N_RUNS = 2
@@ -52,18 +62,27 @@ def main() -> None:
     for sf_name, sf_dir in [("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1)]:
         for name in HEAVY:
             fn = registry.QUERIES[name]
-            fn(spark, sf_dir).collect()  # first touch: builds shared artifacts
-            best = float("inf")
-            rows = 0
-            for _ in range(N_RUNS):
-                t = time.time()
-                rows = len(fn(spark, sf_dir).collect())
-                best = min(best, time.time() - t)
+            try:
+                fn(spark, sf_dir).collect()  # first touch: builds shared artifacts
+                best = float("inf")
+                rows = 0
+                for _ in range(N_RUNS):
+                    t = time.time()
+                    rows = len(fn(spark, sf_dir).collect())
+                    best = min(best, time.time() - t)
+            except Exception as exc:  # keep sweeping; ratio pass guards the gap
+                out.setdefault(name, {})[f"err_{sf_name}"] = str(exc)[:200]
+                print(f"{sf_name} {name}: ERROR {exc}", file=sys.stderr)
+                continue
             out.setdefault(name, {})[sf_name] = round(best, 2)
             out[name][f"rows_{sf_name}"] = rows
             print(f"{sf_name} {name}: {best:.2f}s rows={rows}", file=sys.stderr)
     for name, d in out.items():
-        d["ratio"] = round(d["sf1"] / d["sf0.1"], 2) if d.get("sf0.1") else None
+        # guard both ends: a sub-5ms query rounds to 0.0 (ratio
+        # undefined) and a query that errored mid-sweep leaves a
+        # partial dict with one sf missing
+        lo, hi = d.get("sf0.1"), d.get("sf1")
+        d["ratio"] = round(hi / lo, 2) if lo and hi is not None else None
     print(json.dumps(out, indent=1))
 
 
