@@ -141,6 +141,24 @@ def lsh_bucket_udf(planes: list[list[list[float]]]):
     return buckets
 
 
+def lsh_base_buckets(
+    b: DataFrame,
+    id_col: str,
+    planes: list[list[list[float]]],
+    base_vec: str = "_bv",
+) -> DataFrame:
+    """Exploded (id, table, bucket) signature table for the base side —
+    the INDEX artifact of the LSH family. Split out of
+    :func:`lsh_candidates` so a caller can pin it once per session
+    (``materialize.shared``) and serve every probe batch from the same
+    blocks instead of re-bucketizing the corpus per call (round-7
+    verdict item 4: ``embed_knn_lsh`` re-derived this on each run)."""
+    buckets = lsh_bucket_udf(planes)
+    return b.select(
+        id_col, F.posexplode(buckets(base_vec)).alias("t", "bucket")
+    )
+
+
 def lsh_candidates(
     b: DataFrame,
     q: DataFrame,
@@ -149,14 +167,16 @@ def lsh_candidates(
     planes: list[list[list[float]]],
     base_vec: str = "_bv",
     query_vec: str = "_qv",
+    b_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, id) candidate pairs colliding in ANY table's bucket —
     the equi-join on (table, bucket) that replaces the O(|base|) scan per
-    query at scale. Shared by `knn_lsh` and the recall-stats query."""
+    query at scale. Shared by `knn_lsh` and the recall-stats query.
+    Pass ``b_buckets`` (a pinned :func:`lsh_base_buckets` result) to
+    serve the base side from a session-shared index."""
     buckets = lsh_bucket_udf(planes)
-    b_buckets = b.select(
-        id_col, F.posexplode(buckets(base_vec)).alias("t", "bucket")
-    )
+    if b_buckets is None:
+        b_buckets = lsh_base_buckets(b, id_col, planes, base_vec)
     q_buckets = q.select(
         query_id_col, F.posexplode(buckets(query_vec)).alias("t", "bucket")
     )
@@ -185,6 +205,7 @@ def knn_lsh(
     dim: int = 64,
     n_tables: int = 8,
     n_bits: int = 4,
+    b_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table random-hyperplane LSH.
 
@@ -192,13 +213,16 @@ def knn_lsh(
     (equi-join on (table, bucket) — this is what replaces the O(|base|)
     scan per query at 100 TB); exact cosine is computed only on candidates,
     then per-query top-k. Recall grows with n_tables; tests bound it
-    against knn_bruteforce.
+    against knn_bruteforce. ``b_buckets``: optional pinned
+    :func:`lsh_base_buckets` index (must match ``planes`` geometry) so a
+    resident session bucketizes the corpus once, not per probe batch.
     """
     planes = hyperplanes(dim, n_tables, n_bits)
     b = base.select(F.col(id_col), as_double(F.col(vec_col)).alias("_bv"))
     q = queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv"))
     cand_ids = lsh_candidates(
-        b, q, id_col, query_id_col, planes, base_vec="_bv", query_vec="_qv"
+        b, q, id_col, query_id_col, planes, base_vec="_bv", query_vec="_qv",
+        b_buckets=b_buckets,
     )
     scored = (
         cand_ids.join(F.broadcast(q), query_id_col)

@@ -222,13 +222,40 @@ def embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized. Recall vs :func:`embed_knn_e2e`'s exact truth is
     bounded in ``tests/test_embed.py``; the result list itself is
     hash-checked against a DuckDB mirror of the entire deterministic
-    pipeline (see :func:`_embed_lsh_oracle`)."""
-    emb = _searchable_docs(spark, sf_dir)
-    base = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
-    queries = emb.filter(F.col("doc_id") < _N_QUERIES).select(
-        F.col("doc_id").alias("query_id"), "embedding"
+    pipeline (see :func:`_embed_lsh_oracle`).
+
+    The base-side bucket index (the Arrow-batched corpus bucketization,
+    the dominant per-call cost) is pinned session-wide via ``shared`` —
+    same pattern as ``_chunk_index``/``similarity_q._nsw_graph`` — so
+    repeat probes re-use the index blocks instead of re-bucketizing the
+    corpus (round-7 verdict item 4)."""
+    # pinned searchable base: the corpus-wide norm^2 filter + the
+    # array<double> cast run once per session, not per probe batch
+    base = shared(
+        ("embed_lsh_base", sf_dir, _DIM),
+        spark,
+        lambda: _searchable_docs(spark, sf_dir).select(
+            F.col("doc_id").alias("vec_id"),
+            S.as_double(F.col("embedding")).alias("embedding"),
+        ),
     )
-    out = S.knn_lsh(base, queries, k=_K, dim=_DIM, n_tables=8, n_bits=4)
+    queries = base.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planes = S.hyperplanes(_DIM, 8, 4)
+    b_buckets = shared(
+        ("embed_lsh_buckets", sf_dir, _DIM, 8, 4),
+        spark,
+        lambda: S.lsh_base_buckets(
+            base.select("vec_id", F.col("embedding").alias("_bv")),
+            "vec_id",
+            planes,
+        ),
+    )
+    out = S.knn_lsh(
+        base, queries, k=_K, dim=_DIM, n_tables=8, n_bits=4,
+        b_buckets=b_buckets,
+    )
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
