@@ -176,6 +176,7 @@ HEADLINE = [
     "dedup_exact_stats",
     "ngram_span_overlap",
     "suffix_doubling_profile",
+    "suffix_array_global_profile",
     "bloom_decontam_stats",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",

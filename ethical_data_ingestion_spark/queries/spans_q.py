@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..materialize import materialize, shared
+from ..materialize import materialize, shared, unpin
 from ..operators.text import normalize_text, shingles_with_pos
 from ..registry import register
 
@@ -337,6 +337,278 @@ def suffix_doubling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dup.cast("double") / F.sum("s").cast("double"), 6
             ).alias("dup_share"),
             F.max("s").cast("long").alias("max_class_size"),
+        )
+        .orderBy("window_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide suffix ranking (round-7 verdict item 2): the Lee-et-al exact
+# cross-document substring-dedup scale path. suffix_doubling_profile's hash
+# classes give EQUALITY structure only; this builds ORDERED global suffix
+# ranks (Manber-Myers prefix doubling, the round structure distributed
+# suffix-array builders use — cf. Flick & Aluru, "Parallel distributed
+# memory construction of suffix and LCP arrays", SC'15) so the corpus has a
+# true generalized suffix array: adjacency in that order exposes maximal
+# duplicated substrings ACROSS documents, which the span/winnowing tiers
+# can only approximate.
+
+_SAG_ROUNDS = 7  # rank_k distinguishes 2^k-token windows; 2^7 = 128 >= the
+                 # longest fixture document (100 tokens), so rank_7 classes
+                 # are exactly the identical-full-suffix classes
+
+
+def _sag_nxt(cur: DataFrame, k: int) -> DataFrame:
+    """One doubling round's LEAD step, unmaterialized (plan-pinnable):
+    attach the rank of the suffix 2^(k-1) positions ahead, -1 past the
+    document end (a short suffix is a strict prefix of any longer suffix
+    sharing its window -> sorts first, the Manber-Myers sentinel rule).
+    The window is doc-partitioned — positions never cross documents."""
+    h = 1 << (k - 1)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    return cur.withColumn(
+        "_nxt",
+        F.coalesce(F.lead(f"k{k - 1}", h).over(w), F.lit(-1).cast("long")),
+    )
+
+
+def _suffix_global_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared generalized-suffix-array table: one row per corpus
+    token position with ordered ranks ``k0..k{_SAG_ROUNDS}`` (rank ``k_j``
+    orders/equates 2^j-token suffix windows) and ``rn``, the 0-based
+    position in the GLOBAL suffix order (ties between identical
+    cross-document suffixes broken by (doc_id, i)).
+
+    Scale shape per round: one doc-partitioned LEAD (the sort on
+    (doc_id, i) is reused across rounds), one distinct over (rank, nxt)
+    key pairs (map-side combined), one TeraSort dense-ranking of the
+    DISTINCT keys (``quality_q._global_ranks`` — range exchange + per-
+    partition row_number + broadcast prefix offsets; never a corpus-wide
+    window), and one equi-join back. O(log maxlen) rounds total, every
+    shuffle linear in positions, every sort partition-local. Rounds pin
+    via ``materialize`` (lineage would otherwise double per round) and
+    release their predecessor with ``unpin``."""
+
+    def build() -> DataFrame:
+        from .quality_q import _global_ranks
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "tok")
+        ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+        keys0, _ = _global_ranks(toks.select("tok").distinct(), "tok")
+        cur = materialize(
+            toks.join(keys0.withColumnRenamed("rn", "k0"), "tok").drop("tok")
+        )
+        prev = cur
+        for k in range(1, _SAG_ROUNDS + 1):
+            withnxt = _sag_nxt(cur, k)
+            keys, _ = _global_ranks(
+                withnxt.select(f"k{k - 1}", "_nxt").distinct(),
+                f"k{k - 1}",
+                "_nxt",
+            )
+            cur = materialize(
+                withnxt.join(
+                    keys.withColumnRenamed("rn", f"k{k}"),
+                    [f"k{k - 1}", "_nxt"],
+                ).drop("_nxt")
+            )
+            unpin(prev)
+            prev = cur
+        fin, _ = _global_ranks(cur, f"k{_SAG_ROUNDS}", "doc_id", "i")
+        return fin
+
+    return shared(("suffix_global_ranks", sf_dir, _SAG_ROUNDS), spark, build)
+
+
+def _sag_oracle() -> str:
+    """Generated DuckDB mirror of the ordered doubling + panel: per-round
+    DENSE_RANK over (prev rank, lead-or--1) replicates the ordered rank
+    classes (numeric values differ across engines — only the induced
+    order and equivalence classes feed the output), ROW_NUMBER over
+    (k_R, doc_id, i) replicates the global suffix order, and the two
+    melts replicate the per-width class rollup and the adjacent-pair
+    scan."""
+    ctes = [
+        """toks AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )""",
+        """r0 AS (
+      SELECT doc_id, i, DENSE_RANK() OVER (ORDER BY tok) AS k0 FROM toks
+    )""",
+    ]
+    prev = "r0"
+    for k in range(1, _SAG_ROUNDS + 1):
+        h = 1 << (k - 1)
+        kept = ", ".join(f"k{j}" for j in range(k))
+        ctes.append(
+            f"""r{k} AS (
+      SELECT doc_id, i, {kept},
+             DENSE_RANK() OVER (ORDER BY k{k - 1}, _nxt) AS k{k}
+      FROM (
+        SELECT doc_id, i, {kept},
+               COALESCE(LEAD(k{k - 1}, {h})
+                        OVER (PARTITION BY doc_id ORDER BY i), -1) AS _nxt
+        FROM {prev}
+      )
+    )"""
+        )
+        prev = f"r{k}"
+    ctes.append(
+        f"""fin AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY k{_SAG_ROUNDS}, doc_id, i) AS rn
+      FROM {prev}
+    )"""
+    )
+    cls_melt = "\n      UNION ALL\n      ".join(
+        f"SELECT {1 << k} AS window_tokens, doc_id, k{k} AS cls FROM fin"
+        for k in range(_SAG_ROUNDS + 1)
+    )
+    adj_melt = "\n      UNION ALL\n      ".join(
+        f"SELECT {1 << k} AS window_tokens, (a{k} = b{k}) AS eq, xd FROM adj"
+        for k in range(_SAG_ROUNDS + 1)
+    )
+    a_cols = ", ".join(f"a.k{k} AS a{k}" for k in range(_SAG_ROUNDS + 1))
+    b_cols = ", ".join(f"b.k{k} AS b{k}" for k in range(_SAG_ROUNDS + 1))
+    return f"""
+    WITH {','.join(ctes)},
+    adj AS (
+      SELECT (a.doc_id <> b.doc_id) AS xd, {a_cols}, {b_cols}
+      FROM fin a JOIN fin b ON b.rn = a.rn + 1
+    ),
+    clsm AS (
+      {cls_melt}
+    ),
+    sizes AS (
+      SELECT window_tokens, cls, CAST(COUNT(*) AS BIGINT) AS s,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM clsm GROUP BY window_tokens, cls
+    ),
+    pos_panel AS (
+      SELECT window_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(CASE WHEN s >= 2 THEN s ELSE 0 END) AS BIGINT)
+               AS dup_positions,
+             CAST(SUM(CASE WHEN nd >= 2 THEN s ELSE 0 END) AS BIGINT)
+               AS cross_doc_positions,
+             CAST(MAX(s) AS BIGINT) AS max_class_size
+      FROM sizes GROUP BY window_tokens
+    ),
+    adjm AS (
+      {adj_melt}
+    ),
+    adj_panel AS (
+      SELECT window_tokens,
+             CAST(SUM(CASE WHEN eq THEN 1 ELSE 0 END) AS BIGINT)
+               AS adj_dup_pairs,
+             CAST(SUM(CASE WHEN eq AND xd THEN 1 ELSE 0 END) AS BIGINT)
+               AS adj_cross_doc_pairs
+      FROM adjm GROUP BY window_tokens
+    )
+    SELECT p.window_tokens, n_classes, dup_positions, cross_doc_positions,
+           max_class_size, adj_dup_pairs, adj_cross_doc_pairs,
+           ROUND(cross_doc_positions::DOUBLE
+                 / NULLIF(dup_positions, 0)::DOUBLE, 6) AS cross_doc_share
+    FROM pos_panel p JOIN adj_panel a USING (window_tokens)
+    ORDER BY p.window_tokens
+    """
+
+
+@register("suffix_array_global_profile", oracle=_sag_oracle())
+def suffix_array_global_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring panel off the GLOBAL suffix
+    order: per window width 2^k (1..{2 ** _SAG_ROUNDS} tokens) the number
+    of distinct window classes corpus-wide, the positions sitting in
+    duplicated classes, the positions whose class SPANS >= 2 documents
+    (exact cross-document duplication — the signal `ngram_span_overlap`
+    and `winnowing_overlap_pairs` only approximate), the largest class,
+    and — from suffix-array adjacency — how many ADJACENT suffix pairs
+    share a 2^k-window prefix (the power-of-2 floor of the classic LCP
+    array) and how many of those adjacencies cross documents.
+
+    The expensive artifact (the ranked position table) is the corpus's
+    generalized suffix array — an index a production pipeline builds once
+    and persists; it is session-shared here (:func:`_suffix_global_ranks`)
+    like the chunk/NSW indexes. The panel itself is two melts + two
+    aggregations + one rn-adjacency equi-join, all linear."""
+    fin = _suffix_global_ranks(spark, sf_dir)
+    ks = list(range(_SAG_ROUNDS + 1))
+    melt = fin.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(1 << k).cast("int").alias("window_tokens"),
+                        F.col(f"k{k}").alias("cls"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("m"),
+    ).select("doc_id", "m.window_tokens", "m.cls")
+    sizes = melt.groupBy("window_tokens", "cls").agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.countDistinct("doc_id").cast("long").alias("nd"),
+    )
+    dup = F.sum(F.when(F.col("s") >= 2, F.col("s")).otherwise(F.lit(0)))
+    xdoc = F.sum(F.when(F.col("nd") >= 2, F.col("s")).otherwise(F.lit(0)))
+    pos_panel = sizes.groupBy("window_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        dup.cast("long").alias("dup_positions"),
+        xdoc.cast("long").alias("cross_doc_positions"),
+        F.max("s").cast("long").alias("max_class_size"),
+    )
+    a = fin.select(
+        "rn",
+        F.col("doc_id").alias("_da"),
+        *[F.col(f"k{k}").alias(f"a{k}") for k in ks],
+    )
+    b = fin.select(
+        (F.col("rn") - 1).alias("rn"),
+        F.col("doc_id").alias("_db"),
+        *[F.col(f"k{k}").alias(f"b{k}") for k in ks],
+    )
+    adj = a.join(b, "rn").withColumn("xd", F.col("_da") != F.col("_db"))
+    adjm = adj.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(1 << k).cast("int").alias("window_tokens"),
+                        (F.col(f"a{k}") == F.col(f"b{k}")).alias("eq"),
+                        F.col("xd"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("m")
+    ).select("m.window_tokens", "m.eq", "m.xd")
+    adj_panel = adjm.groupBy("window_tokens").agg(
+        F.sum(F.when(F.col("eq"), 1).otherwise(0)).cast("long")
+        .alias("adj_dup_pairs"),
+        F.sum(F.when(F.col("eq") & F.col("xd"), 1).otherwise(0)).cast("long")
+        .alias("adj_cross_doc_pairs"),
+    )
+    return (
+        pos_panel.join(adj_panel, "window_tokens")
+        .withColumn(
+            "cross_doc_share",
+            F.when(
+                F.col("dup_positions") > 0,
+                F.round(
+                    F.col("cross_doc_positions").cast("double")
+                    / F.col("dup_positions").cast("double"),
+                    6,
+                ),
+            ),
+        )
+        .select(
+            "window_tokens", "n_classes", "dup_positions",
+            "cross_doc_positions", "max_class_size", "adj_dup_pairs",
+            "adj_cross_doc_pairs", "cross_doc_share",
         )
         .orderBy("window_tokens")
     )

@@ -1,0 +1,104 @@
+"""Corpus-wide suffix ranking (generalized suffix array) invariants:
+cross-implementation agreement with the hash-class sibling, panel
+monotonicity, and the plan shape of the doubling rounds."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from ethical_data_ingestion_spark import registry
+from ethical_data_ingestion_spark.plans.inspect import formatted_plan
+from ethical_data_ingestion_spark.queries import spans_q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _panel(spark):
+    return {
+        r.window_tokens: r
+        for r in registry.QUERIES["suffix_array_global_profile"](
+            spark, SF_DIR
+        ).collect()
+    }
+
+
+def test_matches_hash_class_sibling(spark):
+    """At every shared width, the ORDERED global ranks must induce exactly
+    the equality classes the md5 chain induces: same class count, same
+    dup mass, same max class size (suffix_doubling_profile's counts are
+    corpus-wide too — its classes are content hashes)."""
+    mine = _panel(spark)
+    sib = {
+        r.window_tokens: r
+        for r in registry.QUERIES["suffix_doubling_profile"](
+            spark, SF_DIR
+        ).collect()
+    }
+    shared_widths = set(mine) & set(sib)
+    assert shared_widths == {1, 2, 4, 8, 16, 32, 64}
+    for w in shared_widths:
+        assert mine[w].n_classes == sib[w].n_classes, w
+        assert mine[w].dup_positions == sib[w].dup_positions, w
+        assert mine[w].max_class_size == sib[w].max_class_size, w
+
+
+def test_panel_monotone_and_bounded(spark):
+    """Widening the window can only split classes: n_classes
+    non-decreasing, dup/cross-doc mass and max class size non-increasing;
+    cross-doc duplication is a subset of duplication; adjacency counts
+    are bounded by positions-1 and non-increasing in width."""
+    p = _panel(spark)
+    widths = sorted(p)
+    assert widths == [1, 2, 4, 8, 16, 32, 64, 128]
+    for lo, hi in zip(widths, widths[1:]):
+        assert p[lo].n_classes <= p[hi].n_classes
+        assert p[lo].dup_positions >= p[hi].dup_positions
+        assert p[lo].cross_doc_positions >= p[hi].cross_doc_positions
+        assert p[lo].max_class_size >= p[hi].max_class_size
+        assert p[lo].adj_dup_pairs >= p[hi].adj_dup_pairs
+    for w in widths:
+        assert p[w].cross_doc_positions <= p[w].dup_positions
+        assert p[w].adj_cross_doc_pairs <= p[w].adj_dup_pairs
+
+
+def test_adjacent_equal_pairs_equal_dup_minus_classes(spark):
+    """In suffix order, every duplicated-window class of size s yields
+    exactly s-1 adjacent equal pairs (its members are CONTIGUOUS in the
+    array — that's the suffix-array property the panel exploits):
+    adj_dup_pairs == dup_mass - n_dup_classes at every width."""
+    fin = spans_q._suffix_global_ranks(spark, SF_DIR)
+    p = _panel(spark)
+    for k in range(spans_q._SAG_ROUNDS + 1):
+        w = 1 << k
+        agg = (
+            fin.groupBy(f"k{k}")
+            .count()
+            .filter(F.col("count") >= 2)
+            .agg(
+                F.count(F.lit(1)).alias("ncls"),
+                F.sum("count").alias("mass"),
+            )
+            .collect()[0]
+        )
+        ncls = agg.ncls or 0
+        mass = agg.mass or 0
+        assert p[w].adj_dup_pairs == mass - ncls, w
+
+
+def test_doubling_round_windows_doc_partitioned(spark):
+    """The only data-width window in the build is the per-round LEAD —
+    pinned doc-partitioned (no corpus-wide WindowExec; the TeraSort
+    ranker's row_number is pid-partitioned by construction)."""
+    fin = spans_q._suffix_global_ranks(spark, SF_DIR)
+    toks = fin.select("doc_id", "i", "k0")
+    plan = formatted_plan(spans_q._sag_nxt(toks, 1))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.startswith("doc_id"), f"unpartitioned window: {spec[:80]}"
+
+
+def test_panel_plan_no_cartesian(spark):
+    df = registry.QUERIES["suffix_array_global_profile"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan

@@ -43,6 +43,7 @@ HEAVY = [
     # sf0.1 — expected to amortize: its cost is log-round plan depth, not
     # data volume); the rest joined the suite after the round-6 sweep ran
     "suffix_doubling_profile",
+    "suffix_array_global_profile",
     "knn_cosine_nsw",
     "multimodal_cdc_stats",
     "source_divergence_matrix",
