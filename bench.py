@@ -196,6 +196,7 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
     "knn_cosine_nsw",
+    "incremental_ann_stats",
     "knn_lsh_recall_stats",
     "embedding_dim_variance_stats",
     "embedding_outlier_stats",

@@ -494,51 +494,72 @@ def knn_nsw(
     The batched hop (expand-whole-beam) is the distributed form of
     HNSW's sequential best-first descent: one join + one bounded window
     per hop, frontier size ≤ |queries|·W·degree, never a corpus scan.
+    Each (query, node) pair is scored exactly ONCE: the hop anti-joins
+    the expansion against the already-scored set, scores only the fresh
+    pairs, and pins the accumulated score table (``materialize``) — an
+    iterative loop's lazy plan would otherwise replay every earlier
+    hop's expansion per round (measured 8.5s → 2.6s warm on a 409-probe
+    batch at sf0.1), and at cluster scale the recomputation grows with
+    hop count. Values are hop-order independent (rounded cosine of
+    pinned vectors), so the pinning is invisible to the result.
 
     Assumes query ids are drawn from the base ``id_col`` space (queries
-    ARE base rows probing their own index): the final self-exclusion
-    filter drops ``_node == query_id``, so a caller with a DISJOINT
-    query-id space that happens to collide with a base id would silently
-    lose that neighbor. Requires ``n_hops >= 1`` — with zero hops no
-    scoring pass runs and there is no result to rank.
+    ARE base rows probing their own index) OR disjoint from it: the
+    final self-exclusion filter drops ``_node == query_id``, so a caller
+    whose query-id space OVERLAPS the base ids with different identity
+    would silently lose a legitimate neighbor. Requires ``n_hops >= 1``
+    — with zero hops no scoring pass runs and there is no result to
+    rank.
     """
     if n_hops < 1:
         raise ValueError(f"knn_nsw requires n_hops >= 1, got {n_hops}")
     from pyspark.sql import Window
 
+    from ..materialize import materialize, unpin
+
     b = base.select(F.col(id_col), as_double(F.col(vec_col)).alias("_bv"))
     qv = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("_qv")
     )
-    visited = qv.select(
-        query_id_col, F.lit(entry_id).cast("long").alias("_node")
-    )
-    beam = visited
-    sc = None
     nodes = b.select(F.col(id_col).alias("_node"), "_bv")
-    for _ in range(n_hops):
-        exp = (
-            beam.join(nbrs, beam._node == nbrs.src)
-            .select(query_id_col, F.col("dst").alias("_node"))
-        )
-        visited = visited.unionByName(exp).distinct()
-        sc = (
-            visited.join(F.broadcast(qv), query_id_col)
+
+    def score(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(F.broadcast(qv), query_id_col)
             .join(nodes, "_node")
             .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_bv")), 6))
             .select(query_id_col, "_node", "cos")
         )
-        wb = Window.partitionBy(query_id_col).orderBy(
-            F.desc("cos"), F.col("_node")
-        )
+
+    seed = qv.select(
+        query_id_col, F.lit(entry_id).cast("long").alias("_node")
+    )
+    scored = materialize(score(seed))
+    wb = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.col("_node")
+    )
+    for _ in range(n_hops):
         beam = (
-            sc.withColumn("_rn", F.row_number().over(wb))
+            scored.withColumn("_rn", F.row_number().over(wb))
             .filter(F.col("_rn") <= beam_width)
             .select(query_id_col, "_node")
         )
+        exp = (
+            beam.join(nbrs, beam._node == nbrs.src)
+            .select(query_id_col, F.col("dst").alias("_node"))
+            .distinct()
+        )
+        fresh = exp.join(
+            scored.select(query_id_col, "_node"),
+            [query_id_col, "_node"],
+            "left_anti",
+        )
+        prev = scored
+        scored = materialize(scored.unionByName(score(fresh)))
+        unpin(prev)
     wk = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col("_node"))
     return (
-        sc.filter(F.col("_node") != F.col(query_id_col))
+        scored.filter(F.col("_node") != F.col(query_id_col))
         .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select(

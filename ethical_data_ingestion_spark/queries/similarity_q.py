@@ -1822,3 +1822,227 @@ def knn_cosine_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         beam_width=_NSW_W,
         n_hops=_NSW_H,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 (round-7 verdict item 5): NSW index MAINTENANCE — the ANN
+# analogue of incremental_dedup_stats. A delta batch of new vectors is
+# inserted into the persisted NSW layer the way HNSW inserts: beam-search
+# each new vector to its nearest index nodes (those become its out-edges),
+# then re-prune only the AFFECTED index nodes' edge lists with the new
+# back-edge candidates — never a graph rebuild, never a corpus scan.
+
+_ANN_SPLIT = 13107  # same ~20% md5-16-bit delta rule as the dedup family
+
+
+def _ann_is_new() -> F.Column:
+    """Delta-batch membership for vectors (first 16 md5 bits of vec_id
+    below the split) — the vector-side twin of ``dedup_q._is_batch``;
+    the oracle hard-codes the same 13107."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        < _ANN_SPLIT
+    )
+
+
+def _nsw_index_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared NSW layer over the INDEX (non-delta) vectors only —
+    the persisted state an incremental insert maintains."""
+    return shared(
+        ("nsw_graph_index", sf_dir, _NSW_E, _ANN_SPLIT),
+        spark,
+        lambda: S.nsw_neighbor_graph(
+            load_table(spark, sf_dir, "embeddings").filter(~_ann_is_new()),
+            degree=_NSW_E,
+        ),
+    )
+
+
+def _inc_ann_oracle() -> str:
+    """DuckDB mirror of the whole maintenance pass: the index graph is
+    the top-{_NSW_E} tail of the LSH pipeline restricted to index
+    vectors; the insert walk unrolls as per-hop CTEs with the DELTA
+    vectors as probes; back-edge pruning is one window over (old edges
+    of affected nodes UNION reversed insert edges). Entry node 0 is
+    index-side (md5('0') 16-bit prefix = 53197 >= the split)."""
+    idx_pred = (
+        "('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT"
+    )
+    b_body = (
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings "
+        f"WHERE {idx_pred} >= {_ANN_SPLIT}"
+    )
+    hops = []
+    for h in range(1, _NSW_H + 1):
+        hops.append(
+            f"""e{h} AS (
+      SELECT DISTINCT bm.query_id, n.dst AS node
+      FROM beam{h - 1} bm JOIN nbrs n ON n.src = bm.node
+    ),
+    v{h} AS (
+      SELECT query_id, node FROM v{h - 1}
+      UNION
+      SELECT query_id, node FROM e{h}
+    ),
+    sc{h} AS (
+      SELECT v.query_id, v.node,
+             ROUND(list_dot_product(p.qv2, nb.bv) /
+                   (sqrt(list_dot_product(p.qv2, p.qv2)) *
+                    sqrt(list_dot_product(nb.bv, nb.bv))), 6) AS cos
+      FROM v{h} v
+      JOIN probes p ON p.query_id = v.query_id
+      JOIN b nb ON nb.vec_id = v.node
+    ),
+    beam{h} AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, node) AS rn
+        FROM sc{h}) WHERE rn <= {_NSW_W}
+    )"""
+        )
+    return f"""
+    WITH {_lsh_pipeline_ctes(b_body=b_body, n_queries=1 << 62)},
+    nbrs AS (
+      SELECT src, dst, cos FROM (
+        SELECT query_id AS src, vec_id AS dst, ROUND(cos, 6) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM lsh_scored) WHERE rn <= {_NSW_E}
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv2
+      FROM embeddings WHERE {idx_pred} < {_ANN_SPLIT}
+    ),
+    v0 AS (SELECT query_id, 0 AS node FROM probes),
+    beam0 AS (SELECT query_id, node FROM v0),
+    {",".join(hops)},
+    ins AS (
+      SELECT query_id, node, cos FROM (
+        SELECT query_id, node, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, node) AS rank
+        FROM sc{_NSW_H} WHERE node <> query_id
+      ) WHERE rank <= {_NSW_E}
+    ),
+    back AS (SELECT node AS src, query_id AS dst, cos FROM ins),
+    affected AS (SELECT DISTINCT src FROM back),
+    merged AS (
+      SELECT n.src, n.dst, n.cos, FALSE AS is_new
+      FROM nbrs n JOIN affected a ON a.src = n.src
+      UNION ALL
+      SELECT src, dst, cos, TRUE AS is_new FROM back
+    ),
+    pruned AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                   ORDER BY cos DESC, dst) AS rn
+      FROM merged
+    ),
+    kept AS (SELECT * FROM pruned WHERE rn <= {_NSW_E} AND is_new),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    out_stats AS (
+      SELECT l.label,
+             CAST(COUNT(DISTINCT i.query_id) AS BIGINT) AS n_new,
+             CAST(COUNT(*) AS BIGINT) AS new_out_edges,
+             ROUND(CAST(SUM(CAST(i.cos AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 4) AS avg_out_cos
+      FROM ins i JOIN lbl l ON l.vec_id = i.query_id
+      GROUP BY l.label
+    ),
+    back_stats AS (
+      SELECT l.label,
+             CAST(COUNT(*) AS BIGINT) AS back_edges_kept,
+             CAST(COUNT(DISTINCT k.src) AS BIGINT) AS affected_index_nodes
+      FROM kept k JOIN lbl l ON l.vec_id = k.dst
+      GROUP BY l.label
+    )
+    SELECT o.label, o.n_new, o.new_out_edges, o.avg_out_cos,
+           CAST(COALESCE(b.back_edges_kept, 0) AS BIGINT)
+             AS back_edges_kept,
+           CAST(COALESCE(b.affected_index_nodes, 0) AS BIGINT)
+             AS affected_index_nodes
+    FROM out_stats o LEFT JOIN back_stats b USING (label)
+    ORDER BY o.label
+    """
+
+
+@register("incremental_ann_stats", oracle=_inc_ann_oracle())
+def incremental_ann_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance panel: insert the ~20% delta
+    batch of vectors into the persisted index-side NSW layer — beam
+    search finds each new vector's top-{_NSW_E} index neighbors (its
+    out-edges), reversed edges become back-edge CANDIDATES, and only the
+    affected index nodes re-prune their edge lists (old edges ∪
+    candidates, top-{_NSW_E} by (cos DESC, dst)). Per new-node label:
+    inserted nodes, out-edges created, their decimal-exact mean cosine,
+    back-edges that survived pruning, and distinct index nodes rewired.
+
+    Scale shape: the index graph is the persisted artifact (session-
+    shared, like the serving layer it models); insert cost is
+    |delta|·W·E-bounded beam rows per hop; the re-prune window touches
+    only affected srcs' ≤ E+|their candidates| rows. Nothing rebuilds,
+    nothing scans the corpus. Delta ids are disjoint from index ids by
+    the split, so knn_nsw's self-exclusion filter cannot collide (see
+    the operator's documented queries-are-base-rows assumption)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = emb.filter(~_ann_is_new())
+    probes = emb.filter(_ann_is_new()).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    g = _nsw_index_graph(spark, sf_dir)
+    ins = S.knn_nsw(
+        index, probes, g, k=_NSW_E, beam_width=_NSW_W, n_hops=_NSW_H
+    )
+    back = ins.select(
+        F.col("vec_id").alias("src"), F.col("query_id").alias("dst"), "cos"
+    )
+    affected = back.select("src").distinct()
+    merged = (
+        g.join(affected, "src")
+        .select("src", "dst", "cos", F.lit(False).alias("is_new"))
+        .unionByName(back.select("src", "dst", "cos").withColumn(
+            "is_new", F.lit(True)))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.col("dst"))
+    kept = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") <= _NSW_E) & F.col("is_new"))
+    )
+    lbl = emb.select("vec_id", "label")
+    out_stats = (
+        ins.join(lbl.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .groupBy("label")
+        .agg(
+            F.countDistinct("query_id").cast("long").alias("n_new"),
+            F.count(F.lit(1)).cast("long").alias("new_out_edges"),
+            F.round(
+                F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_out_cos"),
+        )
+    )
+    back_stats = (
+        kept.join(lbl.withColumnRenamed("vec_id", "dst"), "dst")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("back_edges_kept"),
+            F.countDistinct("src").cast("long").alias("affected_index_nodes"),
+        )
+    )
+    return (
+        out_stats.join(back_stats, "label", "left")
+        .select(
+            "label",
+            "n_new",
+            "new_out_edges",
+            "avg_out_cos",
+            F.coalesce("back_edges_kept", F.lit(0)).cast("long")
+            .alias("back_edges_kept"),
+            F.coalesce("affected_index_nodes", F.lit(0)).cast("long")
+            .alias("affected_index_nodes"),
+        )
+        .orderBy("label")
+    )

@@ -60,3 +60,39 @@ def test_nsw_rejects_zero_hops(spark):
     probes = emb.limit(2).selectExpr("vec_id as query_id", "embedding")
     with pytest.raises(ValueError, match="n_hops"):
         S.knn_nsw(emb, probes, g, n_hops=0)
+
+
+def test_incremental_index_graph_excludes_delta(spark):
+    """The persisted layer must contain only index-side nodes: no edge
+    endpoint may satisfy the delta predicate."""
+    g = SQ._nsw_index_graph(spark, SF_DIR)
+    new_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(SQ._ann_is_new())
+        .select("vec_id")
+        .collect()
+    }
+    for r in g.select("src", "dst").collect():
+        assert r.src not in new_ids and r.dst not in new_ids
+
+
+def test_incremental_ann_panel_invariants(spark):
+    """Per label: every inserted node gets at most E out-edges; kept
+    back-edges never exceed created out-edges (pruning only removes);
+    affected node count never exceeds kept back-edges; and the label
+    partition covers the whole delta batch exactly once."""
+    rows = registry.QUERIES["incremental_ann_stats"](spark, SF_DIR).collect()
+    from ethical_data_ingestion_spark.queries.similarity_q import _NSW_E
+
+    n_delta = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(SQ._ann_is_new())
+        .count()
+    )
+    assert sum(r.n_new for r in rows) == n_delta
+    for r in rows:
+        assert 0 < r.new_out_edges <= r.n_new * _NSW_E
+        assert 0 <= r.back_edges_kept <= r.new_out_edges
+        assert r.affected_index_nodes <= r.back_edges_kept
+        assert 0.0 <= r.avg_out_cos <= 1.0 or r.avg_out_cos >= -1.0

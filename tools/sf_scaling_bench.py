@@ -45,6 +45,7 @@ HEAVY = [
     "suffix_doubling_profile",
     "suffix_array_global_profile",
     "knn_cosine_nsw",
+    "incremental_ann_stats",
     "multimodal_cdc_stats",
     "source_divergence_matrix",
     "minhash_band_sweep",
