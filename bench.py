@@ -264,6 +264,7 @@ HEADLINE = [
     "streaming_topk_trending",
     "streaming_quarantine_gate",
     "streaming_late_data_audit",
+    "streaming_knn_serving",
 ]
 
 

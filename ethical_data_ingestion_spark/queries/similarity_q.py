@@ -221,6 +221,7 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_pipeline_ctes(
     b_body: str = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings",
     n_queries: int = 5,
+    q_body: str | None = None,
 ) -> str:
     """Shared DuckDB mirror of the full LSH pipeline — the CTE chain from
     base vectors through ``lsh_scored`` (candidate cosine scores): the
@@ -234,7 +235,10 @@ def _lsh_pipeline_ctes(
     seam-produced document embeddings — `embed_knn_lsh` in embed_q.
 
     ``b_body``: SELECT yielding (vec_id, bv DOUBLE[]) base vectors;
-    ``n_queries``: probes are vec_id < n_queries."""
+    ``n_queries``: probes are vec_id < n_queries. ``q_body``: when given,
+    probes come from this SEPARATE (vec_id, bv) relation instead of a
+    vec_id prefix of ``b`` (the serving shape: a probe batch disjoint
+    from the index), and ``n_queries`` is ignored."""
     planes = S.hyperplanes(64, 8, 4)
     sig_cols = []
     for t, rows in enumerate(planes):
@@ -249,6 +253,31 @@ def _lsh_pipeline_ctes(
         f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM sig"
         for t in range(len(planes))
     )
+    if q_body is None:
+        q_ctes = ""
+        qm_body = (
+            f"SELECT vec_id AS query_id, t, bucket FROM m "
+            f"WHERE vec_id < {n_queries}"
+        )
+        q_sel = (
+            f"SELECT vec_id AS query_id, bv AS qv FROM b "
+            f"WHERE vec_id < {n_queries}"
+        )
+    else:
+        qmelt = "\n      UNION ALL\n      ".join(
+            f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM qsig"
+            for t in range(len(planes))
+        )
+        q_ctes = f"""qb AS ({q_body}),
+    qsig AS (
+      SELECT vec_id, bv, {", ".join(sig_cols)}
+      FROM qb
+    ),
+    qmelt AS (
+      {qmelt}
+    ),"""
+        qm_body = "SELECT vec_id AS query_id, t, bucket FROM qmelt"
+        q_sel = "SELECT vec_id AS query_id, bv AS qv FROM qb"
     return f"""b AS ({b_body}),
     sig AS (
       SELECT vec_id, bv, {", ".join(sig_cols)}
@@ -257,13 +286,14 @@ def _lsh_pipeline_ctes(
     m AS (
       {melt}
     ),
-    qm AS (SELECT vec_id AS query_id, t, bucket FROM m WHERE vec_id < {n_queries}),
+    {q_ctes}
+    qm AS ({qm_body}),
     cand AS (
       SELECT DISTINCT qm.query_id, m.vec_id
       FROM m JOIN qm ON m.t = qm.t AND m.bucket = qm.bucket
                     AND m.vec_id <> qm.query_id
     ),
-    q AS (SELECT vec_id AS query_id, bv AS qv FROM b WHERE vec_id < {n_queries}),
+    q AS ({q_sel}),
     lsh_scored AS (
       SELECT cand.query_id, cand.vec_id, {_COS} AS cos
       FROM cand

@@ -981,3 +981,136 @@ def _late_audit_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 (round-7 verdict item 6): ANN serving as a drain — probe vectors
+# ARRIVE as a stream; the index is the maintained static artifact. The
+# stream-static (table, bucket) equi-join is the streaming form of the LSH
+# candidate join, exact rescoring stays JVM-side, and one complete-mode
+# aggregation holds each probe's candidate set (set semantics dedupes
+# multi-table collisions). The per-probe top-k is cut AFTER the drain on
+# the materialized result — sort work on k-bounded arrays, not stream state.
+
+_SERVE_K = 10
+
+
+def _ann_serving_oracle() -> str:
+    from .similarity_q import _ANN_SPLIT, _lsh_pipeline_ctes
+
+    pred = "('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT"
+    b_body = (
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings "
+        f"WHERE {pred} >= {_ANN_SPLIT}"
+    )
+    q_body = (
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings "
+        f"WHERE {pred} < {_ANN_SPLIT}"
+    )
+    return f"""
+    WITH {_lsh_pipeline_ctes(b_body=b_body, q_body=q_body)},
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM lsh_scored
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_SERVE_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register("streaming_knn_serving", oracle=_ann_serving_oracle())
+def streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving drain: the ~20% delta vectors arrive as a probe STREAM
+    (4 spooled files, 2 micro-batches); candidates come from the
+    stream-static equi-join of the probes' Arrow-computed LSH buckets
+    against the pinned index bucket table, exact cosine rescoring runs
+    in the streaming plan, and a complete-mode per-probe aggregation
+    carries results across micro-batches (batch-1 probes stay answered
+    while batch-2 drains — the serving property under test). Top-{_SERVE_K}
+    per probe is cut post-drain from the k-boundable candidate sets.
+
+    Scale shape: per micro-batch cost is |batch| · bucket-size rows —
+    the static side is the session-pinned index artifact (same blocks
+    `incremental_ann_stats` maintains); no corpus scan, no stream-stream
+    join, state bounded by probes in flight. Hash-checked end to end
+    against the extended LSH pipeline mirror with a disjoint probe
+    relation (``_lsh_pipeline_ctes(q_body=...)``)."""
+    from ..materialize import shared
+    from ..operators import similarity as S
+    from .similarity_q import _ann_is_new
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = S.hyperplanes(64, 8, 4)
+    index_vecs = shared(
+        ("ann_serving_vecs", sf_dir),
+        spark,
+        lambda: emb.filter(~_ann_is_new()).select(
+            "vec_id", S.as_double(F.col("embedding")).alias("_bv")
+        ),
+    )
+    index_buckets = shared(
+        ("ann_serving_buckets", sf_dir, 8, 4),
+        spark,
+        lambda: S.lsh_base_buckets(index_vecs, "vec_id", planes),
+    )
+    key = ("emb_delta", sf_dir)
+    if key not in _SPOOL_CACHE:
+        _SPOOL_CACHE[key] = P.spool(
+            emb.filter(_ann_is_new()),
+            scratch_dir("eds_probe_src_"),
+            n_files=4,
+            ts_col="vec_id",
+        )
+    with P.state_partitions(spark, 4):
+        probes = P.stream_from(
+            spark,
+            _SPOOL_CACHE[key],
+            schema_ddl="vec_id long, embedding array<float>, label int",
+            max_files_per_trigger=2,
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            S.as_double(F.col("embedding")).alias("_qv"),
+        )
+        buckets = S.lsh_bucket_udf(planes)
+        qb = probes.select(
+            "query_id", "_qv", F.posexplode(buckets("_qv")).alias("t", "bucket")
+        )
+        cand = qb.join(
+            index_buckets.select(
+                F.col("vec_id"), F.col("t"), F.col("bucket")
+            ),
+            ["t", "bucket"],
+        ).select("query_id", "_qv", "vec_id")
+        scored = cand.join(index_vecs.select("vec_id", "_bv"), "vec_id").select(
+            "query_id",
+            "vec_id",
+            F.round(S.cosine(F.col("_qv"), F.col("_bv")), 6).alias("cos"),
+        )
+        agg = scored.groupBy("query_id").agg(
+            F.collect_set(
+                F.struct(
+                    (-F.col("cos")).alias("negcos"),
+                    F.col("vec_id").alias("vec_id"),
+                    F.col("cos").alias("cos"),
+                )
+            ).alias("cands")
+        )
+        out = P.run_available_now(agg, output_mode="complete")
+    return (
+        out.select(
+            "query_id",
+            F.posexplode(
+                F.slice(F.array_sort("cands"), 1, _SERVE_K)
+            ).alias("pos", "c"),
+        )
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("vec_id"),
+            F.col("c.cos").alias("cos"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -96,3 +96,28 @@ def test_incremental_ann_panel_invariants(spark):
         assert 0 <= r.back_edges_kept <= r.new_out_edges
         assert r.affected_index_nodes <= r.back_edges_kept
         assert 0.0 <= r.avg_out_cos <= 1.0 or r.avg_out_cos >= -1.0
+
+
+def test_streaming_serving_matches_batch_lsh(spark):
+    """The drain's answer set must equal the BATCH stream-static twin:
+    knn_lsh over (index base, delta probes) with the shared bucket
+    index — same candidates, same scores, same top-k."""
+    from ethical_data_ingestion_spark.io import load_table
+    from ethical_data_ingestion_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    index = emb.filter(~SQ._ann_is_new())
+    probes = emb.filter(SQ._ann_is_new()).selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    batch = {
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in S.knn_lsh(index, probes, k=10).collect()
+    }
+    stream = {
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in registry.QUERIES["streaming_knn_serving"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert stream == batch
