@@ -177,6 +177,8 @@ HEADLINE = [
     "ngram_span_overlap",
     "suffix_doubling_profile",
     "suffix_array_global_profile",
+    "suffix_lcp_histogram",
+    "suffix_cross_doc_spans",
     "bloom_decontam_stats",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",

@@ -422,14 +422,14 @@ def _suffix_global_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(("suffix_global_ranks", sf_dir, _SAG_ROUNDS), spark, build)
 
 
-def _sag_oracle() -> str:
-    """Generated DuckDB mirror of the ordered doubling + panel: per-round
-    DENSE_RANK over (prev rank, lead-or--1) replicates the ordered rank
-    classes (numeric values differ across engines — only the induced
-    order and equivalence classes feed the output), ROW_NUMBER over
-    (k_R, doc_id, i) replicates the global suffix order, and the two
-    melts replicate the per-width class rollup and the adjacent-pair
-    scan."""
+def _sag_ctes() -> str:
+    """The shared DuckDB CTE chain of the ordered doubling, through
+    ``fin`` (doc_id, i, k0..k{_SAG_ROUNDS}, rn): per-round DENSE_RANK
+    over (prev rank, lead-or--1) replicates the ordered rank classes
+    (numeric values differ across engines — only the induced order and
+    equivalence classes feed any output), ROW_NUMBER over
+    (k_R, doc_id, i) replicates the global suffix order. Reused by the
+    class panel, the LCP-array mirrors, and the span extractor."""
     ctes = [
         """toks AS (
       SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok
@@ -462,6 +462,13 @@ def _sag_oracle() -> str:
       FROM {prev}
     )"""
     )
+    return ",".join(ctes)
+
+
+def _sag_oracle() -> str:
+    """Class panel + adjacency mirror over the shared doubling chain
+    (:func:`_sag_ctes`): the two melts replicate the per-width class
+    rollup and the adjacent-pair scan."""
     cls_melt = "\n      UNION ALL\n      ".join(
         f"SELECT {1 << k} AS window_tokens, doc_id, k{k} AS cls FROM fin"
         for k in range(_SAG_ROUNDS + 1)
@@ -473,7 +480,7 @@ def _sag_oracle() -> str:
     a_cols = ", ".join(f"a.k{k} AS a{k}" for k in range(_SAG_ROUNDS + 1))
     b_cols = ", ".join(f"b.k{k} AS b{k}" for k in range(_SAG_ROUNDS + 1))
     return f"""
-    WITH {','.join(ctes)},
+    WITH {_sag_ctes()},
     adj AS (
       SELECT (a.doc_id <> b.doc_id) AS xd, {a_cols}, {b_cols}
       FROM fin a JOIN fin b ON b.rn = a.rn + 1
@@ -611,4 +618,206 @@ def suffix_array_global_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adj_cross_doc_pairs", "cross_doc_share",
         )
         .orderBy("window_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact LCP array over the generalized suffix array — completes the
+# Lee-et-al substring-dedup path end to end: SA (above) + LCP (here) +
+# duplicated-span extraction (below). The LCP of ADJACENT suffixes in SA
+# order bounds every duplicate: a cross-document duplicated substring of
+# length L forces some adjacent cross-document pair with LCP >= L (the SA
+# interval containing both suffixes changes doc_id somewhere inside it).
+
+
+def _suffix_lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared LCP-array table: one row per adjacent suffix pair
+    in global SA order — (doc_a, pos_a, doc_b, pos_b, xd, lcp) with the
+    EXACT token LCP.
+
+    LCP via the Manber-Myers level decomposition: walk k from high to
+    low; if the level-k ranks at the SHIFTED positions (pos + acc) exist
+    and are equal, the 2^k-token windows there match — advance acc by
+    2^k. Rank equality at a TRUNCATED window means the suffix tails are
+    identical, which can overshoot acc past the document end, so the
+    exact LCP is ``least(acc, min(remaining_a, remaining_b))``. Each
+    level is two (doc, shifted-pos) equi-joins against the pinned rank
+    table — never a token-by-token scan; O(log L) rounds over a table
+    linear in corpus positions, pinned per round like the doubling."""
+
+    def build() -> DataFrame:
+        fin = _suffix_global_ranks(spark, sf_dir)
+        lens = fin.groupBy("doc_id").agg(F.max("i").alias("_len"))
+        f = fin.join(F.broadcast(lens), "doc_id")
+        a = f.select(
+            "rn",
+            F.col("doc_id").alias("da"),
+            F.col("i").alias("ia"),
+            F.col("_len").alias("la"),
+        )
+        b = f.select(
+            (F.col("rn") - 1).alias("rn"),
+            F.col("doc_id").alias("db"),
+            F.col("i").alias("ib"),
+            F.col("_len").alias("lb"),
+        )
+        pairs = materialize(
+            a.join(b, "rn")
+            .select("da", "ia", "la", "db", "ib", "lb")
+            .withColumn("acc", F.lit(0).cast("long"))
+        )
+        for k in range(_SAG_ROUNDS, -1, -1):
+            h = 1 << k
+            ra = fin.select(
+                F.col("doc_id").alias("_rda"),
+                F.col("i").alias("_ja"),
+                F.col(f"k{k}").alias("_rka"),
+            )
+            rb = fin.select(
+                F.col("doc_id").alias("_rdb"),
+                F.col("i").alias("_jb"),
+                F.col(f"k{k}").alias("_rkb"),
+            )
+            prev = pairs
+            pairs = materialize(
+                pairs.join(
+                    ra,
+                    (F.col("_rda") == F.col("da"))
+                    & (F.col("_ja") == F.col("ia") + F.col("acc")),
+                    "left",
+                )
+                .join(
+                    rb,
+                    (F.col("_rdb") == F.col("db"))
+                    & (F.col("_jb") == F.col("ib") + F.col("acc")),
+                    "left",
+                )
+                .withColumn(
+                    "acc",
+                    F.when(
+                        F.col("_rka").isNotNull()
+                        & F.col("_rkb").isNotNull()
+                        & (F.col("_rka") == F.col("_rkb")),
+                        F.col("acc") + h,
+                    ).otherwise(F.col("acc")),
+                )
+                .select("da", "ia", "la", "db", "ib", "lb", "acc")
+            )
+            unpin(prev)
+        rem = F.least(
+            F.col("la") - F.col("ia"), F.col("lb") - F.col("ib")
+        ) + F.lit(1)
+        return pairs.select(
+            F.col("da").alias("doc_a"),
+            F.col("ia").alias("pos_a"),
+            F.col("db").alias("doc_b"),
+            F.col("ib").alias("pos_b"),
+            (F.col("da") != F.col("db")).alias("xd"),
+            F.least(F.col("acc"), rem).cast("long").alias("lcp"),
+        )
+
+    return shared(("suffix_lcp_pairs", sf_dir, _SAG_ROUNDS), spark, build)
+
+
+#: DuckDB LCP mirror computed by a DIFFERENT algorithm — direct
+#: token-by-token comparison of the two suffixes' arrays (first unequal
+#: offset via a correlated scan) — so the hash gate cross-checks the
+#: level-decomposition construction against ground truth, not against a
+#: re-implementation of itself.
+_LCP_PAIRS_CTES = """adj AS (
+      SELECT a.doc_id AS doc_a, a.i AS pos_a,
+             b.doc_id AS doc_b, b.i AS pos_b
+      FROM fin a JOIN fin b ON b.rn = a.rn + 1
+    ),
+    tarr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    lcp_pairs AS (
+      SELECT p.doc_a, p.pos_a, p.doc_b, p.pos_b,
+             (p.doc_a <> p.doc_b) AS xd,
+             CAST(COALESCE(
+               (SELECT MIN(g) - 1
+                FROM generate_series(1, 128) AS s(g)
+                WHERE g <= LEAST(len(ta.t) - p.pos_a,
+                                 len(tb.t) - p.pos_b) + 1
+                  AND ta.t[p.pos_a + g - 1] <> tb.t[p.pos_b + g - 1]),
+               LEAST(len(ta.t) - p.pos_a, len(tb.t) - p.pos_b) + 1
+             ) AS BIGINT) AS lcp
+      FROM adj p
+      JOIN tarr ta ON ta.doc_id = p.doc_a
+      JOIN tarr tb ON tb.doc_id = p.doc_b
+    )"""
+
+
+@register(
+    "suffix_lcp_histogram",
+    oracle=f"""
+    WITH {_sag_ctes()},
+    {_LCP_PAIRS_CTES}
+    SELECT lcp,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN xd THEN 1 ELSE 0 END) AS BIGINT)
+             AS cross_doc_pairs
+    FROM lcp_pairs
+    GROUP BY lcp
+    ORDER BY lcp
+    """,
+)
+def suffix_lcp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the exact LCP array (adjacent-suffix common-prefix
+    lengths in global SA order), split cross-document — THE curve for
+    choosing Lee et al.'s dedup span threshold: the count of adjacent
+    pairs with lcp >= L upper-bounds (and the cross-doc column exactly
+    witnesses) duplicated spans of length L. Spark computes LCP by the
+    O(log L)-round level decomposition over the pinned rank table; the
+    oracle recomputes every LCP token-by-token from the raw arrays — two
+    independent algorithms, one hash."""
+    p = _suffix_lcp_pairs(spark, sf_dir)
+    return (
+        p.groupBy("lcp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("xd"), 1).otherwise(0)).cast("long")
+            .alias("cross_doc_pairs"),
+        )
+        .orderBy("lcp")
+    )
+
+
+_SPAN_TOPN = 25
+
+
+@register(
+    "suffix_cross_doc_spans",
+    oracle=f"""
+    WITH {_sag_ctes()},
+    {_LCP_PAIRS_CTES}
+    SELECT doc_a, pos_a, doc_b, pos_b, lcp AS lcp_tokens
+    FROM lcp_pairs
+    WHERE xd AND lcp >= 1
+    ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
+    LIMIT {_SPAN_TOPN}
+    """,
+)
+def suffix_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_SPAN_TOPN} exact cross-document duplicated substrings,
+    witnessed by adjacent cross-doc suffix pairs: the maximal
+    cross-document duplicate of length L always surfaces here (inside
+    its SA interval the doc id changes at some adjacency, and that
+    adjacent pair has LCP >= L). The exact-substring complement of
+    `ngram_span_overlap`'s seed-and-chain tier: no shingle width to
+    pick, no occurrence cap — position-exact evidence off the suffix
+    array index."""
+    p = _suffix_lcp_pairs(spark, sf_dir)
+    return (
+        p.filter(F.col("xd") & (F.col("lcp") >= 1))
+        .select(
+            "doc_a", "pos_a", "doc_b", "pos_b",
+            F.col("lcp").alias("lcp_tokens"),
+        )
+        .orderBy(
+            F.desc("lcp_tokens"), "doc_a", "pos_a", "doc_b", "pos_b"
+        )
+        .limit(_SPAN_TOPN)
+        .orderBy(
+            F.desc("lcp_tokens"), "doc_a", "pos_a", "doc_b", "pos_b"
+        )
     )

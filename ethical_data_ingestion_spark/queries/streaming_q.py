@@ -1078,13 +1078,20 @@ def streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         qb = probes.select(
             "query_id", "_qv", F.posexplode(buckets("_qv")).alias("t", "bucket")
         )
+        # broadcast the static index sides: per-executor serving shards
+        # (a streaming plan can't AQE-reshuffle them per micro-batch, and
+        # a checkpointed static side has no size stats to auto-broadcast)
         cand = qb.join(
-            index_buckets.select(
-                F.col("vec_id"), F.col("t"), F.col("bucket")
+            F.broadcast(
+                index_buckets.select(
+                    F.col("vec_id"), F.col("t"), F.col("bucket")
+                )
             ),
             ["t", "bucket"],
         ).select("query_id", "_qv", "vec_id")
-        scored = cand.join(index_vecs.select("vec_id", "_bv"), "vec_id").select(
+        scored = cand.join(
+            F.broadcast(index_vecs.select("vec_id", "_bv")), "vec_id"
+        ).select(
             "query_id",
             "vec_id",
             F.round(S.cosine(F.col("_qv"), F.col("_bv")), 6).alias("cos"),

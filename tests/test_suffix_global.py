@@ -102,3 +102,42 @@ def test_panel_plan_no_cartesian(spark):
     df = registry.QUERIES["suffix_array_global_profile"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_lcp_exact_against_python_ground_truth(spark):
+    """Recompute the LCP of every adjacent pair token-by-token in Python
+    (third implementation, after the Spark level-decomposition and the
+    DuckDB array scan) and demand exact equality."""
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    pairs = spans_q._suffix_lcp_pairs(spark, SF_DIR).collect()
+    assert pairs
+    for r in pairs:
+        ta = texts[r.doc_a][r.pos_a - 1 :]
+        tb = texts[r.doc_b][r.pos_b - 1 :]
+        lcp = 0
+        for x, y in zip(ta, tb):
+            if x != y:
+                break
+            lcp += 1
+        assert r.lcp == lcp, (r.doc_a, r.pos_a, r.doc_b, r.pos_b, r.lcp, lcp)
+
+
+def test_lcp_histogram_covers_all_adjacencies(spark):
+    """Histogram mass = n_positions - 1 (every adjacent pair counted
+    once); cross-doc mass bounded by total; the top cross-doc span's
+    length equals the histogram's max lcp with cross_doc_pairs > 0."""
+    fin = spans_q._suffix_global_ranks(spark, SF_DIR)
+    npos = fin.count()
+    hist = registry.QUERIES["suffix_lcp_histogram"](spark, SF_DIR).collect()
+    assert sum(r.n_pairs for r in hist) == npos - 1
+    assert all(0 <= r.cross_doc_pairs <= r.n_pairs for r in hist)
+    spans = registry.QUERIES["suffix_cross_doc_spans"](spark, SF_DIR).collect()
+    max_cross = max(
+        (r.lcp for r in hist if r.cross_doc_pairs > 0), default=0
+    )
+    assert spans[0].lcp_tokens == max_cross
+    lcps = [r.lcp_tokens for r in spans]
+    assert lcps == sorted(lcps, reverse=True)

@@ -44,6 +44,7 @@ HEAVY = [
     # data volume); the rest joined the suite after the round-6 sweep ran
     "suffix_doubling_profile",
     "suffix_array_global_profile",
+    "suffix_lcp_histogram",
     "knn_cosine_nsw",
     "incremental_ann_stats",
     "multimodal_cdc_stats",
