@@ -179,6 +179,7 @@ HEADLINE = [
     "suffix_array_global_profile",
     "suffix_lcp_histogram",
     "suffix_cross_doc_spans",
+    "substring_dedup_removal_stats",
     "bloom_decontam_stats",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",

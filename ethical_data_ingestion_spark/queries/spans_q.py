@@ -821,3 +821,158 @@ def suffix_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("lcp_tokens"), "doc_a", "pos_a", "doc_b", "pos_b"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The removal accounting Lee et al. actually ACT on: given the LCP array,
+# a position p's longest substring that also occurs elsewhere has length
+# max(LCP with SA-prev, LCP with SA-next) — the suffix-array property that
+# nearest neighbors in suffix order maximize LCP. Positions with that max
+# >= L start removable spans; the union of their intervals prices the
+# dedup pass at each threshold.
+
+_REMOVAL_THRESHOLDS = (4, 8, 16, 32)
+
+
+def _removal_oracle() -> str:
+    per_thr = []
+    for L in _REMOVAL_THRESHOLDS:
+        per_thr.append(
+            f"""SELECT {L} AS span_threshold, doc_id, pos, pos + mx - 1 AS e
+      FROM lcpmax WHERE mx >= {L}"""
+        )
+    starts = "\n      UNION ALL\n      ".join(per_thr)
+    return f"""
+    WITH {_sag_ctes()},
+    {_LCP_PAIRS_CTES},
+    ends AS (
+      SELECT doc_a AS doc_id, pos_a AS pos, lcp FROM lcp_pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, pos_b AS pos, lcp FROM lcp_pairs
+    ),
+    lcpmax AS (
+      SELECT doc_id, pos, MAX(lcp) AS mx FROM ends GROUP BY doc_id, pos
+    ),
+    starts AS (
+      {starts}
+    ),
+    isl AS (
+      SELECT span_threshold, doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+                    PARTITION BY span_threshold, doc_id ORDER BY pos, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM starts
+    ),
+    grp AS (
+      SELECT span_threshold, doc_id, pos, e,
+             SUM(new_isl) OVER (PARTITION BY span_threshold, doc_id
+                                ORDER BY pos, e
+                                ROWS UNBOUNDED PRECEDING) AS g
+      FROM isl
+    ),
+    islands AS (
+      SELECT span_threshold, doc_id, MIN(pos) AS s, MAX(e) AS e
+      FROM grp GROUP BY span_threshold, doc_id, g
+    ),
+    per_doc AS (
+      SELECT span_threshold, doc_id,
+             SUM(e - s + 1) AS covered,
+             COUNT(*) AS n_islands
+      FROM islands GROUP BY span_threshold, doc_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             COUNT(*) AS n_docs
+      FROM documents
+    )
+    SELECT p.span_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_affected,
+           CAST(SUM(p.n_islands) AS BIGINT) AS n_spans,
+           CAST(SUM(p.covered) AS BIGINT) AS covered_tokens,
+           t.total_tokens,
+           ROUND(1.0 - SUM(p.covered)::DOUBLE / t.total_tokens::DOUBLE, 6)
+             AS retained_share
+    FROM per_doc p CROSS JOIN tot t
+    GROUP BY p.span_threshold, t.total_tokens
+    ORDER BY p.span_threshold
+    """
+
+
+@register("substring_dedup_removal_stats", oracle=_removal_oracle())
+def substring_dedup_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priced substring-dedup pass at thresholds {_REMOVAL_THRESHOLDS}:
+    per threshold L, the documents touched, the merged removable spans,
+    the covered token mass (union of [p, p + maxLCP(p) - 1] over
+    positions whose longest elsewhere-occurring substring is >= L
+    tokens), and the retained share — the go/no-go panel for a Lee-et-al
+    removal run, computed exactly from the suffix-array index.
+
+    Scale shape: endpoint melt + one (doc, pos) max-aggregation off the
+    pinned LCP pairs, then per-threshold interval union as doc-
+    partitioned gaps-and-islands windows (running max-end) — no join
+    with data width, no corpus rescan (document totals read off the
+    corpus scan once). Thresholds share ONE lcpmax table."""
+    p = _suffix_lcp_pairs(spark, sf_dir)
+    ends = p.select(
+        F.col("doc_a").alias("doc_id"), F.col("pos_a").alias("pos"), "lcp"
+    ).unionByName(
+        p.select(
+            F.col("doc_b").alias("doc_id"), F.col("pos_b").alias("pos"), "lcp"
+        )
+    )
+    lcpmax = ends.groupBy("doc_id", "pos").agg(F.max("lcp").alias("mx"))
+    starts = lcpmax.select(
+        "doc_id",
+        "pos",
+        (F.col("pos") + F.col("mx") - 1).alias("e"),
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(L) for L in _REMOVAL_THRESHOLDS]),
+                lambda L: F.col("mx") >= L,
+            )
+        ).alias("span_threshold"),
+    )
+    w = Window.partitionBy("span_threshold", "doc_id").orderBy("pos", "e")
+    run_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = starts.withColumn(
+        "new_isl",
+        F.when(F.col("pos") > F.coalesce(run_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "g",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = isl.groupBy("span_threshold", "doc_id", "g").agg(
+        F.min("pos").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = islands.groupBy("span_threshold", "doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("covered"),
+        F.count(F.lit(1)).alias("n_islands"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens")
+    )
+    return (
+        per_doc.groupBy("span_threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_affected"),
+            F.sum("n_islands").cast("long").alias("n_spans"),
+            F.sum("covered").cast("long").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "span_threshold",
+            "n_docs_affected",
+            "n_spans",
+            "covered_tokens",
+            "total_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("retained_share"),
+        )
+        .orderBy("span_threshold")
+    )

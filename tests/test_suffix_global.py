@@ -141,3 +141,64 @@ def test_lcp_histogram_covers_all_adjacencies(spark):
     assert spans[0].lcp_tokens == max_cross
     lcps = [r.lcp_tokens for r in spans]
     assert lcps == sorted(lcps, reverse=True)
+
+
+def test_removal_panel_monotone(spark):
+    rows = registry.QUERIES["substring_dedup_removal_stats"](
+        spark, SF_DIR
+    ).collect()
+    assert [r.span_threshold for r in rows] == [4, 8, 16, 32]
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.covered_tokens >= hi.covered_tokens
+        assert lo.n_docs_affected >= hi.n_docs_affected
+        assert lo.retained_share <= hi.retained_share
+    for r in rows:
+        assert 0 <= r.covered_tokens <= r.total_tokens
+        assert r.n_spans <= r.covered_tokens
+
+
+def test_sa_neighbor_property_against_bruteforce(spark):
+    """The removal panel rests on the suffix-array theorem that a
+    suffix's max LCP over ALL other suffixes is attained at an SA
+    neighbor. Validate end-to-end: for a sample of positions, brute-
+    force the max LCP against every other suffix in Python and compare
+    with the pairwise-derived lcpmax."""
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    suffixes = [
+        (d, i) for d, t in texts.items() for i in range(1, len(t) + 1)
+    ]
+    p = spans_q._suffix_lcp_pairs(spark, SF_DIR)
+    from pyspark.sql import functions as F2
+
+    ends = p.select(
+        F2.col("doc_a").alias("d"), F2.col("pos_a").alias("i"), "lcp"
+    ).unionByName(
+        p.select(F2.col("doc_b").alias("d"), F2.col("pos_b").alias("i"), "lcp")
+    )
+    lcpmax = {
+        (r.d, r.i): r.mx
+        for r in ends.groupBy("d", "i").agg(F2.max("lcp").alias("mx")).collect()
+    }
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                return n
+            n += 1
+        return n
+
+    import random
+
+    rng = random.Random(8)
+    for d, i in rng.sample(suffixes, 60):
+        sa = texts[d][i - 1 :]
+        best = 0
+        for d2, i2 in suffixes:
+            if (d2, i2) == (d, i):
+                continue
+            best = max(best, lcp(sa, texts[d2][i2 - 1 :]))
+        assert lcpmax[(d, i)] == best, (d, i, lcpmax[(d, i)], best)
