@@ -229,6 +229,21 @@ def _twins(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
 
         return _late_audit_batch_twin(spark, sf_dir)
 
+    def knn_serving():
+        from ethical_data_ingestion_spark.operators import similarity as S
+        from ethical_data_ingestion_spark.queries.similarity_q import (
+            _ann_is_new,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        index = emb.filter(~_ann_is_new())
+        probes = emb.filter(_ann_is_new()).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return S.knn_lsh(index, probes, k=10).withColumn(
+            "rank", F.col("rank").cast("int")
+        )
+
     return {
         "streaming_tumbling_hourly": tumbling,
         "streaming_dedup_keys": dedup,
@@ -242,6 +257,7 @@ def _twins(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
         "streaming_incremental_dedup": incr_dedup,
         "streaming_quarantine_gate": quarantine,
         "streaming_late_data_audit": late_audit,
+        "streaming_knn_serving": knn_serving,
     }
 
 
