@@ -193,6 +193,7 @@ HEADLINE = [
     "survivor_selection_stats",
     "ngram_novelty_stats",
     "pagerank_trade_graph",
+    "label_propagation_communities",
     "degree_distribution_stats",
     "copurchase_triangle_stats",
     "embedding_neardup_pairs",

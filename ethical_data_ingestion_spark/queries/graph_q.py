@@ -462,3 +462,147 @@ def degree_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: community detection — synchronous label propagation (Raghavan
+# et al. 2007), the third canonical iterative graph shape after components
+# (operators/dedup.py) and PageRank (above). Deterministic variant: each
+# node adopts the most frequent neighbor label, ties broken by SMALLEST
+# label — no randomness, so four synchronous rounds mirror exactly as
+# generated CTEs.
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""c{r} AS (
+      SELECT e.src AS node, l.lbl, COUNT(*) AS c
+      FROM edges e JOIN l{r - 1} l ON l.node = e.dst
+      GROUP BY e.src, l.lbl
+    ),
+    l{r} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM c{r}) WHERE rn = 1
+    ),
+    s{r} AS (
+      SELECT {r} AS round,
+             (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) FROM l{r})
+               AS n_labels,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM l{r} a JOIN l{r - 1} b USING (node)
+              WHERE a.lbl <> b.lbl) AS n_changed,
+             (SELECT CAST(MAX(c) AS BIGINT) FROM
+                (SELECT COUNT(*) AS c FROM l{r} GROUP BY lbl))
+               AS max_community,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                (SELECT COUNT(*) AS c FROM l{r} GROUP BY lbl) WHERE c = 1)
+               AS singleton_communities
+    )"""
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM s{r}" for r in range(1, _LPA_ROUNDS + 1)
+    )
+    return f"""
+    WITH edges0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM edges0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges0
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    {",".join(rounds)}
+    SELECT * FROM ({unions}) ORDER BY round
+    """
+
+
+@register("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure of the trade graph by {_LPA_ROUNDS} synchronous
+    label-propagation rounds: per round the surviving label count, nodes
+    that changed label, the largest community, and remaining singleton
+    communities — the convergence panel that sizes a partitioning/
+    colocation strategy for the graph (communities = the co-shuffle
+    groups a 100 TB graph job wants co-located).
+
+    Scale shape per round: one equi-join of the pinned symmetrized edge
+    table against the (n_nodes-row) label table — AQE broadcasts the
+    label side while it fits — one (node, label) count with map-side
+    combine, one per-node argmax via ``max(struct(count, -label))`` (max
+    count, then smallest label — no window over the edge stream), pinned
+    per round. The stats rows read the pinned label tables only
+    (session-shared: the label chain is a pure function of the corpus).
+
+    On a BIPARTITE graph synchronous LPA oscillates sides (every node
+    swaps to the other side's dominant label each round — visible as
+    ``n_changed == n_nodes`` while ``n_labels`` still collapses); that
+    is the documented Raghavan-et-al behavior for synchronous updates
+    and is itself the signal that an asynchronous/semi-sync schedule is
+    needed before using the labels for colocation."""
+    with_deg, _n = _trade_graph(spark, sf_dir)
+    edges = with_deg.select("src", "dst")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = [
+        shared(
+            ("lpa_labels", sf_dir, 0),
+            spark,
+            lambda: nodes.withColumn("lbl", F.col("node")),
+        )
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        prev = labels[-1]
+
+        def _round(prev: DataFrame = prev) -> DataFrame:
+            cnt = (
+                edges.join(
+                    prev.select(F.col("node").alias("dst"), "lbl"), "dst"
+                )
+                .groupBy("src", "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            return (
+                cnt.groupBy("src")
+                .agg(
+                    F.max(
+                        F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))
+                    ).alias("m")
+                )
+                .select(
+                    F.col("src").alias("node"), (-F.col("m.neg")).alias("lbl")
+                )
+            )
+
+        labels.append(shared(("lpa_labels", sf_dir, r), spark, _round))
+    stats = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        cur, prev = labels[r], labels[r - 1]
+        comm = cur.groupBy("lbl").agg(F.count(F.lit(1)).alias("c"))
+        changed = (
+            cur.join(prev.withColumnRenamed("lbl", "_plbl"), "node")
+            .filter(F.col("lbl") != F.col("_plbl"))
+            .count()
+        )
+        stats.append(
+            comm.agg(
+                F.lit(r).cast("int").alias("round"),
+                F.count(F.lit(1)).cast("long").alias("n_labels"),
+                F.lit(changed).cast("long").alias("n_changed"),
+                F.max("c").cast("long").alias("max_community"),
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+                .alias("singleton_communities"),
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")

@@ -400,3 +400,26 @@ def test_forecast_backtest_shapes_and_error_sanity(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r.mae <= r.rmse  # rmse dominates mae always
         assert r.mape >= 0
+
+
+def test_lpa_panel_invariants(spark):
+    """Label propagation: label count collapses monotonically; the
+    largest community grows; every round's label set is reachable
+    (n_labels >= 1); changed counts bounded by node count."""
+    from ethical_data_ingestion_spark import registry
+    from ethical_data_ingestion_spark.queries import graph_q
+
+    rows = registry.QUERIES["label_propagation_communities"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r.round for r in rows] == [1, 2, 3, 4]
+    edges, _n = graph_q._trade_graph(spark, "/root/testdata/sf0.001")
+    n_nodes = edges.select("src").distinct().count()
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_labels >= hi.n_labels
+        assert lo.max_community <= hi.max_community
+    for r in rows:
+        assert 1 <= r.n_labels
+        assert 0 <= r.n_changed <= n_nodes
+        assert r.max_community <= n_nodes
+        assert r.singleton_communities <= r.n_labels
