@@ -255,6 +255,7 @@ HEADLINE = [
     "multimodal_frame_stats",
     "multimodal_byte_entropy",
     "multimodal_neardup_simhash",
+    "multimodal_phash_neardup",
     "multimodal_cdc_stats",
     "streaming_tumbling_hourly",
     "streaming_dedup_keys",

@@ -274,3 +274,62 @@ def cdc_chunks(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "modality", "content").mapInPandas(
         chunk, schema=CDC_SCHEMA
     )
+
+
+def dct_weights() -> list[list[float]]:
+    """63×64 weight matrix of the 8×8 2-D DCT-II AC coefficients over a
+    row-major 64-pixel vector: W[j][k] = d[u][r]·d[v][c] for coefficient
+    j = u*8+v-1 (DC skipped) and pixel k = r*8+c, with the orthonormal
+    basis d[u][r] = sqrt((1 if u==0 else 2)/8)·cos(pi·(2r+1)·u/16).
+    Shared by the Spark UDF and the generated DuckDB mirror so both
+    engines multiply the SAME doubles."""
+    d = [
+        [
+            math.sqrt((1.0 if u == 0 else 2.0) / 8.0)
+            * math.cos(math.pi * (2 * r + 1) * u / 16.0)
+            for r in range(8)
+        ]
+        for u in range(8)
+    ]
+    return [
+        [d[u][r] * d[v][c] for r in range(8) for c in range(8)]
+        for u in range(8)
+        for v in range(8)
+    ][1:]
+
+
+def phash63_udf():
+    """Perceptual (DCT sign) hash of a binary payload as a 63-bit BIGINT.
+
+    Decode stand-in: the 8×8 'grayscale' is the fold of payload bytes
+    into 64 bins (pixel k = Σ bytes at positions ≡ k mod 64) — integer-
+    exact and mirrorable byte for byte in SQL; a real image pipeline
+    swaps ONE line (resize+grayscale via PIL) and keeps everything
+    downstream. Bit j = (AC coefficient j of the 2-D DCT > 0). The
+    coefficient fold accumulates strictly in pixel order k = 0..63
+    (matching DuckDB's sequential ``list_dot_product``), so the sign of
+    even a near-zero coefficient agrees across engines — the same
+    discipline as ``similarity.lsh_bucket_udf``."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(dct_weights(), dtype=np.float64)  # 63 × 64
+
+    @pandas_udf("long")
+    def ph(content: pd.Series) -> pd.Series:
+        n = len(content)
+        PX = np.zeros((n, 64))
+        for i, buf in enumerate(content):
+            b = np.frombuffer(bytes(buf), dtype=np.uint8)
+            if len(b):
+                PX[i] = np.bincount(
+                    np.arange(len(b)) % 64, weights=b, minlength=64
+                )
+        acc = np.zeros((n, 63))
+        for k in range(64):  # strict pixel-order fold (see docstring)
+            acc += PX[:, k : k + 1] * W[:, k]
+        bits = acc > 0
+        weights = 1 << np.arange(63, dtype=np.int64)
+        return pd.Series((bits * weights).sum(axis=1).astype("int64"))
+
+    return ph

@@ -351,3 +351,126 @@ def multimodal_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+def _phash_oracle() -> str:
+    """Brute-force mirror: recompute every payload's DCT sign hash from
+    the hex-exploded bytes (64-bin fold → ordered pixel list →
+    ``list_dot_product`` per AC coefficient, sequential fold matching
+    the UDF's strict pixel-order accumulation), then ALL-PAIRS Hamming —
+    so the hash gate also proves the Spark side's pigeonhole banding
+    complete (any pair the bands missed would mismatch the hash)."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, "
+        f"[{','.join(repr(w) for w in row)}]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, row in enumerate(MM.dct_weights())
+    )
+    return f"""
+    WITH assets AS ({_ASSETS_SQL}),
+    hexed AS (
+      SELECT asset_id, modality, lower(hex(content)) AS h, size_bytes AS n
+      FROM assets WHERE size_bytes > 0
+    ),
+    bytes AS (
+      SELECT asset_id, i, ('0x' || substr(h, 2 * i + 1, 2))::BIGINT AS b
+      FROM (SELECT asset_id, h, n, unnest(range(n)) AS i FROM hexed)
+    ),
+    px AS (
+      SELECT asset_id, i % 64 AS k, CAST(SUM(b) AS DOUBLE) AS p
+      FROM bytes GROUP BY asset_id, i % 64
+    ),
+    grid AS (
+      SELECT asset_id, modality, g.k
+      FROM hexed, (SELECT unnest(range(64)) AS k) g
+    ),
+    pxf AS (
+      SELECT grid.asset_id, grid.modality, grid.k, COALESCE(px.p, 0.0) AS p
+      FROM grid LEFT JOIN px
+        ON px.asset_id = grid.asset_id AND px.k = grid.k
+    ),
+    pxl AS (
+      SELECT asset_id, modality, list(p ORDER BY k) AS v
+      FROM pxf GROUP BY asset_id, modality
+    ),
+    hs AS (
+      SELECT asset_id, modality, CAST({bit_terms} AS BIGINT) AS ph
+      FROM pxl
+    )
+    SELECT a.asset_id AS id1, b.asset_id AS id2,
+           a.modality AS modality1, b.modality AS modality2,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+    FROM hs a JOIN hs b ON a.asset_id < b.asset_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= {MM_PHASH_MAXH}
+    ORDER BY id1, id2
+    """
+
+
+MM_PHASH_MAXH = 3  # bands = maxh + 1 (pigeonhole-complete blocking)
+
+
+@register("multimodal_phash_neardup", oracle=_phash_oracle())
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate media pairs: 63-bit DCT sign hash
+    per payload (the pHash dataflow — bin to an 8x8 'image', 2-D DCT,
+    keep AC coefficient signs; decode stand-in documented on the
+    operator), candidates from lossless 16-bit pigeonhole bands
+    (Hamming <= {MM_PHASH_MAXH} forces a collision in one of
+    {MM_PHASH_MAXH + 1} bands), exact Hamming verify on candidates only.
+
+    Complements `multimodal_neardup_simhash` (bag-of-chunks resemblance)
+    with the FREQUENCY-DOMAIN fingerprint family: SimHash sees shared
+    content blocks; pHash sees global structure, robust to small local
+    edits that shift every chunk. Shape at 100 TB: one Arrow pass for
+    hashes, band equi-join for candidates, never all-pairs (the oracle
+    IS all-pairs — completeness proof for the banding)."""
+    assets = MM.as_assets(load_table(spark, sf_dir, "documents"))
+    ph = MM.phash63_udf()
+    h = assets.filter(F.col("size_bytes") > 0).select(
+        "asset_id", "modality", ph("content").alias("ph")
+    )
+    n_bands = MM_PHASH_MAXH + 1
+    bands = h.select(
+        "asset_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        F.shiftright("ph", 16 * t)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for t in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("asset_id", "ph", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("asset_id").alias("id1"), F.col("ph").alias("ph1"),
+        "band", "key",
+    )
+    b = bands.select(
+        F.col("asset_id").alias("id2"), F.col("ph").alias("ph2"),
+        "band", "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "ph1", "ph2")
+        .distinct()
+    )
+    lbl = assets.select("asset_id", "modality")
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ph1").bitwiseXOR(F.col("ph2"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= MM_PHASH_MAXH)
+        .join(lbl.withColumnRenamed("asset_id", "id1")
+              .withColumnRenamed("modality", "modality1"), "id1")
+        .join(lbl.withColumnRenamed("asset_id", "id2")
+              .withColumnRenamed("modality", "modality2"), "id2")
+        .select("id1", "id2", "modality1", "modality2", "hamming")
+        .orderBy("id1", "id2")
+    )

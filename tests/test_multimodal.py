@@ -82,3 +82,32 @@ def test_decode_image_is_gated_stub(spark):
         pass
     with pytest.raises(NotImplementedError, match="image decode"):
         MM.decode_image(assets)
+
+
+def test_phash_exact_dups_are_hamming_zero(spark):
+    """Identical payloads (same sha256) must pair at Hamming 0 — the
+    pHash of equal bytes is equal; and every reported pair is within
+    the Hamming bound with id1 < id2."""
+    from ethical_data_ingestion_spark import registry
+    from ethical_data_ingestion_spark.io import load_table
+    from ethical_data_ingestion_spark.operators import multimodal as MM
+    from ethical_data_ingestion_spark.queries.multimodal_q import (
+        MM_PHASH_MAXH,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = registry.QUERIES["multimodal_phash_neardup"](spark, sf).collect()
+    got = {(r.id1, r.id2): r.hamming for r in pairs}
+    for (i1, i2), hm in got.items():
+        assert i1 < i2 and 0 <= hm <= MM_PHASH_MAXH
+    assets = MM.as_assets(load_table(spark, sf, "documents"))
+    by_sha = {}
+    for r in assets.select("asset_id", "content_sha256", "size_bytes").collect():
+        if r.size_bytes > 0:
+            by_sha.setdefault(r.content_sha256, []).append(r.asset_id)
+    for ids in by_sha.values():
+        ids = sorted(ids)
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    assert got.get((a, b)) == 0, (a, b)
