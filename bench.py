@@ -194,6 +194,7 @@ HEADLINE = [
     "ngram_novelty_stats",
     "pagerank_trade_graph",
     "label_propagation_communities",
+    "community_modularity_stats",
     "degree_distribution_stats",
     "copurchase_triangle_stats",
     "embedding_neardup_pairs",

@@ -475,7 +475,10 @@ def degree_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 4
 
 
-def _lpa_oracle() -> str:
+def _lpa_ctes() -> str:
+    """Shared CTE chain of the synchronous LPA rounds: edges/nodes/l0
+    through l{_LPA_ROUNDS} — reused by the convergence panel and the
+    modularity panel so the two mirrors cannot drift."""
     rounds = []
     for r in range(1, _LPA_ROUNDS + 1):
         rounds.append(
@@ -490,8 +493,27 @@ def _lpa_oracle() -> str:
                ROW_NUMBER() OVER (PARTITION BY node
                                   ORDER BY c DESC, lbl) AS rn
         FROM c{r}) WHERE rn = 1
+    )"""
+        )
+    return f"""edges0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
-    s{r} AS (
+    edges AS (
+      SELECT src, dst FROM edges0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges0
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    {",".join(rounds)}"""
+
+
+def _lpa_oracle() -> str:
+    stats = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        stats.append(
+            f"""s{r} AS (
       SELECT {r} AS round,
              (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) FROM l{r})
                AS n_labels,
@@ -510,18 +532,8 @@ def _lpa_oracle() -> str:
         f"SELECT * FROM s{r}" for r in range(1, _LPA_ROUNDS + 1)
     )
     return f"""
-    WITH edges0 AS (
-      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ),
-    edges AS (
-      SELECT src, dst FROM edges0
-      UNION ALL
-      SELECT dst AS src, src AS dst FROM edges0
-    ),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    l0 AS (SELECT node, node AS lbl FROM nodes),
-    {",".join(rounds)}
+    WITH {_lpa_ctes()},
+    {",".join(stats)}
     SELECT * FROM ({unions}) ORDER BY round
     """
 
@@ -606,3 +618,105 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     for s in stats[1:]:
         out = out.unionByName(s)
     return out.orderBy("round")
+
+
+def _modularity_oracle() -> str:
+    """Per LPA round, Newman modularity with an ALL-INTEGER numerator:
+    Q = (M·intra − Σ d_c²) / M² where M is the DIRECTED (symmetrized)
+    edge count, intra the directed intra-community edge count, and d_c
+    the community degree sums — one exact integer division per round,
+    so the rounded doubles agree across engines bit for bit."""
+    qs = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        qs.append(
+            f"""q{r} AS (
+      SELECT {r} AS round,
+             (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) FROM l{r})
+               AS n_communities,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM edges e
+              JOIN l{r} a ON a.node = e.src
+              JOIN l{r} b ON b.node = e.dst
+              WHERE a.lbl = b.lbl) AS intra_directed,
+             (SELECT CAST(SUM(dc * dc) AS BIGINT) FROM (
+                SELECT CAST(SUM(d.d) AS BIGINT) AS dc
+                FROM (SELECT src AS node, COUNT(*) AS d
+                      FROM edges GROUP BY src) d
+                JOIN l{r} ON l{r}.node = d.node
+                GROUP BY l{r}.lbl)) AS sum_dc2
+    )"""
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM q{r}" for r in range(1, _LPA_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_lpa_ctes()},
+    {",".join(qs)},
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS M FROM edges)
+    SELECT round, n_communities,
+           ROUND(intra_directed::DOUBLE / M, 6) AS intra_share,
+           ROUND((M * intra_directed - sum_dc2)::DOUBLE
+                 / (M::DOUBLE * M), 6) AS modularity
+    FROM ({unions}), m
+    ORDER BY round
+    """
+
+
+@register("community_modularity_stats", oracle=_modularity_oracle())
+def community_modularity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-quality curve for the LPA label chain: per round, the
+    community count, the share of edges INSIDE communities, and Newman
+    modularity Q — the metric that decides whether the labels are worth
+    using as co-location keys (Q near 0 here: the fixture trade graph
+    is one dense near-bipartite component, exactly what the panel should
+    report before anyone partitions by it).
+
+    Scale shape per round: the intra count is the edge table joined to
+    the (n_nodes-row) pinned label table on BOTH endpoints (label side
+    broadcastable); degree sums reuse the shared degree column; Q's
+    numerator is pure BIGINT arithmetic (no float accumulation — one
+    rounded division at the end, cross-engine exact)."""
+    with_deg, _n = _trade_graph(spark, sf_dir)
+    edges = with_deg.select("src", "dst")
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    M = edges.count()  # scalar; the graph artifact is session-pinned
+    # reuse the session-shared label chain the convergence panel built
+    # (constructing its DataFrame pins every round eagerly)
+    from ..materialize import shared_get
+
+    label_propagation_communities(spark, sf_dir)
+    rows = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        lbl = shared_get(("lpa_labels", sf_dir, r), spark)
+        assert lbl is not None  # pinned by the call above
+        la = lbl.select(F.col("node").alias("src"), F.col("lbl").alias("_la"))
+        lb = lbl.select(F.col("node").alias("dst"), F.col("lbl").alias("_lb"))
+        intra = (
+            edges.join(la, "src").join(lb, "dst")
+            .filter(F.col("_la") == F.col("_lb"))
+            .count()
+        )
+        dc = (
+            deg.join(lbl, "node")
+            .groupBy("lbl")
+            .agg(F.sum("d").cast("long").alias("dc"))
+        )
+        agg = dc.agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sum_dc2"),
+        ).collect()[0]
+        rows.append(
+            (
+                r,
+                agg.n_communities,
+                round(intra / M, 6),
+                round((M * intra - agg.sum_dc2) / (M * M), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "round int, n_communities long, intra_share double, modularity double",
+    ).orderBy("round")

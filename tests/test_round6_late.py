@@ -423,3 +423,19 @@ def test_lpa_panel_invariants(spark):
         assert 0 <= r.n_changed <= n_nodes
         assert r.max_community <= n_nodes
         assert r.singleton_communities <= r.n_labels
+
+
+def test_modularity_bounds(spark):
+    """Q in [-0.5, 1); intra_share in [0, 1]; community count matches
+    the convergence panel's label count round for round."""
+    from ethical_data_ingestion_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    q = {r.round: r for r in registry.QUERIES["community_modularity_stats"](
+        spark, sf).collect()}
+    lpa = {r.round: r for r in registry.QUERIES[
+        "label_propagation_communities"](spark, sf).collect()}
+    for r in (1, 2, 3, 4):
+        assert -0.5 <= q[r].modularity < 1.0
+        assert 0.0 <= q[r].intra_share <= 1.0
+        assert q[r].n_communities == lpa[r].n_labels
