@@ -182,6 +182,7 @@ HEADLINE = [
     "substring_dedup_removal_stats",
     "bloom_decontam_stats",
     "dedup_jaccard_pairs",
+    "sorted_neighborhood_stats",
     "dedup_minhash_lsh",
     "minhash_recall_stats",
     "minhash_band_sweep",

@@ -1702,3 +1702,155 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: sorted-neighborhood method (Hernández & Stolfo 1995) — the
+# classic NON-hashing blocking tier: sort the corpus on a key, compare
+# only records within a sliding window of the sort order. Complements the
+# banding tiers (MinHash/SimHash block on CONTENT-derived keys; SNM blocks
+# on SORT adjacency, catching near-dups whose edits preserve a prefix) and
+# reuses the TeraSort global-ranking machinery, so the "sort" is a range
+# exchange + partition-local row_numbers — never a global window.
+
+_SNM_W = 3        # window: compare rn with rn+1..rn+w
+_SNM_KEYLEN = 24  # sort-key prefix length
+_SNM_T = 0.8      # exact-Jaccard verification threshold
+
+
+@register(
+    "sorted_neighborhood_stats",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    k1 AS (SELECT doc_id, substr(t, 1, {_SNM_KEYLEN}) AS k FROM norm),
+    r1 AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM k1
+    ),
+    c1 AS (
+      SELECT DISTINCT 'prefix' AS pass,
+             LEAST(a.doc_id, b.doc_id) AS id1,
+             GREATEST(a.doc_id, b.doc_id) AS id2
+      FROM r1 a JOIN r1 b ON b.rn - a.rn BETWEEN 1 AND {_SNM_W}
+    ),
+    k2 AS (SELECT doc_id, substr(reverse(t), 1, {_SNM_KEYLEN}) AS k FROM norm),
+    r2 AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn FROM k2
+    ),
+    c2 AS (
+      SELECT DISTINCT 'reversed' AS pass,
+             LEAST(a.doc_id, b.doc_id) AS id1,
+             GREATEST(a.doc_id, b.doc_id) AS id2
+      FROM r2 a JOIN r2 b ON b.rn - a.rn BETWEEN 1 AND {_SNM_W}
+    ),
+    cands AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+    sh AS ({_SHINGLES}),
+    {_EXACT_JACCARD},
+    ver AS (SELECT id1, id2 FROM jacc WHERE jaccard >= {_SNM_T}),
+    per_pass AS (
+      SELECT pass,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN v.id1 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_verified
+      FROM cands LEFT JOIN ver v USING (id1, id2)
+      GROUP BY pass
+    ),
+    comb AS (
+      SELECT 'combined' AS pass,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN v.id1 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_verified
+      FROM (SELECT DISTINCT id1, id2 FROM cands) c
+      LEFT JOIN ver v USING (id1, id2)
+    )
+    SELECT pass, n_candidates, n_verified,
+           ROUND(n_verified::DOUBLE / n_candidates, 4) AS precision_at_w
+    FROM (SELECT * FROM per_pass UNION ALL SELECT * FROM comb)
+    ORDER BY pass
+    """,
+)
+def sorted_neighborhood_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup panel: two SNM passes (normalized-text
+    prefix key and REVERSED-text prefix key — the multi-pass trick that
+    catches edits at either end), window {_SNM_W}, candidates verified by
+    exact Jaccard >= {_SNM_T} on the shared shingle sets; per pass and
+    combined: candidate volume, verified pairs, precision — the panel
+    that compares SNM's cost/recall point against the MinHash band tiers.
+
+    Scale shape: each pass is ONE TeraSort global ranking
+    (``quality_q._global_ranks`` — range exchange + partition-local
+    row_numbers + broadcast offsets, no global window) and {_SNM_W}
+    rn-shifted equi-joins; candidate volume is exactly n·w per pass by
+    construction — INDEPENDENT of key skew, the property that makes SNM
+    the safe fallback when a banding key explodes."""
+    from .quality_q import _global_ranks
+    from ..operators.text import normalize_text
+
+    def _build_cands() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        norm = docs.select("doc_id", normalize_text("text").alias("t"))
+        passes = [
+            ("prefix", F.substring(F.col("t"), 1, _SNM_KEYLEN)),
+            ("reversed", F.substring(F.reverse(F.col("t")), 1, _SNM_KEYLEN)),
+        ]
+        cand_parts = []
+        for name, key in passes:
+            ranked, _n = _global_ranks(
+                norm.select("doc_id", key.alias("k")), "k", "doc_id"
+            )
+            a = ranked.select(F.col("rn"), F.col("doc_id").alias("ida"))
+            for d in range(1, _SNM_W + 1):
+                b = ranked.select(
+                    (F.col("rn") - d).alias("rn"),
+                    F.col("doc_id").alias("idb"),
+                )
+                cand_parts.append(
+                    a.join(b, "rn").select(
+                        F.lit(name).alias("pass"),
+                        F.least("ida", "idb").alias("id1"),
+                        F.greatest("ida", "idb").alias("id2"),
+                    )
+                )
+        cands = cand_parts[0]
+        for p in cand_parts[1:]:
+            cands = cands.unionByName(p)
+        return cands.distinct()
+
+    # the sorted-adjacency candidate table is the SNM blocking artifact —
+    # session-shared like the band tables it competes with
+    cands = shared(
+        ("snm_cands", sf_dir, _SNM_W, _SNM_KEYLEN), spark, _build_cands
+    )
+    sets = _doc_sets(spark, sf_dir)
+    ver = D._verify_jaccard(
+        cands.select("id1", "id2").distinct(), sets, "doc_id", _SNM_T
+    ).select("id1", "id2", F.lit(1).alias("_v"))
+    per_pass = (
+        cands.join(ver, ["id1", "id2"], "left")
+        .groupBy("pass")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.coalesce("_v", F.lit(0))).cast("long").alias("n_verified"),
+        )
+    )
+    comb = (
+        cands.select("id1", "id2")
+        .distinct()
+        .join(ver, ["id1", "id2"], "left")
+        .agg(
+            F.lit("combined").alias("pass"),
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.coalesce("_v", F.lit(0))).cast("long").alias("n_verified"),
+        )
+    )
+    return (
+        per_pass.unionByName(comb)
+        .withColumn(
+            "precision_at_w",
+            F.round(
+                F.col("n_verified").cast("double")
+                / F.col("n_candidates").cast("double"),
+                4,
+            ),
+        )
+        .orderBy("pass")
+    )

@@ -558,3 +558,22 @@ def test_survivor_selection_best_at_least_lowid(spark, sf_dir):
     tiers = QUERIES["dedup_tier_attribution"](spark, sf_dir).collect()
     assert r.n_clusters == len(tiers)
     assert r.n_clustered_docs == sum(t.cluster_size for t in tiers)
+
+
+def test_snm_prefix_pass_catches_planted_dups(spark):
+    """The fixture's planted near-dups share long prefixes: the SNM
+    prefix pass must verify exactly the corpus's true >=0.8-Jaccard pair
+    count (completeness at this window for this fixture), and combined
+    candidates = union of passes (bounded by 2*n*w)."""
+    from ethical_data_ingestion_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["pass"]: r for r in registry.QUERIES[
+        "sorted_neighborhood_stats"](spark, sf).collect()}
+    true_pairs = registry.QUERIES["dedup_jaccard_pairs"](spark, sf).count()
+    assert rows["prefix"].n_verified == true_pairs
+    assert rows["combined"].n_verified >= rows["prefix"].n_verified
+    n_docs = 500
+    for r in rows.values():
+        assert r.n_candidates <= 2 * n_docs * 3
+        assert 0 <= r.n_verified <= r.n_candidates
