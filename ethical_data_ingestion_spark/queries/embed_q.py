@@ -751,3 +751,289 @@ def rag_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+# re-ranking of the chunk retrieval — the diversification pass a RAG
+# serving stack runs AFTER top-N retrieval so the k passages handed to the
+# model aren't near-copies of each other. Greedy and deterministic:
+# round 1 takes the most relevant candidate; each later round takes
+# argmax of lambda*rel − (1−lambda)*max-sim-to-selected (ties to smallest
+# chunk key), every score rounded to 6 before comparison on both engines.
+
+_MMR_N = 10      # retrieval candidates per query (re-rank pool)
+_MMR_K = 3       # diversified picks
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    rounds = []
+    for t in range(2, _MMR_K + 1):
+        rounds.append(
+            f"""rem{t} AS (
+      SELECT c.* FROM cands c
+      LEFT JOIN selall{t - 1} s
+        ON s.query_id = c.query_id AND s.ckey = c.ckey
+      WHERE s.ckey IS NULL
+    ),
+    ms{t} AS (
+      SELECT r.query_id, r.ckey, r.rel, MAX(cs.sim) AS mx
+      FROM rem{t} r
+      JOIN selall{t - 1} s ON s.query_id = r.query_id
+      JOIN csim cs ON cs.query_id = r.query_id
+                  AND cs.ck1 = r.ckey AND cs.ck2 = s.ckey
+      GROUP BY r.query_id, r.ckey, r.rel
+    ),
+    sel{t} AS (
+      SELECT query_id, ckey, {t} AS mmr_rank, rel,
+             ROUND({_MMR_LAMBDA} * rel - {round(1 - _MMR_LAMBDA, 10)} * mx, 6)
+               AS mmr_score
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY ROUND({_MMR_LAMBDA} * rel
+                         - {round(1 - _MMR_LAMBDA, 10)} * mx, 6) DESC, ckey
+        ) AS rn
+        FROM ms{t}) WHERE rn = 1
+    ),
+    selall{t} AS (
+      SELECT query_id, ckey, mmr_rank, rel, mmr_score FROM selall{t - 1}
+      UNION ALL
+      SELECT query_id, ckey, mmr_rank, rel, mmr_score FROM sel{t}
+    )"""
+        )
+    return f"""
+    WITH {_CHUNK_INDEX_CTES},
+    {_HASHED_CNTS_CTE.strip().lstrip()},
+    qnorm AS (
+      SELECT doc_id AS query_id, CAST(SUM(c * c) AS BIGINT) AS qn2
+      FROM cnts WHERE doc_id < {_RAG_QUERIES}
+      GROUP BY doc_id HAVING SUM(c * c) > 0
+    ),
+    pairs AS (
+      SELECT q.query_id, ch.ckey, q.qn2, cn.n2
+      FROM qnorm q, chunks ch JOIN cnorm cn USING (ckey)
+      WHERE ch.doc_id <> q.query_id
+    ),
+    dots AS (
+      SELECT qc.doc_id AS query_id, cc.ckey,
+             CAST(SUM(qc.c * cc.c) AS BIGINT) AS dotp
+      FROM cnts qc JOIN ccnt cc ON qc.bucket = cc.bucket
+      WHERE qc.doc_id < {_RAG_QUERIES}
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.query_id, p.ckey,
+             ROUND(CAST(COALESCE(d.dotp, 0) AS DOUBLE)
+                   / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(p.n2 AS DOUBLE))),
+                   6) AS rel
+      FROM pairs p LEFT JOIN dots d USING (query_id, ckey)
+    ),
+    cands AS (
+      SELECT query_id, ckey, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, ckey) AS rank
+        FROM scored) WHERE rank <= {_MMR_N}
+    ),
+    cck AS (SELECT DISTINCT ckey FROM cands),
+    ccnt_c AS (SELECT ccnt.* FROM ccnt JOIN cck USING (ckey)),
+    cdots AS (
+      SELECT c1.ckey AS ck1, c2.ckey AS ck2,
+             CAST(SUM(c1.c * c2.c) AS BIGINT) AS dotp
+      FROM ccnt_c c1 JOIN ccnt_c c2 ON c1.bucket = c2.bucket
+      WHERE c1.ckey <> c2.ckey
+      GROUP BY 1, 2
+    ),
+    csim AS (
+      SELECT a.query_id, a.ckey AS ck1, b.ckey AS ck2,
+             ROUND(CAST(COALESCE(d.dotp, 0) AS DOUBLE)
+                   / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))),
+                   6) AS sim
+      FROM cands a
+      JOIN cands b ON a.query_id = b.query_id AND a.ckey <> b.ckey
+      JOIN cnorm n1 ON n1.ckey = a.ckey
+      JOIN cnorm n2 ON n2.ckey = b.ckey
+      LEFT JOIN cdots d ON d.ck1 = a.ckey AND d.ck2 = b.ckey
+    ),
+    sel1 AS (
+      SELECT query_id, ckey, 1 AS mmr_rank, rel,
+             ROUND({_MMR_LAMBDA} * rel, 6) AS mmr_score
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, ckey) AS rn
+        FROM cands) WHERE rn = 1
+    ),
+    selall1 AS (SELECT * FROM sel1),
+    {",".join(rounds)}
+    SELECT query_id,
+           CAST(ckey // {_CHUNK_KEYMUL} AS BIGINT) AS doc_id,
+           CAST(ckey % {_CHUNK_KEYMUL} AS BIGINT) AS chunk_idx,
+           rel AS rel_cos, mmr_score,
+           CAST(mmr_rank AS INTEGER) AS mmr_rank
+    FROM selall{_MMR_K}
+    ORDER BY query_id, mmr_rank
+    """
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified RAG retrieval: top-{_MMR_N} chunk candidates per query
+    (same pipeline as `chunk_embed_topk`), then {_MMR_K} greedy MMR picks
+    (lambda={_MMR_LAMBDA}) — each round takes the candidate maximizing
+    rounded(lambda*relevance − (1−lambda)*max cosine to the already-
+    selected set), ties to the smallest chunk key. The pass that stops a
+    RAG prompt from carrying three copies of the same passage.
+
+    Scale shape: MMR is post-retrieval — everything here is bounded by
+    |queries|·{_MMR_N}: the candidate pool, the candidate-pair similarity
+    table ({_MMR_N}^2 per query, computed once), and {_MMR_K - 1} greedy
+    rounds of (anti-join, max-sim aggregate, per-query argmax) on those
+    bounded tables. The chunk index stays the shared artifact."""
+    cemb = _chunk_index(spark, sf_dir)
+    q = (
+        _embedded_docs(spark, sf_dir)
+        .filter(F.col("doc_id") < _RAG_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .withColumn("qn2", E.embedding_norm2("qv"))
+        .filter(F.col("qn2") > 0)
+    )
+    dot_qc = F.aggregate(
+        F.zip_with(
+            F.col("qv").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id")
+    cands = (
+        cemb.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "ckey",
+            "embedding",
+            "n2",
+            F.round(
+                dot_qc
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("n2").cast("double"))
+                ),
+                6,
+            ).alias("rel"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(wq.orderBy(F.desc("rel"), F.col("ckey"))),
+        )
+        .filter(F.col("rank") <= _MMR_N)
+        .drop("rank")
+    )
+    cands = materialize(cands)
+    a = cands.select(
+        "query_id", F.col("ckey").alias("ck1"),
+        F.col("embedding").alias("e1"), F.col("n2").alias("m1"),
+    )
+    b = cands.select(
+        F.col("query_id").alias("_q2"), F.col("ckey").alias("ck2"),
+        F.col("embedding").alias("e2"), F.col("n2").alias("m2"),
+    )
+    dot_cc = F.aggregate(
+        F.zip_with(
+            F.col("e1").cast("array<double>"),
+            F.col("e2").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    csim = materialize(
+        a.join(
+            b,
+            (F.col("query_id") == F.col("_q2"))
+            & (F.col("ck1") != F.col("ck2")),
+        ).select(
+            "query_id",
+            "ck1",
+            "ck2",
+            F.round(
+                dot_cc
+                / (
+                    F.sqrt(F.col("m1").cast("double"))
+                    * F.sqrt(F.col("m2").cast("double"))
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    pool = cands.select("query_id", "ckey", "rel")
+    sel = (
+        pool.withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.desc("rel"), F.col("ckey"))),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "ckey", F.lit(1).alias("mmr_rank"), "rel",
+            F.round(F.lit(_MMR_LAMBDA) * F.col("rel"), 6).alias("mmr_score"),
+        )
+    )
+    selected = sel
+    for t in range(2, _MMR_K + 1):
+        rem = pool.join(
+            selected.select("query_id", "ckey"), ["query_id", "ckey"],
+            "left_anti",
+        )
+        ms = (
+            rem.join(
+                selected.select(
+                    "query_id", F.col("ckey").alias("_sck")
+                ),
+                "query_id",
+            )
+            .join(
+                csim,
+                (csim.query_id == rem.query_id)
+                & (csim.ck1 == rem.ckey)
+                & (csim.ck2 == F.col("_sck")),
+            )
+            .groupBy(rem.query_id, rem.ckey, rem.rel)
+            .agg(F.max("sim").alias("mx"))
+        )
+        pick = (
+            ms.withColumn(
+                "mmr_score",
+                F.round(
+                    F.lit(_MMR_LAMBDA) * F.col("rel")
+                    - F.lit(round(1 - _MMR_LAMBDA, 10)) * F.col("mx"),
+                    6,
+                ),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    wq.orderBy(F.desc("mmr_score"), F.col("ckey"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "ckey", F.lit(t).alias("mmr_rank"), "rel",
+                "mmr_score",
+            )
+        )
+        selected = selected.unionByName(pick)
+    return (
+        selected.select(
+            "query_id",
+            (F.col("ckey") / _CHUNK_KEYMUL).cast("long").alias("doc_id"),
+            (F.col("ckey") % _CHUNK_KEYMUL).cast("long").alias("chunk_idx"),
+            F.col("rel").alias("rel_cos"),
+            "mmr_score",
+            F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        )
+        .orderBy("query_id", "mmr_rank")
+    )

@@ -222,6 +222,8 @@ def _lsh_pipeline_ctes(
     b_body: str = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings",
     n_queries: int = 5,
     q_body: str | None = None,
+    n_tables: int = 8,
+    n_bits: int = 4,
 ) -> str:
     """Shared DuckDB mirror of the full LSH pipeline — the CTE chain from
     base vectors through ``lsh_scored`` (candidate cosine scores): the
@@ -238,8 +240,11 @@ def _lsh_pipeline_ctes(
     ``n_queries``: probes are vec_id < n_queries. ``q_body``: when given,
     probes come from this SEPARATE (vec_id, bv) relation instead of a
     vec_id prefix of ``b`` (the serving shape: a probe batch disjoint
-    from the index), and ``n_queries`` is ignored."""
-    planes = S.hyperplanes(64, 8, 4)
+    from the index), and ``n_queries`` is ignored. ``n_tables``/
+    ``n_bits``: plane geometry — must match the Spark side's
+    ``hyperplanes`` call (bits per table is the bucket-width knob a
+    deployment grows with corpus size)."""
+    planes = S.hyperplanes(64, n_tables, n_bits)
     sig_cols = []
     for t, rows in enumerate(planes):
         bits = [

@@ -993,6 +993,13 @@ def _late_audit_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the materialized result — sort work on k-bounded arrays, not stream state.
 
 _SERVE_K = 10
+_SERVE_BITS = 8  # bits per LSH table for the SERVING index: bucket width
+                 # is corpus/2^bits per table, and the per-probe candidate
+                 # state in the drain is bucket-sized -- 4 bits (the batch
+                 # family's default at fixture scale) blew state up ~16x on
+                 # the 10x sf1 corpus; 8 bits holds state at ~corpus/256
+                 # per (probe, table). This is the standard LSH deployment
+                 # knob (grow bits with corpus), mirrored in the oracle.
 
 
 def _ann_serving_oracle() -> str:
@@ -1008,7 +1015,7 @@ def _ann_serving_oracle() -> str:
         f"WHERE {pred} < {_ANN_SPLIT}"
     )
     return f"""
-    WITH {_lsh_pipeline_ctes(b_body=b_body, q_body=q_body)},
+    WITH {_lsh_pipeline_ctes(b_body=b_body, q_body=q_body, n_bits=_SERVE_BITS)},
     ranked AS (
       SELECT query_id, vec_id, cos,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1043,7 +1050,7 @@ def streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity_q import _ann_is_new
 
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = S.hyperplanes(64, 8, 4)
+    planes = S.hyperplanes(64, 8, _SERVE_BITS)
     index_vecs = shared(
         ("ann_serving_vecs", sf_dir),
         spark,
@@ -1052,7 +1059,7 @@ def streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     index_buckets = shared(
-        ("ann_serving_buckets", sf_dir, 8, 4),
+        ("ann_serving_buckets", sf_dir, 8, _SERVE_BITS),
         spark,
         lambda: S.lsh_base_buckets(index_vecs, "vec_id", planes),
     )

@@ -104,6 +104,7 @@ def test_streaming_serving_matches_batch_lsh(spark):
     index — same candidates, same scores, same top-k."""
     from ethical_data_ingestion_spark.io import load_table
     from ethical_data_ingestion_spark.operators import similarity as S
+    from ethical_data_ingestion_spark.queries import streaming_q as SQ2
 
     emb = load_table(spark, SF_DIR, "embeddings")
     index = emb.filter(~SQ._ann_is_new())
@@ -112,7 +113,9 @@ def test_streaming_serving_matches_batch_lsh(spark):
     )
     batch = {
         (r.query_id, r.vec_id, r.cos, r.rank)
-        for r in S.knn_lsh(index, probes, k=10).collect()
+        for r in S.knn_lsh(
+            index, probes, k=10, n_bits=SQ2._SERVE_BITS
+        ).collect()
     }
     stream = {
         (r.query_id, r.vec_id, r.cos, r.rank)

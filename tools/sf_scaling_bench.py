@@ -51,6 +51,14 @@ HEAVY = [
     "source_divergence_matrix",
     "minhash_band_sweep",
     "rag_retrieval_quality",
+    # round-8 late panels
+    "suffix_cross_doc_spans",
+    "substring_dedup_removal_stats",
+    "sorted_neighborhood_stats",
+    "label_propagation_communities",
+    "community_modularity_stats",
+    "multimodal_phash_neardup",
+    "streaming_knn_serving",
 ]
 
 N_RUNS = 2

@@ -240,7 +240,11 @@ def _twins(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
         probes = emb.filter(_ann_is_new()).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return S.knn_lsh(index, probes, k=10).withColumn(
+        from ethical_data_ingestion_spark.queries.streaming_q import (
+            _SERVE_BITS,
+        )
+
+        return S.knn_lsh(index, probes, k=10, n_bits=_SERVE_BITS).withColumn(
             "rank", F.col("rank").cast("int")
         )
 
