@@ -221,6 +221,7 @@ HEADLINE = [
     "embed_knn_e2e",
     "embed_knn_lsh",
     "chunk_embed_topk",
+    "mmr_diversified_topk",
     "rag_retrieval_quality",
     "semantic_decontam_stats",
     "domain_cap_sampling",

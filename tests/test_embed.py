@@ -135,3 +135,65 @@ def test_packed_ckey_guard_fails_loudly(spark):
     with pytest.raises((CapturedException, PySparkRuntimeError, Exception)) as exc:
         bad.collect()
     assert "keyspace" in str(exc.value)
+
+
+def test_mmr_matches_python_greedy(spark):
+    """Replay greedy MMR in plain Python over the same candidate pool and
+    pairwise sims (third implementation next to the Spark rounds and the
+    DuckDB CTE chain) and demand identical picks, ranks, and scores."""
+    from ethical_data_ingestion_spark import registry
+    from ethical_data_ingestion_spark.queries import embed_q as EQ
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r.query_id, r.doc_id * EQ._CHUNK_KEYMUL + r.chunk_idx,
+         r.mmr_rank, r.mmr_score)
+        for r in registry.QUERIES["mmr_diversified_topk"](spark, sf).collect()
+    ]
+    # rebuild the pool: top-N candidates per query by (rel desc, ckey)
+    cemb = EQ._chunk_index(spark, sf)
+    from pyspark.sql import functions as F2
+
+    q = (
+        EQ._embedded_docs(spark, sf)
+        .filter(F2.col("doc_id") < EQ._RAG_QUERIES)
+        .select(F2.col("doc_id").alias("qid"), F2.col("embedding").alias("qv"))
+        .collect()
+    )
+    chunks = cemb.collect()
+    import math
+
+    def cos(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += float(x) * float(y)
+        na = sum(float(x) * float(x) for x in a)
+        nb = sum(float(y) * float(y) for y in b)
+        return round(d / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    want = []
+    for row in sorted(q, key=lambda r: r.qid):
+        cands = [
+            (c.ckey, cos(row.qv, c.embedding), c.embedding)
+            for c in chunks
+            if c.doc_id != row.qid
+        ]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        pool = cands[: EQ._MMR_N]
+        sel = [min(pool, key=lambda t: (-t[1], t[0]))]
+        want.append((row.qid, sel[0][0], 1, round(EQ._MMR_LAMBDA * sel[0][1], 6)))
+        for t in range(2, EQ._MMR_K + 1):
+            best = None
+            for ck, rel, emb in pool:
+                if any(ck == s[0] for s in sel):
+                    continue
+                mx = max(cos(emb, s[2]) for s in sel)
+                score = round(
+                    EQ._MMR_LAMBDA * rel
+                    - round(1 - EQ._MMR_LAMBDA, 10) * mx, 6
+                )
+                if best is None or (-score, ck) < (-best[3], best[0]):
+                    best = (ck, rel, emb, score)
+            sel.append((best[0], best[1], best[2]))
+            want.append((row.qid, best[0], t, best[3]))
+    assert sorted(got) == sorted(want)
