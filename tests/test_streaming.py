@@ -167,3 +167,50 @@ def test_tws_sessionizer_gate(spark, sf_dir):
         tuple(r) for r in streaming_sessions_stateful(spark, sf_dir).collect()
     }
     assert tws == aipws
+
+
+def test_availablenow_resume_processes_only_delta(spark, sf_dir, tmp_path):
+    """Exactly-once across RESTARTS: two availableNow drains sharing one
+    checkpoint — the second sees only files that arrived after the
+    first, and the sink ends up with every event exactly once (equal to
+    the batch read of all files). This is the catch-up contract a
+    periodic ingest job relies on; the file-source's processed-file log
+    lives in the checkpoint."""
+    import shutil
+
+    ev = _events(spark, sf_dir)
+    staged = P.spool(ev, str(tmp_path / "all"), 4)
+    parts = sorted(glob.glob(os.path.join(staged, "part-*")))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            P.stream_from(spark, src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for p in parts[:2]:
+        shutil.copy(p, src)
+    drain()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == spark.read.parquet(*parts[:2]).count()
+
+    base = max(os.path.getmtime(os.path.join(src, f)) for f in os.listdir(src))
+    for i, p in enumerate(parts[2:]):
+        dst = os.path.join(src, os.path.basename(p))
+        shutil.copy(p, dst)
+        os.utime(dst, (base + 2 + i, base + 2 + i))
+    drain()
+    got = spark.read.parquet(sink)
+    want = ev
+    assert got.count() == n_first + spark.read.parquet(*parts[2:]).count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
