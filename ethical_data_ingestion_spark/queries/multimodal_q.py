@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..materialize import materialize
+from ..materialize import materialize, shared
 from ..operators import dedup as D
 from ..operators import multimodal as MM
 from ..operators.analytics import davg
@@ -424,9 +424,16 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, band equi-join for candidates, never all-pairs (the oracle
     IS all-pairs — completeness proof for the banding)."""
     assets = MM.as_assets(load_table(spark, sf_dir, "documents"))
-    ph = MM.phash63_udf()
-    h = assets.filter(F.col("size_bytes") > 0).select(
-        "asset_id", "modality", ph("content").alias("ph")
+    # pin the hash table: the Arrow DCT pass is the index artifact, and
+    # unpinned it would be re-evaluated in EVERY join branch below (the
+    # self-join + two label joins replicated it 8x in the plan — pinned
+    # by tests/test_multimodal.py)
+    h = shared(
+        ("phash63", sf_dir),
+        spark,
+        lambda: assets.filter(F.col("size_bytes") > 0).select(
+            "asset_id", "modality", MM.phash63_udf()("content").alias("ph")
+        ),
     )
     n_bands = MM_PHASH_MAXH + 1
     bands = h.select(

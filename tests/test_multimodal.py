@@ -111,3 +111,18 @@ def test_phash_exact_dups_are_hamming_zero(spark):
             for b in ids:
                 if a < b:
                     assert got.get((a, b)) == 0, (a, b)
+
+
+def test_phash_plan_reads_pinned_hash_table(spark):
+    """The Arrow DCT pass must not be re-evaluated per join branch: the
+    final plan reads the pinned hash table (zero Python evals) and never
+    cartesians."""
+    from ethical_data_ingestion_spark import registry
+    from ethical_data_ingestion_spark.plans.inspect import formatted_plan
+
+    df = registry.QUERIES["multimodal_phash_neardup"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
