@@ -516,3 +516,29 @@ def test_round7_queries_keep_their_scale_shapes(spark, sf_dir):
     df = _q(spark, sf_dir, "minhash_band_sweep")
     plan = plans.formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_round8_plan_pins(spark, sf_dir):
+    """Round-8 operators: no cartesian anywhere; SNM's rank windows are
+    pid-partitioned (TeraSort, never a global window); MMR's windows are
+    query-partitioned; the modularity panel joins only on equi-keys."""
+    import re
+
+    for name in (
+        "incremental_ann_stats",
+        "sorted_neighborhood_stats",
+        "mmr_diversified_topk",
+        "community_modularity_stats",
+        "label_propagation_communities",
+    ):
+        df = _q(spark, sf_dir, name)
+        plan = plans.formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+
+    snm = plans.formatted_plan(_q(spark, sf_dir, "sorted_neighborhood_stats"))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", snm):
+        assert spec.startswith("pid"), f"non-TeraSort window: {spec[:80]}"
+
+    mmr = plans.formatted_plan(_q(spark, sf_dir, "mmr_diversified_topk"))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", mmr):
+        assert spec.startswith("query_id"), f"unpartitioned window: {spec[:80]}"
