@@ -708,15 +708,18 @@ def community_modularity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_communities"),
             F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sum_dc2"),
         ).collect()[0]
-        rows.append(
-            (
-                r,
-                agg.n_communities,
-                round(intra / M, 6),
-                round((M * intra - agg.sum_dc2) / (M * M), 6),
-            )
-        )
-    return spark.createDataFrame(
-        rows,
-        "round int, n_communities long, intra_share double, modularity double",
+        rows.append((r, agg.n_communities, intra, agg.sum_dc2))
+    # Final divisions + rounding happen IN-PLAN with F.round (HALF_UP,
+    # matching DuckDB ROUND) — Python round() is banker's rounding and
+    # would hash-mismatch on exact 1e-6 halves.
+    raw = spark.createDataFrame(
+        rows, "round int, n_communities long, intra long, sum_dc2 long"
+    )
+    return raw.select(
+        "round",
+        "n_communities",
+        F.round(F.col("intra") / F.lit(M), 6).alias("intra_share"),
+        F.round(
+            (F.lit(M) * F.col("intra") - F.col("sum_dc2")) / F.lit(M * M), 6
+        ).alias("modularity"),
     ).orderBy("round")

@@ -95,7 +95,7 @@ def test_incremental_ann_panel_invariants(spark):
         assert 0 < r.new_out_edges <= r.n_new * _NSW_E
         assert 0 <= r.back_edges_kept <= r.new_out_edges
         assert r.affected_index_nodes <= r.back_edges_kept
-        assert 0.0 <= r.avg_out_cos <= 1.0 or r.avg_out_cos >= -1.0
+        assert -1.0 <= r.avg_out_cos <= 1.0
 
 
 def test_streaming_serving_matches_batch_lsh(spark):

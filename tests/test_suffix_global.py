@@ -4,8 +4,7 @@ monotonicity, and the plan shape of the doubling rounds."""
 
 from __future__ import annotations
 
-import re
-
+import pytest
 from pyspark.sql import functions as F
 
 from ethical_data_ingestion_spark import registry
@@ -87,15 +86,61 @@ def test_adjacent_equal_pairs_equal_dup_minus_classes(spark):
         assert p[w].adj_dup_pairs == mass - ncls, w
 
 
-def test_doubling_round_windows_doc_partitioned(spark):
-    """The only data-width window in the build is the per-round LEAD —
-    pinned doc-partitioned (no corpus-wide WindowExec; the TeraSort
-    ranker's row_number is pid-partitioned by construction)."""
+def test_doubling_round_has_no_window_at_all(spark):
+    """Round-8 verdict item 3: the per-round shift must be the
+    (doc_id, i+h) self-EQUI-JOIN, never a doc-partitioned LEAD window —
+    a window pins each document to ONE task, so a pathological multi-GB
+    document would serialize every round on a single straggler. Pin:
+    zero windowspecdefinitions in the shift step's plan, and the join is
+    a real equi-join (no nested-loop / cartesian fallback)."""
     fin = spans_q._suffix_global_ranks(spark, SF_DIR)
     toks = fin.select("doc_id", "i", "k0")
     plan = formatted_plan(spans_q._sag_nxt(toks, 1))
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        assert spec.startswith("doc_id"), f"unpartitioned window: {spec[:80]}"
+    assert "windowspecdefinition" not in plan, "window crept back in"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sa_build_survives_giant_document_skew(spark, tmp_path_factory):
+    """One document 100× the median length (the giant-concatenated-web-
+    page shape) must not break the build: ranks must still induce the
+    exact suffix order, computed here against a Python ground-truth
+    suffix sort of the same corpus."""
+    rows = [(d, f"tok{d % 7}") for d in range(60)]  # median = 1 token
+    giant = " ".join(f"w{(i * i) % 23}" for i in range(100))  # 100 tokens
+    rows.append((999, giant))
+    d = tmp_path_factory.mktemp("sa_skew")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    fin = spans_q._suffix_global_ranks(spark, str(d))
+    got = [
+        (r.doc_id, r.i)
+        for r in fin.select("rn", "doc_id", "i").orderBy("rn").collect()
+    ]
+    suffixes = []
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        for i in range(1, len(toks) + 1):
+            suffixes.append((toks[i - 1 :], doc_id, i))
+    # Manber-Myers sentinel rule: a strict-prefix suffix sorts first;
+    # Python's list comparison does exactly that. Ties by (doc_id, i).
+    suffixes.sort(key=lambda s: (s[0], s[1], s[2]))
+    assert got == [(doc_id, i) for _, doc_id, i in suffixes]
+
+
+def test_sa_build_rejects_documents_over_rank_cap(spark, tmp_path_factory):
+    """ADVICE r8: rank_ROUNDS equates suffixes agreeing on their first
+    2^ROUNDS tokens and the DuckDB mirrors share the cap, so the hash
+    gate is blind to violations — the build must fail LOUDLY instead."""
+    cap = 1 << spans_q._SAG_ROUNDS
+    long_doc = " ".join(f"t{i}" for i in range(cap + 5))
+    d = tmp_path_factory.mktemp("sa_cap")
+    spark.createDataFrame(
+        [(1, long_doc), (2, "a b c")], "doc_id long, text string"
+    ).write.parquet(str(d / "documents.parquet"))
+    with pytest.raises(ValueError, match="suffix-array build"):
+        spans_q._suffix_global_ranks(spark, str(d))
 
 
 def test_panel_plan_no_cartesian(spark):
