@@ -911,6 +911,24 @@ def _removal_oracle() -> str:
     """
 
 
+def _merge_intervals(starts: DataFrame, part_cols: list[str]) -> DataFrame:
+    """Union of possibly-overlapping [pos, e] intervals → disjoint islands
+    (gaps-and-islands: running max-end per partition; a start past it
+    opens a new island). Shared by the pricing panel and the emit pass."""
+    w = Window.partitionBy(*part_cols).orderBy("pos", "e")
+    run_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = starts.withColumn(
+        "new_isl",
+        F.when(F.col("pos") > F.coalesce(run_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "g",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy(*part_cols, "g").agg(
+        F.min("pos").alias("s"), F.max("e").alias("e")
+    )
+
+
 @register("substring_dedup_removal_stats", oracle=_removal_oracle())
 def substring_dedup_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priced substring-dedup pass at thresholds {_REMOVAL_THRESHOLDS}:
@@ -945,18 +963,7 @@ def substring_dedup_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("span_threshold"),
     )
-    w = Window.partitionBy("span_threshold", "doc_id").orderBy("pos", "e")
-    run_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = starts.withColumn(
-        "new_isl",
-        F.when(F.col("pos") > F.coalesce(run_end, F.lit(-1)), 1).otherwise(0),
-    ).withColumn(
-        "g",
-        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    islands = isl.groupBy("span_threshold", "doc_id", "g").agg(
-        F.min("pos").alias("s"), F.max("e").alias("e")
-    )
+    islands = _merge_intervals(starts, ["span_threshold", "doc_id"])
     per_doc = islands.groupBy("span_threshold", "doc_id").agg(
         F.sum(F.col("e") - F.col("s") + 1).alias("covered"),
         F.count(F.lit(1)).alias("n_islands"),
@@ -987,4 +994,161 @@ def substring_dedup_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("retained_share"),
         )
         .orderBy("span_threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The materialized removal pass (round-8 verdict item 1): every dedup tier
+# above ends in a stats panel; a training-data user runs dedup to GET the
+# deduplicated corpus. This emits it — the surviving text per document at
+# the chosen threshold — with per-doc token accounting that must agree
+# exactly with `substring_dedup_removal_stats`' covered-mass pricing
+# (pinned in tests/test_spans_emit.py). Mirrors the reference's
+# materialize-the-result export surface (`ethical_crawler.py:1072-1096`).
+
+_EMIT_THRESHOLD = 8  # tokens; one of _REMOVAL_THRESHOLDS so the pricing
+                     # panel priced exactly this pass
+
+
+def _retained_tokens(spark: SparkSession, sf_dir: str, L: int) -> DataFrame:
+    """(doc_id, i, tok) of every ORIGINAL token position surviving the
+    substring-dedup removal at threshold ``L``: positions covered by the
+    union of [p, p + maxLCP(p) - 1] intervals (maxLCP >= L) are cut.
+    Shared by the emit query and the brute-force round-trip test.
+
+    Scale shape: one endpoint melt + (doc, pos) max off the pinned LCP
+    pairs, one gaps-and-islands merge over START positions only, one
+    sequence-explode of the merged islands (linear in covered mass), and
+    one anti equi-join against the token scan. No range join, no
+    corpus-wide window."""
+    p = _suffix_lcp_pairs(spark, sf_dir)
+    ends = p.select(
+        F.col("doc_a").alias("doc_id"), F.col("pos_a").alias("pos"), "lcp"
+    ).unionByName(
+        p.select(
+            F.col("doc_b").alias("doc_id"), F.col("pos_b").alias("pos"), "lcp"
+        )
+    )
+    lcpmax = ends.groupBy("doc_id", "pos").agg(F.max("lcp").alias("mx"))
+    starts = lcpmax.filter(F.col("mx") >= L).select(
+        "doc_id", "pos", (F.col("pos") + F.col("mx") - 1).alias("e")
+    )
+    islands = _merge_intervals(starts, ["doc_id"])
+    covered = islands.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("e"))).alias("i")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    return toks.join(covered, ["doc_id", "i"], "left_anti")
+
+
+def _emit_oracle() -> str:
+    L = _EMIT_THRESHOLD
+    return f"""
+    WITH {_sag_ctes()},
+    {_LCP_PAIRS_CTES},
+    ends AS (
+      SELECT doc_a AS doc_id, pos_a AS pos, lcp FROM lcp_pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, pos_b AS pos, lcp FROM lcp_pairs
+    ),
+    lcpmax AS (
+      SELECT doc_id, pos, MAX(lcp) AS mx FROM ends GROUP BY doc_id, pos
+    ),
+    starts AS (
+      SELECT doc_id, pos, pos + mx - 1 AS e FROM lcpmax WHERE mx >= {L}
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM starts
+    ),
+    grp AS (
+      SELECT doc_id, pos, e,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos, e
+                                ROWS UNBOUNDED PRECEDING) AS g
+      FROM isl
+    ),
+    islands AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(e) AS e FROM grp GROUP BY doc_id, g
+    ),
+    covered AS (
+      SELECT doc_id, unnest(range(s, e + 1)) AS i FROM islands
+    ),
+    retained AS (
+      SELECT t.doc_id, t.i, t.tok FROM toks t
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = t.doc_id AND c.i = t.i)
+    ),
+    per_ret AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS retained_tokens,
+             COALESCE(string_agg(tok, ' ' ORDER BY i), '') AS retained_text
+      FROM retained GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS orig_tokens
+      FROM documents
+    )
+    SELECT t.doc_id, t.orig_tokens,
+           COALESCE(r.retained_tokens, 0) AS retained_tokens,
+           t.orig_tokens - COALESCE(r.retained_tokens, 0) AS removed_tokens,
+           COALESCE(r.retained_text, '') AS retained_text
+    FROM tot t LEFT JOIN per_ret r USING (doc_id)
+    ORDER BY t.doc_id
+    """
+
+
+@register("substring_dedup_emit", oracle=_emit_oracle())
+def substring_dedup_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE deduplicated corpus (Lee et al.'s actual deliverable): per
+    document the surviving text after cutting every token position whose
+    longest elsewhere-occurring substring is >= {_EMIT_THRESHOLD} tokens
+    (the union of [p, p + maxLCP(p) - 1] intervals off the suffix-array
+    index), plus the token accounting — original, retained, removed.
+    Documents fully covered survive as empty strings (the row is the
+    audit trail); untouched documents pass through verbatim.
+
+    The removed mass per threshold is exactly what
+    `substring_dedup_removal_stats` priced — pinned by test; the
+    brute-force round-trip test proves no duplicated window of
+    >= {_EMIT_THRESHOLD} original tokens survives the cut anywhere in
+    the emitted corpus."""
+    retained = _retained_tokens(spark, sf_dir, _EMIT_THRESHOLD)
+    per_ret = retained.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("retained_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("retained_text"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("orig_tokens")
+    )
+    return (
+        tot.join(per_ret, "doc_id", "left")
+        .select(
+            "doc_id",
+            "orig_tokens",
+            F.coalesce(F.col("retained_tokens"), F.lit(0).cast("long")).alias(
+                "retained_tokens"
+            ),
+            (
+                F.col("orig_tokens")
+                - F.coalesce(F.col("retained_tokens"), F.lit(0).cast("long"))
+            ).alias("removed_tokens"),
+            F.coalesce(F.col("retained_text"), F.lit("")).alias(
+                "retained_text"
+            ),
+        )
+        .orderBy("doc_id")
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..materialize import materialize
+from ..materialize import materialize, shared, unpin
 from ..operators import text as T
 from ..registry import register
 
@@ -747,3 +747,180 @@ def bpe_training_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("merge_round")
+
+
+# ---------------------------------------------------------------------------
+# BPE APPLY (round-8 verdict item 2): training learns the merge list;
+# this encodes the corpus with it — the standard train→apply tokenizer
+# pair. The apply rides the vocabulary collapse too: replaying the merge
+# rounds on the word table yields word → final segmentation, and encoding
+# the corpus is then a vocab-sized join, never a per-token scan.
+
+
+def _bpe_word_segs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared word → trained-BPE symbol count table: replays the
+    exact {_BPE_ROUNDS} greedy merge rounds of `bpe_training_rounds`
+    (same argmax total order, same bracketed double-separator replace)
+    but carries ``word`` through, so the final segmentation maps back to
+    the vocabulary. Returns (word, n_sym).
+
+    Scale shape: identical to training — the corpus is scanned once into
+    a vocabulary; every round is a vocab-sized pair aggregation + a
+    1-row broadcast argmax + a pure-JVM replace; rounds pin via
+    ``materialize`` and release their predecessor."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        vocab = (
+            docs.select(F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        )
+        sep = F.lit(_BPE_SEP)
+        seg = materialize(
+            vocab.select(
+                "word",
+                "freq",
+                F.concat(
+                    sep, F.concat_ws(_BPE_SEP2, F.split("word", "")), sep
+                ).alias("seg"),
+            )
+        )
+        inner = F.expr("substring(seg, 2, length(seg) - 2)")
+        for _ in range(_BPE_ROUNDS):
+            toks = F.split(inner, _BPE_SEP2)
+            adj = F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+            pairs = (
+                seg.select("freq", toks.alias("toks"))
+                .filter(F.size("toks") >= 2)
+                .select("freq", F.explode(adj).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").cast("long").alias("weight"))
+            )
+            best = pairs.orderBy(F.desc("weight"), "a", "b").limit(1)
+            prev = seg
+            seg = materialize(
+                seg.crossJoin(F.broadcast(best)).select(
+                    "word",
+                    "freq",
+                    F.replace(
+                        F.col("seg"),
+                        F.concat(
+                            sep, F.col("a"), F.lit(_BPE_SEP2), F.col("b"), sep
+                        ),
+                        F.concat(sep, F.col("a"), F.col("b"), sep),
+                    ).alias("seg"),
+                )
+            )
+            unpin(prev)
+        return seg.select(
+            "word",
+            F.size(F.split(inner, _BPE_SEP2)).cast("long").alias("n_sym"),
+        )
+
+    return shared(("bpe_word_segs", sf_dir, _BPE_ROUNDS), spark, build)
+
+
+def _bpe_encode_oracle() -> str:
+    R = _BPE_ROUNDS
+    s2 = "chr(31) || chr(31)"
+    return f"""
+    WITH {_bpe_round_ctes(R)},
+    wordsym AS (
+      SELECT word,
+             CAST(len(string_split(substr(seg, 2, length(seg) - 2), {s2}))
+                  AS BIGINT) AS n_sym
+      FROM seg{R}
+    ),
+    wc AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY source, word
+    ),
+    tok AS (
+      SELECT source,
+             CAST(SUM(cnt) AS BIGINT) AS whitespace_tokens,
+             CAST(SUM(cnt * n_sym) AS BIGINT) AS bpe_tokens,
+             CAST(SUM(cnt * length(word)) AS BIGINT) AS chars
+      FROM wc JOIN wordsym USING (word)
+      GROUP BY source
+    ),
+    nd AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT n.source, n.n_docs, t.whitespace_tokens, t.bpe_tokens, t.chars,
+           ROUND(t.bpe_tokens::DOUBLE / t.whitespace_tokens::DOUBLE, 6)
+             AS bpe_fertility,
+           ROUND(t.chars::DOUBLE / t.bpe_tokens::DOUBLE, 6)
+             AS chars_per_bpe_token
+    FROM nd n JOIN tok t USING (source)
+    ORDER BY n.source
+    """
+
+
+@register("bpe_encode_stats", oracle=_bpe_encode_oracle())
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoded with the TRAINED BPE merges (the apply half of the
+    train→apply pair): per source the whitespace token count, the token
+    count under the learned {_BPE_ROUNDS}-merge tokenizer, the character
+    mass, the fertility (BPE tokens per whitespace token — the number
+    every real tokenizer report leads with), and chars per BPE token
+    (compression). Unlike `token_count_bpe`'s regex stand-in, these are
+    the trained tokenizer's own counts — what a shard manifest's token
+    budgets should be priced in.
+
+    Scale shape: word → symbol-count via the shared merge replay
+    (vocab-sized), corpus side collapses to (source, word) counts before
+    the join (map-side combined), so the join is |vocab × sources| rows
+    and AQE broadcasts the tiny segmentation table. No per-token join,
+    no UDF."""
+    segs = _bpe_word_segs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tok = (
+        wc.join(segs, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("whitespace_tokens"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias(
+                "bpe_tokens"
+            ),
+            F.sum(F.col("cnt") * F.length("word")).cast("long").alias("chars"),
+        )
+    )
+    nd = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        nd.join(tok, "source")
+        .select(
+            "source",
+            "n_docs",
+            "whitespace_tokens",
+            "bpe_tokens",
+            "chars",
+            F.round(
+                F.col("bpe_tokens").cast("double")
+                / F.col("whitespace_tokens").cast("double"),
+                6,
+            ).alias("bpe_fertility"),
+            F.round(
+                F.col("chars").cast("double") / F.col("bpe_tokens").cast("double"),
+                6,
+            ).alias("chars_per_bpe_token"),
+        )
+        .orderBy("source")
+    )

@@ -50,3 +50,62 @@ def test_bpe_first_round_matches_candidate_panel(spark):
     )
     assert r1.merged == top.pair
     assert r1.pair_weight == top.weight
+
+
+def test_bpe_encode_agrees_with_trainer_totals(spark):
+    """The apply half must reproduce the trainer's own accounting: total
+    BPE tokens across sources == the final round's corpus_symbols (the
+    trainer's post-merge corpus total), and every per-word segmentation
+    is bounded by 1..len(word) symbols (fertility >= 1, compression
+    >= 1)."""
+    enc = registry.QUERIES["bpe_encode_stats"](spark, SF_DIR).collect()
+    train = (
+        registry.QUERIES["bpe_training_rounds"](spark, SF_DIR)
+        .orderBy("merge_round")
+        .collect()
+    )
+    assert sum(r.bpe_tokens for r in enc) == train[-1].corpus_symbols
+    for r in enc:
+        assert r.whitespace_tokens <= r.bpe_tokens <= r.chars
+        assert r.bpe_fertility >= 1.0
+        assert r.chars_per_bpe_token >= 1.0
+
+
+def test_bpe_word_segs_exact_greedy_replay(spark):
+    """Python replay (third implementation): apply the trainer's merge
+    list greedily, left-to-right non-overlapping, one merge per round,
+    to every vocabulary word — symbol counts must match _bpe_word_segs
+    exactly."""
+    from ethical_data_ingestion_spark.io import load_table
+    from ethical_data_ingestion_spark.queries import strings_q
+
+    merges = [
+        (r.sym_a, r.sym_b)
+        for r in registry.QUERIES["bpe_training_rounds"](spark, SF_DIR)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    got = {
+        r.word: r.n_sym
+        for r in strings_q._bpe_word_segs(spark, SF_DIR).collect()
+    }
+    words = {
+        w
+        for row in load_table(spark, SF_DIR, "documents").collect()
+        for w in row.text.split(" ")
+        if w != ""
+    }
+    assert set(got) == words
+    for w in words:
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        assert got[w] == len(syms), w
