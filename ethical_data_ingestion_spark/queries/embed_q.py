@@ -1037,3 +1037,143 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "mmr_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN-served RAG retrieval (round-8 verdict item 4): chunk_embed_topk and
+# the MMR re-ranker take candidates from an exact brute-force scan — fine
+# as a one-linear-pass panel, but not what serves queries at 100 TB. This
+# variant retrieves from the PINNED chunk LSH index (the same bucket
+# equi-join discipline as embed_knn_lsh), so the RAG serving story eats
+# the ANN dogfood; recall vs the exact panel is bounded in test_embed.py.
+
+#: probe ids are lifted out of the ckey space entirely (qkey = doc_id +
+#: _CHUNK_QOFF) — the LSH candidate join excludes id == query_id pairs,
+#: and a raw query doc_id (< _RAG_QUERIES) would collide with doc 0's
+#: low ckeys, silently dropping legitimate candidates (the id-space
+#: discipline DEPLOY.md documents for the serving drain).
+_CHUNK_QOFF = 1 << 40
+
+
+def _chunk_lsh_buckets(spark: SparkSession, sf_dir: str):
+    """Session-pinned (ckey, table, bucket) LSH signature index over the
+    chunk table — built once, served to every probe batch (and the
+    recall test) like embed_lsh_buckets / the NSW graph."""
+    planes = S.hyperplanes(_DIM, 8, 4)
+    base = shared(
+        ("chunk_lsh_base", sf_dir, _DIM),
+        spark,
+        lambda: _chunk_index(spark, sf_dir).select(
+            "doc_id", "ckey", S.as_double(F.col("embedding")).alias("_bv")
+        ),
+    )
+    b_buckets = shared(
+        ("chunk_lsh_buckets", sf_dir, _DIM, 8, 4),
+        spark,
+        lambda: S.lsh_base_buckets(
+            base.select("ckey", "_bv"), "ckey", planes
+        ),
+    )
+    return base, b_buckets, planes
+
+
+def _chunk_ann_oracle() -> str:
+    from .similarity_q import _lsh_pipeline_ctes
+
+    dense_chunks = f"""
+      SELECT n.ckey AS vec_id,
+             list(CAST(COALESCE(c.c, 0) AS DOUBLE) ORDER BY dims.d) AS bv
+      FROM (SELECT ckey FROM ccnt GROUP BY ckey HAVING SUM(c * c) > 0) n
+      CROSS JOIN (SELECT unnest(generate_series(0, {_DIM - 1})) AS d) dims
+      LEFT JOIN ccnt c ON c.ckey = n.ckey AND c.bucket = dims.d
+      GROUP BY n.ckey
+    """
+    dense_queries = f"""
+      SELECT n.doc_id + {_CHUNK_QOFF} AS vec_id,
+             list(CAST(COALESCE(c.c, 0) AS DOUBLE) ORDER BY dims.d) AS bv
+      FROM (SELECT doc_id FROM cnts WHERE doc_id < {_RAG_QUERIES}
+            GROUP BY doc_id HAVING SUM(c * c) > 0) n
+      CROSS JOIN (SELECT unnest(generate_series(0, {_DIM - 1})) AS d) dims
+      LEFT JOIN cnts c ON c.doc_id = n.doc_id AND c.bucket = dims.d
+      GROUP BY n.doc_id
+    """
+    return f"""
+    WITH {_CHUNK_INDEX_CTES},
+    {_HASHED_CNTS_CTE.strip().lstrip()},
+    {_lsh_pipeline_ctes(b_body=dense_chunks, q_body=dense_queries)},
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM lsh_scored
+      WHERE vec_id // {_CHUNK_KEYMUL} <> query_id - {_CHUNK_QOFF}
+    )
+    SELECT CAST(query_id - {_CHUNK_QOFF} AS BIGINT) AS query_id,
+           CAST(vec_id // {_CHUNK_KEYMUL} AS BIGINT) AS doc_id,
+           CAST(vec_id % {_CHUNK_KEYMUL} AS BIGINT) AS chunk_idx,
+           cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_RAG_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register("chunk_embed_topk_ann", oracle=_chunk_ann_oracle())
+def chunk_embed_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval SERVED FROM THE ANN INDEX: top-{_RAG_K} chunks per
+    query document, candidates from the pinned chunk LSH bucket index
+    (8-table × 4-bit hyperplane signatures; grow bits with corpus per
+    DEPLOY.md's serving-geometry rule) instead of `chunk_embed_topk`'s
+    exact corpus scan — per-query cost is bucket-sized, not index-sized.
+    Candidates are re-scored with exact cosine; chunks of the query's
+    own document are excluded AFTER candidate generation (same rule as
+    the exact panel). Deterministic planes + strict-fold projections
+    make the approximate result list itself hash-checkable against the
+    shared DuckDB LSH-pipeline mirror."""
+    base, b_buckets, planes = _chunk_lsh_buckets(spark, sf_dir)
+    qd = (
+        _searchable_docs(spark, sf_dir)
+        .filter(F.col("doc_id") < _RAG_QUERIES)
+        .select(
+            (F.col("doc_id") + F.lit(_CHUNK_QOFF)).alias("query_id"),
+            S.as_double(F.col("embedding")).alias("_qv"),
+        )
+    )
+    cand = S.lsh_candidates(
+        base.select("ckey", "_bv"),
+        qd,
+        "ckey",
+        "query_id",
+        planes,
+        base_vec="_bv",
+        query_vec="_qv",
+        b_buckets=b_buckets,
+    ).filter(
+        F.expr(f"ckey div {_CHUNK_KEYMUL}")
+        != (F.col("query_id") - F.lit(_CHUNK_QOFF))
+    )
+    scored = (
+        cand.join(F.broadcast(qd), "query_id")
+        .join(base.select("ckey", "_bv"), "ckey")
+        .select(
+            "query_id",
+            "ckey",
+            F.round(S.cosine(F.col("_qv"), F.col("_bv")), 6).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("ckey"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RAG_K)
+        .select(
+            (F.col("query_id") - F.lit(_CHUNK_QOFF)).cast("long").alias(
+                "query_id"
+            ),
+            F.expr(f"ckey div {_CHUNK_KEYMUL}").alias("doc_id"),
+            (F.col("ckey") % _CHUNK_KEYMUL).cast("long").alias("chunk_idx"),
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -723,3 +723,228 @@ def community_modularity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(M) * F.col("intra") - F.col("sum_dc2")) / F.lit(M * M), 6
         ).alias("modularity"),
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Semi-synchronous LPA (round-8 verdict item 5): synchronous LPA provably
+# oscillates on bipartite graphs (every node swaps to the other side's
+# dominant label each round — the convergence panel shows n_changed ==
+# n_nodes and Q bottoming at -0.5). The standard fix (Raghavan et al. §3;
+# Cordasco & Gargano, "Community detection via semi-synchronous label
+# propagation", 2010) is a graph-coloring schedule: update one color
+# class per half-round while the other side's labels stay frozen. The
+# trade graph is 2-colorable by construction (customers even, suppliers
+# odd), so the schedule is exactly side-alternation.
+
+
+def _lpa_semisync_labels(edges: DataFrame, n_half: int, pin) -> list[DataFrame]:
+    """Label chain of ``n_half`` semi-synchronous half-rounds over a
+    symmetrized (src, dst) edge table whose node ids encode the bipartite
+    side in their parity (even/odd). Half-round h updates only nodes of
+    parity ``0 if h odd else 1`` to the plurality label among their
+    neighbors (ties to the smallest label); the other side carries over.
+    ``pin(h, build)`` pins each half-round's table (``shared`` in the
+    registered query, ``materialize`` in tests over synthetic graphs).
+
+    Scale shape per half-round: one equi-join of the parity-filtered
+    edge table against the label table (AQE broadcasts the label side
+    while it fits), one (node, label) count with map-side combine, one
+    per-node ``max(struct)`` argmax, one union with the carried side —
+    same linear-shuffle budget as a synchronous round."""
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = [pin(0, lambda: nodes.withColumn("lbl", F.col("node")))]
+    for h in range(1, n_half + 1):
+        p = 0 if h % 2 == 1 else 1
+        prev = labels[-1]
+
+        def _half(prev: DataFrame = prev, p: int = p) -> DataFrame:
+            cnt = (
+                edges.filter(F.col("src") % 2 == p)
+                .join(prev.select(F.col("node").alias("dst"), "lbl"), "dst")
+                .groupBy("src", "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            upd = (
+                cnt.groupBy("src")
+                .agg(
+                    F.max(
+                        F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))
+                    ).alias("m")
+                )
+                .select(
+                    F.col("src").alias("node"), (-F.col("m.neg")).alias("lbl")
+                )
+            )
+            return upd.unionByName(prev.filter(F.col("node") % 2 != p))
+
+        labels.append(pin(h, _half))
+    return labels
+
+
+def _lpa_semi_ctes() -> str:
+    """Generated DuckDB mirror of the semi-synchronous half-round chain,
+    ``h0`` (identity) through ``h{2 * _LPA_ROUNDS}`` — built on top of
+    :func:`_lpa_ctes`' shared edge/node CTEs."""
+    # Every h{h} is referenced twice (the next half-round's count AND its
+    # carry-over union) and five more times by the stats tails: left to
+    # DuckDB's default inlining the 8-deep chain re-expands exponentially
+    # (the sf0.001 oracle did not finish in minutes). AS MATERIALIZED
+    # forces each half-round to evaluate once — the mirror of the Spark
+    # side's per-half-round pin.
+    ctes = ["h0 AS MATERIALIZED (SELECT node, lbl FROM l0)"]
+    for h in range(1, 2 * _LPA_ROUNDS + 1):
+        p = 0 if h % 2 == 1 else 1
+        ctes.append(
+            f"""hc{h} AS MATERIALIZED (
+      SELECT e.src AS node, l.lbl, COUNT(*) AS c
+      FROM edges e JOIN h{h - 1} l ON l.node = e.dst
+      WHERE e.src % 2 = {p}
+      GROUP BY e.src, l.lbl
+    ),
+    h{h} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM hc{h}) WHERE rn = 1
+      UNION ALL
+      SELECT node, lbl FROM h{h - 1} WHERE node % 2 <> {p}
+    )"""
+        )
+    return ",".join(ctes)
+
+
+def _lpa_semi_oracle() -> str:
+    qs = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        L, P = 2 * r, 2 * r - 2
+        qs.append(
+            f"""sq{r} AS (
+      SELECT {r} AS round,
+             (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) FROM h{L})
+               AS n_communities,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM h{L} a JOIN h{P} b USING (node)
+              WHERE a.lbl <> b.lbl) AS n_changed,
+             (SELECT CAST(MAX(c) AS BIGINT) FROM
+                (SELECT COUNT(*) AS c FROM h{L} GROUP BY lbl))
+               AS max_community,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                (SELECT COUNT(*) AS c FROM h{L} GROUP BY lbl) WHERE c = 1)
+               AS singleton_communities,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM edges e
+              JOIN h{L} a ON a.node = e.src
+              JOIN h{L} b ON b.node = e.dst
+              WHERE a.lbl = b.lbl) AS intra_directed,
+             (SELECT CAST(SUM(dc * dc) AS BIGINT) FROM (
+                SELECT CAST(SUM(d.d) AS BIGINT) AS dc
+                FROM (SELECT src AS node, COUNT(*) AS d
+                      FROM edges GROUP BY src) d
+                JOIN h{L} ON h{L}.node = d.node
+                GROUP BY h{L}.lbl)) AS sum_dc2
+    )"""
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM sq{r}" for r in range(1, _LPA_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_lpa_ctes()},
+    {_lpa_semi_ctes()},
+    {",".join(qs)},
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS M FROM edges)
+    SELECT round, n_communities, n_changed, max_community,
+           singleton_communities,
+           ROUND(intra_directed::DOUBLE / M, 6) AS intra_share,
+           ROUND((M * intra_directed - sum_dc2)::DOUBLE
+                 / (M::DOUBLE * M), 6) AS modularity
+    FROM ({unions}), m
+    ORDER BY round
+    """
+
+
+@register("lpa_semisync_communities", oracle=_lpa_semi_oracle())
+def lpa_semisync_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community panel under the SEMI-SYNCHRONOUS schedule (one bipartite
+    side per half-round, {_LPA_ROUNDS} full rounds): per round the
+    community count, full-round label churn, size extremes, intra-edge
+    share, and Newman modularity — alongside `label_propagation_
+    communities`' synchronous control, whose oscillation (Q -> -0.5,
+    intra_share 0) this schedule eliminates (n_changed -> 0; pinned in
+    tests/test_lpa_semisync.py).
+
+    Honest finding on THIS fixture: the trade graph is a dense random
+    bipartite expander — even the nation/region partitions score
+    Q ~ -0.003, so NO partition beats Q ~ 0 and converged semi-sync LPA
+    correctly reports the one-community answer (Q = 0, strictly above
+    the sync baseline's -0.5 at every round). On a graph that HAS
+    communities the same operator recovers them exactly — pinned by the
+    planted-partition test, where sync still oscillates."""
+    with_deg, _n = _trade_graph(spark, sf_dir)
+    edges = with_deg.select("src", "dst")
+    labels = _lpa_semisync_labels(
+        edges,
+        2 * _LPA_ROUNDS,
+        lambda h, build: shared(("lpa_semi_labels", sf_dir, h), spark, build),
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    M = edges.count()  # scalar; the graph artifact is session-pinned
+    rows = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        cur, prev = labels[2 * r], labels[2 * r - 2]
+        comm = cur.groupBy("lbl").agg(F.count(F.lit(1)).alias("c"))
+        agg = comm.agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.max("c").cast("long").alias("max_community"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+            .alias("singletons"),
+        ).collect()[0]
+        changed = (
+            cur.join(prev.withColumnRenamed("lbl", "_plbl"), "node")
+            .filter(F.col("lbl") != F.col("_plbl"))
+            .count()
+        )
+        la = cur.select(F.col("node").alias("src"), F.col("lbl").alias("_la"))
+        lb = cur.select(F.col("node").alias("dst"), F.col("lbl").alias("_lb"))
+        intra = (
+            edges.join(la, "src").join(lb, "dst")
+            .filter(F.col("_la") == F.col("_lb"))
+            .count()
+        )
+        dc = (
+            deg.join(cur, "node")
+            .groupBy("lbl")
+            .agg(F.sum("d").cast("long").alias("dc"))
+        )
+        sum_dc2 = dc.agg(
+            F.sum(F.col("dc") * F.col("dc")).cast("long")
+        ).collect()[0][0]
+        rows.append(
+            (
+                r,
+                agg.n_communities,
+                changed,
+                agg.max_community,
+                agg.singletons,
+                intra,
+                sum_dc2,
+            )
+        )
+    raw = spark.createDataFrame(
+        rows,
+        "round int, n_communities long, n_changed long, max_community long,"
+        " singleton_communities long, intra long, sum_dc2 long",
+    )
+    return raw.select(
+        "round",
+        "n_communities",
+        "n_changed",
+        "max_community",
+        "singleton_communities",
+        F.round(F.col("intra") / F.lit(M), 6).alias("intra_share"),
+        F.round(
+            (F.lit(M) * F.col("intra") - F.col("sum_dc2")) / F.lit(M * M), 6
+        ).alias("modularity"),
+    ).orderBy("round")

@@ -197,3 +197,28 @@ def test_mmr_matches_python_greedy(spark):
             sel.append((best[0], best[1], best[2]))
             want.append((row.qid, best[0], t, best[3]))
     assert sorted(got) == sorted(want)
+
+
+def test_chunk_ann_recall_vs_exact(spark, sf_dir):
+    """The ANN-served RAG retrieval keeps >= 60% of the exact panel's
+    top-k (query, chunk) picks, and every returned chunk respects the
+    own-document exclusion and the rank contract."""
+    exact = QUERIES["chunk_embed_topk"](spark, sf_dir).collect()
+    approx = QUERIES["chunk_embed_topk_ann"](spark, sf_dir).collect()
+    truth = {(r.query_id, r.doc_id, r.chunk_idx) for r in exact}
+    got = {(r.query_id, r.doc_id, r.chunk_idx) for r in approx}
+    assert truth, "exact panel returned nothing"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"recall {recall:.2f} below bound"
+    for r in approx:
+        assert r.doc_id != r.query_id  # own-doc exclusion survives ANN
+        assert 1 <= r.rank
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rows in per_q.items():
+        ranks = sorted(x.rank for x in rows)
+        assert ranks == list(range(1, len(ranks) + 1)), q
+        by_rank = sorted(rows, key=lambda x: x.rank)
+        cosines = [x.cos for x in by_rank]
+        assert cosines == sorted(cosines, reverse=True), q
