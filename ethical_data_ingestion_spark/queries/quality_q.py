@@ -1951,45 +1951,70 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Quintile assignment needs each customer's GLOBAL rank per metric —
     the scale trap this panel exists to demonstrate: a single unbounded
-    row_number window funnels everything through one partition, so all
-    three ranks come from the TeraSort-style `_global_ranks` helper
+    row_number window funnels everything through one partition, so ranks
+    come from the TeraSort-style `_global_ranks` helper
     (range-repartition + per-partition offsets; every sort stays
     partition-local) shared with the exact-percentile family, and the
     quintile is pure rank arithmetic floor(rn*5/n)+1 — no ntile. Ranks
-    and counts are integers, monetary sums DECIMAL: hash-exact."""
+    and counts are integers, monetary sums DECIMAL: hash-exact.
+
+    All three metrics ride ONE rank pass (round-8 verdict item 7; was 3
+    TeraSort passes + a 3-way self-join, pure scheduling floor): melt to
+    (metric, value, ck) — values coerced to DECIMAL(38,6), exact for
+    epoch-days, counts, and DECIMAL(18,2) sums — range-rank the melt on
+    (metric, value, ck), and since every metric contributes exactly n
+    rows, the per-metric rank is just rn - metric·n. The quintiles then
+    pivot back per customer in the same aggregation that feeds the
+    grid."""
     orders = load_table(spark, sf_dir, "orders")
-    per = materialize(
-        orders.groupBy(F.col("o_custkey").alias("ck")).agg(
-            F.max("o_orderdate").alias("last_d"),
-            F.count(F.lit(1)).cast("long").alias("f"),
-            F.sum(
-                F.round("o_totalprice", 2).cast("decimal(18,2)")
-            ).alias("m"),
-        )
+    # no pin: `per` feeds exactly one consumer now (the melt) — the old
+    # 3-pass shape needed it three times
+    per = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum(
+            F.round("o_totalprice", 2).cast("decimal(18,2)")
+        ).alias("m"),
     )
-
-    def quint(cols: list[str], out: str) -> DataFrame:
-        ranked, n = _global_ranks(per.select("ck", *cols), *cols, "ck")
-        return ranked.select(
-            "ck",
-            *cols,
-            (F.col("rn") * 5 / F.lit(n)).cast("long").alias(out),
-        ).withColumn(out, F.col(out) + 1)
-
-    rq = quint(["last_d"], "r_q").select("ck", "r_q")
-    fq = quint(["f"], "f_q").select("ck", "f_q")
-    mq = quint(["m"], "m_q").select("ck", "m", "m_q")
-    n = F.count(F.lit(1))
+    melt = per.select(
+        "ck",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("mi"),
+                    F.datediff(F.col("last_d"), F.lit("1970-01-01"))
+                    .cast("decimal(38,6)")
+                    .alias("v"),
+                ),
+                F.struct(
+                    F.lit(1).alias("mi"),
+                    F.col("f").cast("decimal(38,6)").alias("v"),
+                ),
+                F.struct(
+                    F.lit(2).alias("mi"),
+                    F.col("m").cast("decimal(38,6)").alias("v"),
+                ),
+            )
+        ).alias("x"),
+    ).select("ck", "x.mi", "x.v")
+    ranked, ntot = _global_ranks(melt, "mi", "v", "ck")
+    n = ntot // 3
+    q = ((F.col("rn") - F.col("mi") * n) * 5 / F.lit(n)).cast("long") + 1
+    piv = ranked.select("ck", "mi", "v", q.alias("q")).groupBy("ck").agg(
+        F.max(F.when(F.col("mi") == 0, F.col("q"))).alias("r_q"),
+        F.max(F.when(F.col("mi") == 1, F.col("q"))).alias("f_q"),
+        F.max(F.when(F.col("mi") == 2, F.col("q"))).alias("m_q"),
+        F.max(F.when(F.col("mi") == 2, F.col("v"))).alias("m"),
+    )
+    na = F.count(F.lit(1))
     return (
-        rq.join(fq, "ck")
-        .join(mq, "ck")
-        .groupBy("r_q", "f_q")
+        piv.groupBy("r_q", "f_q")
         .agg(
-            n.cast("long").alias("n_cust"),
-            F.round(F.sum("m").cast("double") / n, 4).alias(
+            na.cast("long").alias("n_cust"),
+            F.round(F.sum("m").cast("double") / na, 4).alias(
                 "avg_monetary"
             ),
-            F.round(F.sum("m_q").cast("double") / n, 4).alias(
+            F.round(F.sum("m_q").cast("double") / na, 4).alias(
                 "avg_m_score"
             ),
         )

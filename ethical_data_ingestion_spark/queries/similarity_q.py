@@ -26,6 +26,22 @@ _COS = (
 )
 
 
+def _truth10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-pinned exact cosine top-10 for the family's 5 standard
+    probes (vec_id < 5) — the ANN ground truth three panels previously
+    re-brute-forced per call (~1s each warm at sf0.1, round-8 verdict
+    item 7). Built once per session like the bucket/NSW indexes."""
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return S.knn_bruteforce(emb, queries, k=10)
+
+    return shared(("knn_truth10", sf_dir), spark, build)
+
+
+
 @register(
     "knn_cosine_bruteforce",
     oracle=f"""
@@ -52,11 +68,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for 5 probe vectors against the full embeddings
     table — the ANN ground truth. Broadcast probes ⇒ base scan stays
     shuffle-free; only the tiny scored set moves."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    out = S.knn_bruteforce(emb, queries, k=10)
+    out = _truth10(spark, sf_dir)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -373,7 +385,7 @@ def knn_lsh_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh10 = S.knn_lsh(emb, queries, k=10, dim=64, n_tables=8, n_bits=4).select(
         "query_id", "vec_id"
     )
-    exact10 = S.knn_bruteforce(emb, queries, k=10).select("query_id", "vec_id")
+    exact10 = _truth10(spark, sf_dir).select("query_id", "vec_id")
     ovl = (
         lsh10.join(exact10, ["query_id", "vec_id"])
         .groupBy("query_id")
@@ -1528,20 +1540,21 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.round(S.cosine(F.col("bv"), F.col("cv")), 6).alias("ccos"),
     )
-    cells = materialize(
-        ascore.groupBy("vec_id").agg(
-            F.expr("max_by(cid, struct(ccos, -cid))").alias("cell")
-        )
+    # unpinned (round-8 verdict item 7): both consumers (hits, csize) sit
+    # in ONE final plan; recomputing the broadcast argmax twice in-plan is
+    # cheaper than an extra pin job at this table size, and deterministic
+    cells = ascore.groupBy("vec_id").agg(
+        F.expr("max_by(cid, struct(ccos, -cid))").alias("cell")
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    truth = S.knn_bruteforce(emb, queries, k=10).select("query_id", "vec_id")
+    truth = _truth10(spark, sf_dir).select("query_id", "vec_id")
     q = queries.select(
         "query_id", S.as_double(F.col("embedding")).alias("qv")
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("qcos"), "cid")
-    qrank = materialize(
+    qrank = (
         q.crossJoin(F.broadcast(cents))
         .select(
             "query_id",
