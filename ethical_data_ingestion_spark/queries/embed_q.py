@@ -767,7 +767,11 @@ _MMR_K = 3       # diversified picks
 _MMR_LAMBDA = 0.7
 
 
-def _mmr_oracle() -> str:
+def _mmr_sql_tail() -> str:
+    """Candidate-pair similarity + greedy selection rounds + output —
+    everything downstream of a ``cands(query_id, ckey, rel)`` CTE.
+    Shared verbatim by the exact-pool and ANN-pool MMR oracles (both
+    provide ``ccnt``/``cnorm`` via _CHUNK_INDEX_CTES)."""
     rounds = []
     for t in range(2, _MMR_K + 1):
         rounds.append(
@@ -803,40 +807,7 @@ def _mmr_oracle() -> str:
       SELECT query_id, ckey, mmr_rank, rel, mmr_score FROM sel{t}
     )"""
         )
-    return f"""
-    WITH {_CHUNK_INDEX_CTES},
-    {_HASHED_CNTS_CTE.strip().lstrip()},
-    qnorm AS (
-      SELECT doc_id AS query_id, CAST(SUM(c * c) AS BIGINT) AS qn2
-      FROM cnts WHERE doc_id < {_RAG_QUERIES}
-      GROUP BY doc_id HAVING SUM(c * c) > 0
-    ),
-    pairs AS (
-      SELECT q.query_id, ch.ckey, q.qn2, cn.n2
-      FROM qnorm q, chunks ch JOIN cnorm cn USING (ckey)
-      WHERE ch.doc_id <> q.query_id
-    ),
-    dots AS (
-      SELECT qc.doc_id AS query_id, cc.ckey,
-             CAST(SUM(qc.c * cc.c) AS BIGINT) AS dotp
-      FROM cnts qc JOIN ccnt cc ON qc.bucket = cc.bucket
-      WHERE qc.doc_id < {_RAG_QUERIES}
-      GROUP BY 1, 2
-    ),
-    scored AS (
-      SELECT p.query_id, p.ckey,
-             ROUND(CAST(COALESCE(d.dotp, 0) AS DOUBLE)
-                   / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(p.n2 AS DOUBLE))),
-                   6) AS rel
-      FROM pairs p LEFT JOIN dots d USING (query_id, ckey)
-    ),
-    cands AS (
-      SELECT query_id, ckey, rel FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY rel DESC, ckey) AS rank
-        FROM scored) WHERE rank <= {_MMR_N}
-    ),
-    cck AS (SELECT DISTINCT ckey FROM cands),
+    return f"""cck AS (SELECT DISTINCT ckey FROM cands),
     ccnt_c AS (SELECT ccnt.* FROM ccnt JOIN cck USING (ckey)),
     cdots AS (
       SELECT c1.ckey AS ck1, c2.ckey AS ck2,
@@ -873,6 +844,44 @@ def _mmr_oracle() -> str:
            CAST(mmr_rank AS INTEGER) AS mmr_rank
     FROM selall{_MMR_K}
     ORDER BY query_id, mmr_rank
+    """
+
+
+def _mmr_oracle() -> str:
+    return f"""
+    WITH {_CHUNK_INDEX_CTES},
+    {_HASHED_CNTS_CTE.strip().lstrip()},
+    qnorm AS (
+      SELECT doc_id AS query_id, CAST(SUM(c * c) AS BIGINT) AS qn2
+      FROM cnts WHERE doc_id < {_RAG_QUERIES}
+      GROUP BY doc_id HAVING SUM(c * c) > 0
+    ),
+    pairs AS (
+      SELECT q.query_id, ch.ckey, q.qn2, cn.n2
+      FROM qnorm q, chunks ch JOIN cnorm cn USING (ckey)
+      WHERE ch.doc_id <> q.query_id
+    ),
+    dots AS (
+      SELECT qc.doc_id AS query_id, cc.ckey,
+             CAST(SUM(qc.c * cc.c) AS BIGINT) AS dotp
+      FROM cnts qc JOIN ccnt cc ON qc.bucket = cc.bucket
+      WHERE qc.doc_id < {_RAG_QUERIES}
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.query_id, p.ckey,
+             ROUND(CAST(COALESCE(d.dotp, 0) AS DOUBLE)
+                   / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(p.n2 AS DOUBLE))),
+                   6) AS rel
+      FROM pairs p LEFT JOIN dots d USING (query_id, ckey)
+    ),
+    cands AS (
+      SELECT query_id, ckey, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, ckey) AS rank
+        FROM scored) WHERE rank <= {_MMR_N}
+    ),
+    {_mmr_sql_tail()}
     """
 
 
@@ -933,6 +942,19 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _MMR_N)
         .drop("rank")
     )
+    return _mmr_select(cands)
+
+
+def _mmr_select(cands: DataFrame) -> DataFrame:
+    """Greedy MMR (lambda={_MMR_LAMBDA}, {_MMR_K} picks) over a candidate
+    pool (query_id, ckey, embedding, n2, rel) — factored out so the exact
+    panel and the ANN-served variant share the selection verbatim. All
+    cost is |queries|·{_MMR_N}-bounded: the pool pins once, the pairwise
+    similarity table is {_MMR_N}^2 per query, and each greedy round is an
+    anti-join + max-sim aggregate + per-query argmax on those tables."""
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id")
     cands = materialize(cands)
     a = cands.select(
         "query_id", F.col("ckey").alias("ck1"),
@@ -1077,10 +1099,11 @@ def _chunk_lsh_buckets(spark: SparkSession, sf_dir: str):
     return base, b_buckets, planes
 
 
-def _chunk_ann_oracle() -> str:
-    from .similarity_q import _lsh_pipeline_ctes
-
-    dense_chunks = f"""
+def _dense_chunk_sql() -> str:
+    """DENSE 64-dim double chunk vectors reconstructed from the sparse
+    hashed counts (explicit dimension ORDER BY, zeros coalesced) — the
+    LSH mirror's base-side b_body for the chunk index."""
+    return f"""
       SELECT n.ckey AS vec_id,
              list(CAST(COALESCE(c.c, 0) AS DOUBLE) ORDER BY dims.d) AS bv
       FROM (SELECT ckey FROM ccnt GROUP BY ckey HAVING SUM(c * c) > 0) n
@@ -1088,7 +1111,12 @@ def _chunk_ann_oracle() -> str:
       LEFT JOIN ccnt c ON c.ckey = n.ckey AND c.bucket = dims.d
       GROUP BY n.ckey
     """
-    dense_queries = f"""
+
+
+def _dense_query_sql() -> str:
+    """Dense probe vectors (first {_RAG_QUERIES} docs, ids lifted by
+    _CHUNK_QOFF out of the ckey space) — the LSH mirror's q_body."""
+    return f"""
       SELECT n.doc_id + {_CHUNK_QOFF} AS vec_id,
              list(CAST(COALESCE(c.c, 0) AS DOUBLE) ORDER BY dims.d) AS bv
       FROM (SELECT doc_id FROM cnts WHERE doc_id < {_RAG_QUERIES}
@@ -1097,6 +1125,13 @@ def _chunk_ann_oracle() -> str:
       LEFT JOIN cnts c ON c.doc_id = n.doc_id AND c.bucket = dims.d
       GROUP BY n.doc_id
     """
+
+
+def _chunk_ann_oracle() -> str:
+    from .similarity_q import _lsh_pipeline_ctes
+
+    dense_chunks = _dense_chunk_sql()
+    dense_queries = _dense_query_sql()
     return f"""
     WITH {_CHUNK_INDEX_CTES},
     {_HASHED_CNTS_CTE.strip().lstrip()},
@@ -1177,3 +1212,83 @@ def chunk_embed_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+def _mmr_ann_oracle() -> str:
+    from .similarity_q import _lsh_pipeline_ctes
+
+    return f"""
+    WITH {_CHUNK_INDEX_CTES},
+    {_HASHED_CNTS_CTE.strip().lstrip()},
+    {_lsh_pipeline_ctes(b_body=_dense_chunk_sql(), q_body=_dense_query_sql())},
+    cands AS (
+      SELECT query_id - {_CHUNK_QOFF} AS query_id, vec_id AS ckey,
+             cos AS rel
+      FROM (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM lsh_scored
+        WHERE vec_id // {_CHUNK_KEYMUL} <> query_id - {_CHUNK_QOFF}
+      ) WHERE rank <= {_MMR_N}
+    ),
+    {_mmr_sql_tail()}
+    """
+
+
+@register("mmr_diversified_topk_ann", oracle=_mmr_ann_oracle())
+def mmr_diversified_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification over the ANN-SERVED candidate pool: the
+    re-rank pool is `chunk_embed_topk_ann`'s LSH-bucket retrieval
+    (top-{_MMR_N} per query) instead of the exact corpus scan, then the
+    exact same greedy selection as `mmr_diversified_topk`
+    (:func:`_mmr_select`) — the full production RAG serving path:
+    pinned index -> bucket candidates -> exact re-score -> diversified
+    prompt assembly, every stage |queries|-bounded."""
+    base, b_buckets, planes = _chunk_lsh_buckets(spark, sf_dir)
+    cemb = _chunk_index(spark, sf_dir)
+    qd = (
+        _searchable_docs(spark, sf_dir)
+        .filter(F.col("doc_id") < _RAG_QUERIES)
+        .select(
+            (F.col("doc_id") + F.lit(_CHUNK_QOFF)).alias("query_id"),
+            S.as_double(F.col("embedding")).alias("_qv"),
+        )
+    )
+    cand = S.lsh_candidates(
+        base.select("ckey", "_bv"),
+        qd,
+        "ckey",
+        "query_id",
+        planes,
+        base_vec="_bv",
+        query_vec="_qv",
+        b_buckets=b_buckets,
+    ).filter(
+        F.expr(f"ckey div {_CHUNK_KEYMUL}")
+        != (F.col("query_id") - F.lit(_CHUNK_QOFF))
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id")
+    pool = (
+        cand.join(F.broadcast(qd), "query_id")
+        .join(base.select("ckey", "_bv"), "ckey")
+        .select(
+            (F.col("query_id") - F.lit(_CHUNK_QOFF)).cast("long").alias(
+                "query_id"
+            ),
+            "ckey",
+            F.round(S.cosine(F.col("_qv"), F.col("_bv")), 6).alias("rel"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(wq.orderBy(F.desc("rel"), F.col("ckey"))),
+        )
+        .filter(F.col("rank") <= _MMR_N)
+        .drop("rank")
+    )
+    cands = pool.join(
+        cemb.select("ckey", "embedding", "n2"), "ckey"
+    ).select("query_id", "ckey", "embedding", "n2", "rel")
+    return _mmr_select(cands)

@@ -222,3 +222,95 @@ def test_chunk_ann_recall_vs_exact(spark, sf_dir):
         by_rank = sorted(rows, key=lambda x: x.rank)
         cosines = [x.cos for x in by_rank]
         assert cosines == sorted(cosines, reverse=True), q
+
+
+def test_mmr_ann_matches_python_greedy_over_ann_pool(spark):
+    """The ANN-pool MMR must equal a Python greedy replay over the SAME
+    candidate pool (pool taken from the Spark LSH pipeline; selection
+    reimplemented in plain Python), and its rank-1 pick must equal
+    chunk_embed_topk_ann's top retrieval — both are argmax rel over the
+    identical pool."""
+    import math
+
+    from ethical_data_ingestion_spark import registry
+    from ethical_data_ingestion_spark.operators import similarity as S
+    from ethical_data_ingestion_spark.queries import embed_q as EQ
+    from pyspark.sql import functions as F2
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r.query_id, r.doc_id * EQ._CHUNK_KEYMUL + r.chunk_idx,
+         r.mmr_rank, r.mmr_score)
+        for r in registry.QUERIES["mmr_diversified_topk_ann"](
+            spark, sf
+        ).collect()
+    ]
+    topk = registry.QUERIES["chunk_embed_topk_ann"](spark, sf).collect()
+    top1 = {
+        r.query_id: r.doc_id * EQ._CHUNK_KEYMUL + r.chunk_idx
+        for r in topk
+        if r.rank == 1
+    }
+    for q, ck, rank, _ in got:
+        if rank == 1:
+            assert top1[q] == ck, q
+
+    # rebuild the ANN pool exactly as the query does, then replay greedy
+    base, b_buckets, planes = EQ._chunk_lsh_buckets(spark, sf)
+    qd = (
+        EQ._searchable_docs(spark, sf)
+        .filter(F2.col("doc_id") < EQ._RAG_QUERIES)
+        .select(
+            (F2.col("doc_id") + F2.lit(EQ._CHUNK_QOFF)).alias("query_id"),
+            S.as_double(F2.col("embedding")).alias("_qv"),
+        )
+    )
+    cand = S.lsh_candidates(
+        base.select("ckey", "_bv"), qd, "ckey", "query_id", planes,
+        base_vec="_bv", query_vec="_qv", b_buckets=b_buckets,
+    ).filter(
+        F2.expr(f"ckey div {EQ._CHUNK_KEYMUL}")
+        != (F2.col("query_id") - F2.lit(EQ._CHUNK_QOFF))
+    ).collect()
+    emb = {
+        r.ckey: r.embedding
+        for r in EQ._chunk_index(spark, sf).collect()
+    }
+    qv = {
+        r.query_id - EQ._CHUNK_QOFF: r._qv for r in qd.collect()
+    }
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a)
+        nb = sum(float(y) * float(y) for y in b)
+        return round(d / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    pools: dict[int, list] = {}
+    for r in cand:
+        q = r.query_id - EQ._CHUNK_QOFF
+        pools.setdefault(q, []).append(r.ckey)
+    want = []
+    for q in sorted(pools):
+        scored = sorted(
+            ((ck, cos(qv[q], emb[ck])) for ck in pools[q]),
+            key=lambda t: (-t[1], t[0]),
+        )
+        pool = scored[: EQ._MMR_N]
+        sel = [pool[0]]
+        want.append((q, sel[0][0], 1, round(EQ._MMR_LAMBDA * sel[0][1], 6)))
+        for t in range(2, EQ._MMR_K + 1):
+            best = None
+            for ck, rel in pool:
+                if any(ck == s[0] for s in sel):
+                    continue
+                mx = max(cos(emb[ck], emb[s[0]]) for s in sel)
+                score = round(
+                    EQ._MMR_LAMBDA * rel
+                    - round(1 - EQ._MMR_LAMBDA, 10) * mx, 6
+                )
+                if best is None or (-score, ck) < (-best[2], best[0]):
+                    best = (ck, rel, score)
+            sel.append((best[0], best[1]))
+            want.append((q, best[0], t, best[2]))
+    assert sorted(got) == sorted(want)
