@@ -640,6 +640,13 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tok"),
     )
+    return _shard_manifest_from_counts(spark, d)
+
+
+def _shard_manifest_from_counts(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Prefix-sum shard assignment + manifest rollup over a
+    (doc_id, n_tok) table — shared by the whitespace- and BPE-priced
+    manifests (the budgets differ only in what a token is)."""
     nparts = max(spark.sparkContext.defaultParallelism // 2, 8)
     parts = materialize(
         d.repartitionByRange(nparts, "doc_id").withColumn(
@@ -894,3 +901,87 @@ def kfold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-priced shard manifest (round-8 verdict item 2, closing note): the
+# whitespace manifest budgets shards in the wrong currency — a trainer's
+# context window is measured in TOKENIZER tokens. This variant prices
+# the same greedy contiguous sharding with the trained tokenizer's
+# per-document counts (word -> symbol count via the shared BPE merge
+# replay), so shard budgets equal what the data loader will actually
+# pack.
+
+
+def _shard_bpe_oracle() -> str:
+    from .strings_q import _BPE_ROUNDS, _bpe_round_ctes
+
+    s2 = "chr(31) || chr(31)"
+    return f"""
+    WITH {_bpe_round_ctes(_BPE_ROUNDS)},
+    wordsym AS (
+      SELECT word,
+             CAST(len(string_split(substr(seg, 2, length(seg) - 2), {s2}))
+                  AS BIGINT) AS n_sym
+      FROM seg{_BPE_ROUNDS}
+    ),
+    dw AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> ''
+    ),
+    per_doc AS (
+      SELECT dw.doc_id, CAST(SUM(ws.n_sym) AS BIGINT) AS n_tok
+      FROM dw JOIN wordsym ws USING (word)
+      GROUP BY dw.doc_id
+    ),
+    d AS (
+      SELECT doc.doc_id, COALESCE(p.n_tok, 0) AS n_tok
+      FROM documents doc LEFT JOIN per_doc p USING (doc_id)
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS cum_excl
+      FROM d
+    ),
+    tagged AS (
+      SELECT doc_id, n_tok,
+             CAST(cum_excl // {_SHARD_TOKENS} AS BIGINT) AS shard_id
+      FROM c
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM tagged
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """
+
+
+@register("training_shard_manifest_bpe", oracle=_shard_bpe_oracle())
+def training_shard_manifest_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`training_shard_manifest` re-priced in TRAINED-BPE tokens: each
+    document's cost is the sum of its words' learned segmentation sizes
+    (the shared merge-replay artifact), so every shard holds ~budget
+    tokenizer tokens — the unit a trainer's sequence packer consumes.
+    Same distributed prefix-sum assignment, same manifest columns;
+    documents whose every word is empty cost 0 and still appear in the
+    id-contiguous chain."""
+    from .strings_q import _bpe_word_segs
+
+    docs = load_table(spark, sf_dir, "documents")
+    segs = _bpe_word_segs(spark, sf_dir)
+    per_doc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .join(segs, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sym").cast("long").alias("n_tok"))
+    )
+    d = docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("n_tok"), F.lit(0).cast("long")).alias("n_tok")
+    )
+    return _shard_manifest_from_counts(spark, d)

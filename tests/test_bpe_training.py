@@ -109,3 +109,27 @@ def test_bpe_word_segs_exact_greedy_replay(spark):
                     i += 1
             syms = out
         assert got[w] == len(syms), w
+
+
+def test_bpe_shard_manifest_consistent_with_encode(spark):
+    """The BPE-priced manifest's total token mass equals the encode
+    panel's corpus total; shards are id-contiguous and within budget
+    (a shard may overshoot by at most one document's tokens)."""
+    from ethical_data_ingestion_spark.queries.pipeline_q import _SHARD_TOKENS
+
+    man = (
+        registry.QUERIES["training_shard_manifest_bpe"](spark, SF_DIR)
+        .orderBy("shard_id")
+        .collect()
+    )
+    enc = registry.QUERIES["bpe_encode_stats"](spark, SF_DIR).collect()
+    assert sum(r.n_tokens for r in man) == sum(r.bpe_tokens for r in enc)
+    for prev, cur in zip(man, man[1:]):
+        assert prev.last_doc < cur.first_doc  # contiguous id ranges
+    # greedy definition: a shard's id is floor(start_offset / budget),
+    # where start_offset is the cumulative token mass of earlier shards
+    offset = 0
+    for r in man:
+        assert r.shard_id == offset // _SHARD_TOKENS, r.shard_id
+        offset += r.n_tokens
+    assert all(r.n_docs >= 1 for r in man)
