@@ -59,6 +59,13 @@ HEAVY = [
     "community_modularity_stats",
     "multimodal_phash_neardup",
     "streaming_knn_serving",
+    # round-9 panels
+    "substring_dedup_emit",
+    "bpe_encode_stats",
+    "chunk_embed_topk_ann",
+    "mmr_diversified_topk_ann",
+    "lpa_semisync_communities",
+    "training_shard_manifest_bpe",
 ]
 
 N_RUNS = 2
