@@ -771,7 +771,11 @@ def _mmr_sql_tail() -> str:
     """Candidate-pair similarity + greedy selection rounds + output —
     everything downstream of a ``cands(query_id, ckey, rel)`` CTE.
     Shared verbatim by the exact-pool and ANN-pool MMR oracles (both
-    provide ``ccnt``/``cnorm`` via _CHUNK_INDEX_CTES)."""
+    provide ``ccnt``/``cnorm`` via _CHUNK_INDEX_CTES). The selall
+    chain and cands are AS MATERIALIZED: each selall{t-1} is referenced
+    three times per round, and left to DuckDB's default inlining the
+    chain re-expands ~3^K ways — harmless over the exact panel's cheap
+    cands, minutes-long when cands sits on the full LSH mirror."""
     rounds = []
     for t in range(2, _MMR_K + 1):
         rounds.append(
@@ -801,13 +805,13 @@ def _mmr_sql_tail() -> str:
         ) AS rn
         FROM ms{t}) WHERE rn = 1
     ),
-    selall{t} AS (
+    selall{t} AS MATERIALIZED (
       SELECT query_id, ckey, mmr_rank, rel, mmr_score FROM selall{t - 1}
       UNION ALL
       SELECT query_id, ckey, mmr_rank, rel, mmr_score FROM sel{t}
     )"""
         )
-    return f"""cck AS (SELECT DISTINCT ckey FROM cands),
+    return f"""cck AS MATERIALIZED (SELECT DISTINCT ckey FROM cands),
     ccnt_c AS (SELECT ccnt.* FROM ccnt JOIN cck USING (ckey)),
     cdots AS (
       SELECT c1.ckey AS ck1, c2.ckey AS ck2,
@@ -816,7 +820,7 @@ def _mmr_sql_tail() -> str:
       WHERE c1.ckey <> c2.ckey
       GROUP BY 1, 2
     ),
-    csim AS (
+    csim AS MATERIALIZED (
       SELECT a.query_id, a.ckey AS ck1, b.ckey AS ck2,
              ROUND(CAST(COALESCE(d.dotp, 0) AS DOUBLE)
                    / (sqrt(CAST(n1.n2 AS DOUBLE)) * sqrt(CAST(n2.n2 AS DOUBLE))),
@@ -835,7 +839,7 @@ def _mmr_sql_tail() -> str:
                                      ORDER BY rel DESC, ckey) AS rn
         FROM cands) WHERE rn = 1
     ),
-    selall1 AS (SELECT * FROM sel1),
+    selall1 AS MATERIALIZED (SELECT * FROM sel1),
     {",".join(rounds)}
     SELECT query_id,
            CAST(ckey // {_CHUNK_KEYMUL} AS BIGINT) AS doc_id,
@@ -875,7 +879,7 @@ def _mmr_oracle() -> str:
                    6) AS rel
       FROM pairs p LEFT JOIN dots d USING (query_id, ckey)
     ),
-    cands AS (
+    cands AS MATERIALIZED (
       SELECT query_id, ckey, rel FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY rel DESC, ckey) AS rank
@@ -1221,7 +1225,7 @@ def _mmr_ann_oracle() -> str:
     WITH {_CHUNK_INDEX_CTES},
     {_HASHED_CNTS_CTE.strip().lstrip()},
     {_lsh_pipeline_ctes(b_body=_dense_chunk_sql(), q_body=_dense_query_sql())},
-    cands AS (
+    cands AS MATERIALIZED (
       SELECT query_id - {_CHUNK_QOFF} AS query_id, vec_id AS ckey,
              cos AS rel
       FROM (
