@@ -145,6 +145,7 @@ HEADLINE = [
     "kfold_balance_audit",
     "chunk_dedup_stats",
     "training_shard_manifest",
+    "training_shard_manifest_bpe",
     "shard_merkle_manifest",
     "training_order_shuffle_stats",
     "unigram_kl_quality",
@@ -173,6 +174,7 @@ HEADLINE = [
     "bootstrap_ci_mean",
     "lexical_diversity_stats",
     "corpus_funnel_stats",
+    "corpus_curation_emit",
     "dedup_exact_stats",
     "ngram_span_overlap",
     "suffix_doubling_profile",
@@ -180,6 +182,7 @@ HEADLINE = [
     "suffix_lcp_histogram",
     "suffix_cross_doc_spans",
     "substring_dedup_removal_stats",
+    "substring_dedup_emit",
     "bloom_decontam_stats",
     "dedup_jaccard_pairs",
     "sorted_neighborhood_stats",
@@ -192,10 +195,12 @@ HEADLINE = [
     "dedup_tier_attribution",
     "winnowing_overlap_pairs",
     "survivor_selection_stats",
+    "neardup_emit",
     "ngram_novelty_stats",
     "pagerank_trade_graph",
     "label_propagation_communities",
     "community_modularity_stats",
+    "lpa_semisync_communities",
     "degree_distribution_stats",
     "copurchase_triangle_stats",
     "embedding_neardup_pairs",
@@ -221,7 +226,9 @@ HEADLINE = [
     "embed_knn_e2e",
     "embed_knn_lsh",
     "chunk_embed_topk",
+    "chunk_embed_topk_ann",
     "mmr_diversified_topk",
+    "mmr_diversified_topk_ann",
     "rag_retrieval_quality",
     "semantic_decontam_stats",
     "domain_cap_sampling",
@@ -230,6 +237,7 @@ HEADLINE = [
     "quality_calibration_stats",
     "bpe_merge_candidates",
     "bpe_training_rounds",
+    "bpe_encode_stats",
     "dataset_diff_stats",
     "dataset_snapshot_chain",
     "join_skew_report",

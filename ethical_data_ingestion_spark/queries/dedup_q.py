@@ -872,6 +872,98 @@ def survivor_selection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neardup_emit",
+    oracle=f"""
+    WITH RECURSIVE {_TIER_COMP_SQL},
+    {QUALITY_Z_CTE},
+    cz AS (
+      SELECT c.cluster_id, c.id, q.z
+      FROM comp c JOIN qz q ON q.doc_id = c.id
+    ),
+    keep AS (
+      SELECT cluster_id, id AS keeper_id FROM (
+        SELECT cluster_id, id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY z DESC, id) AS rn
+        FROM cz) WHERE rn = 1
+    ),
+    csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY cluster_id)
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           COALESCE(s.cluster_size, 1) AS cluster_size,
+           (c.id IS NULL OR k.keeper_id = d.doc_id) AS kept,
+           d.n_chars
+    FROM documents d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    LEFT JOIN csz s ON s.cluster_id = c.cluster_id
+    LEFT JOIN keep k ON k.cluster_id = c.cluster_id
+    ORDER BY d.doc_id
+    """,
+)
+def neardup_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE deduplicated corpus manifest for the document-level near-dup
+    family — the materialized counterpart of ``survivor_selection_stats``
+    the way ``substring_dedup_emit`` materializes the span tier. One row
+    per document with its cross-tier cluster label, cluster size, and the
+    keep/drop decision under the keep-highest-quality policy (ensemble
+    ``z``, ties to lowest id); the cleaned corpus is ``WHERE kept``, and
+    the dropped rows are the audit trail a curation team reviews. Mirrors
+    the reference's materialize-the-result export surface
+    (``ethical_crawler.py:1072-1096``).
+
+    Scale shape: reads the session-shared tiered clusters (bucketed
+    candidate generation, never all-pairs) and the per-doc quality
+    projection; the keeper per cluster is ONE ``max(struct(z, -id))``
+    groupBy — no window, no self-join; the final assembly is three
+    left equi-joins keyed on doc/cluster id, all linear. Oracle: the
+    identical transitive closure + ROW_NUMBER survivor pick."""
+    from .text_q import quality_z_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _tiered_comp(spark, sf_dir)
+    z = quality_z_df(docs).select(F.col("doc_id").alias("id"), "z")
+    keep = (
+        comp.join(z, "id")
+        .groupBy("cluster_id")
+        .agg(
+            (
+                -F.max(F.struct(F.col("z"), (-F.col("id")).alias("nid")))["nid"]
+            ).alias("keeper_id")
+        )
+    )
+    csz = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(
+            comp.select(F.col("id").alias("doc_id"), "cluster_id"),
+            "doc_id",
+            "left",
+        )
+        .join(csz, "cluster_id", "left")
+        .join(keep, "cluster_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            .cast("long")
+            .alias("cluster_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+            (
+                F.col("keeper_id").isNull()
+                | (F.col("keeper_id") == F.col("doc_id"))
+            ).alias("kept"),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (round-6 widening): the MOSS local-fingerprint
 # scheme (Schleimer, Wilkerson, Aiken, SIGMOD 2003) — the fifth near-dup

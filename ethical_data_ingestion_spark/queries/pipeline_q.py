@@ -985,3 +985,154 @@ def training_shard_manifest_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce(F.col("n_tok"), F.lit(0).cast("long")).alias("n_tok")
     )
     return _shard_manifest_from_counts(spark, d)
+
+
+# ---------------------------------------------------------------------------
+# The composed deliverable (round 9): the per-family emits above and in
+# dedup_q/spans_q materialize ONE stage each; this materializes the whole
+# curation pipeline's decision per document — benchmark holdout, ensemble
+# quality gate, cross-tier near-dup survivor selection, 8-gram benchmark
+# decontamination — with the FIRST failing stage as the reason code, the
+# manifest a training run actually consumes (and the audit trail for
+# everything it dropped). Mirrors the reference's materialize-the-result
+# export surface (`ethical_crawler.py:1072-1096`) composed with its
+# validation gate (`ethical_crawler.py:214-260`).
+
+
+def _curation_emit_oracle() -> str:
+    from .corpus_q import _BENCH_SOURCE, _DECON_K, _sql_shingles
+    from .dedup_q import _TIER_COMP_SQL
+    from .text_q import QUALITY_Z_CTE, _ENS_TAU
+
+    return f"""
+    WITH RECURSIVE {_TIER_COMP_SQL},
+    {QUALITY_Z_CTE},
+    elig AS (
+      SELECT doc_id, z FROM qz
+      WHERE source <> '{_BENCH_SOURCE}' AND z >= {_ENS_TAU}
+    ),
+    ekeep AS (
+      SELECT cluster_id, id AS keeper_id FROM (
+        SELECT c.cluster_id, c.id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY e.z DESC, c.id) AS rn
+        FROM comp c JOIN elig e ON e.doc_id = c.id) WHERE rn = 1
+    ),
+    dsh AS ({_sql_shingles(_DECON_K)}),
+    dshx AS (SELECT doc_id, source, unnest(shingles) AS s FROM dsh),
+    dbench AS (SELECT DISTINCT s FROM dshx WHERE source = '{_BENCH_SOURCE}'),
+    tainted AS (
+      SELECT DISTINCT t.doc_id FROM dshx t JOIN dbench b ON t.s = b.s
+      WHERE t.source <> '{_BENCH_SOURCE}'
+    ),
+    lab AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             q.z,
+             CASE
+               WHEN d.source = '{_BENCH_SOURCE}' THEN 'benchmark_holdout'
+               WHEN q.z < {_ENS_TAU} THEN 'quality'
+               WHEN c.id IS NOT NULL AND k.keeper_id <> d.doc_id
+                 THEN 'near_duplicate'
+               WHEN t.doc_id IS NOT NULL THEN 'contaminated'
+             END AS drop_reason
+      FROM documents d
+      JOIN qz q ON q.doc_id = d.doc_id
+      LEFT JOIN comp c ON c.id = d.doc_id
+      LEFT JOIN ekeep k ON k.cluster_id = c.cluster_id
+      LEFT JOIN tainted t ON t.doc_id = d.doc_id
+    )
+    SELECT doc_id, source, n_tokens, z,
+           (drop_reason IS NULL) AS kept, drop_reason
+    FROM lab ORDER BY doc_id
+    """
+
+
+@register("corpus_curation_emit", oracle=_curation_emit_oracle())
+def corpus_curation_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE curated-corpus manifest: every document with its keep/drop
+    decision through the full pipeline, reason-coded by the FIRST failing
+    stage in pipeline order — ``benchmark_holdout`` (the eval source never
+    trains), ``quality`` (frozen-weight ensemble z below the calibrated
+    tau), ``near_duplicate`` (cross-tier cluster member that is not the
+    best-quality survivor AMONG the docs still alive at this stage —
+    survivor choice respects pipeline order, so a cluster whose best doc
+    failed quality elects its best *surviving* member), ``contaminated``
+    (shares a word-8-gram with the benchmark source). The training corpus
+    is ``WHERE kept``; the dropped rows are the per-stage audit trail.
+
+    Scale shape: one quality projection (expression-only), the
+    session-shared tiered clusters (bucketed candidates, never all-pairs),
+    ONE ``max(struct(z, -id))`` groupBy for the eligible-survivor pick,
+    a broadcast semi-join against the small benchmark 8-gram set, and
+    four linear left equi-joins keyed on doc/cluster id. No window, no
+    self-join, nothing leaves the JVM. Oracle: the identical stage
+    composition over the recursive-CTE clusters."""
+    from .corpus_q import _BENCH_SOURCE, _DECON_K
+    from .dedup_q import _tiered_comp
+    from .text_q import _ENS_TAU, quality_z_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    z = quality_z_df(docs).select("doc_id", F.col("source").alias("_zs"), "z")
+    comp = _tiered_comp(spark, sf_dir)
+    elig = z.filter(
+        (F.col("_zs") != _BENCH_SOURCE) & (F.col("z") >= _ENS_TAU)
+    ).select(F.col("doc_id").alias("id"), "z")
+    ekeep = (
+        comp.join(elig, "id")
+        .groupBy("cluster_id")
+        .agg(
+            (
+                -F.max(F.struct(F.col("z"), (-F.col("id")).alias("nid")))["nid"]
+            ).alias("keeper_id")
+        )
+    )
+    sh = docs.select(
+        "doc_id", "source", F.explode(shingles("text", _DECON_K)).alias("s")
+    )
+    dbench = F.broadcast(
+        sh.filter(F.col("source") == _BENCH_SOURCE).select("s").distinct()
+    )
+    tainted = (
+        sh.filter(F.col("source") != _BENCH_SOURCE)
+        .join(dbench, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_t", F.lit(1))
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .join(z.select("doc_id", "z"), "doc_id")
+        .join(
+            comp.select(F.col("id").alias("doc_id"), "cluster_id"),
+            "doc_id",
+            "left",
+        )
+        .join(ekeep, "cluster_id", "left")
+        .join(tainted, "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("source") == _BENCH_SOURCE, F.lit("benchmark_holdout"))
+        .when(F.col("z") < _ENS_TAU, F.lit("quality"))
+        .when(
+            F.col("cluster_id").isNotNull()
+            & (F.col("keeper_id") != F.col("doc_id")),
+            F.lit("near_duplicate"),
+        )
+        .when(F.col("_t").isNotNull(), F.lit("contaminated"))
+    )
+    return (
+        base.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "z",
+            reason.isNull().alias("kept"),
+            reason.alias("drop_reason"),
+        )
+        .orderBy("doc_id")
+    )
