@@ -542,3 +542,18 @@ def test_round8_plan_pins(spark, sf_dir):
     mmr = plans.formatted_plan(_q(spark, sf_dir, "mmr_diversified_topk"))
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", mmr):
         assert spec.startswith("query_id"), f"unpartitioned window: {spec[:80]}"
+
+
+def test_round9_emit_plan_pins(spark, sf_dir):
+    """The corpus emits must stay window-free linear assemblies: survivor
+    election is a groupBy argmax (no window over cluster members), the
+    decontam probe side is a broadcast semi-join, and nothing goes
+    cartesian."""
+    for name in ("neardup_emit", "corpus_curation_emit"):
+        df = _q(spark, sf_dir, name)
+        plan = plans.formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "Window" not in plan, f"{name}: window crept into the assembly"
+
+    cce = plans.formatted_plan(_q(spark, sf_dir, "corpus_curation_emit"))
+    assert "BroadcastHashJoin" in cce  # benchmark 8-gram set stays broadcast

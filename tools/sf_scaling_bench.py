@@ -66,6 +66,8 @@ HEAVY = [
     "mmr_diversified_topk_ann",
     "lpa_semisync_communities",
     "training_shard_manifest_bpe",
+    "neardup_emit",
+    "corpus_curation_emit",
 ]
 
 N_RUNS = 2
