@@ -75,6 +75,13 @@ N_RUNS = 2
 
 def main() -> None:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
+    # The 41-query x 2-scale session accumulates every family's pinned
+    # artifact (SA ranks, LCP pairs, tiered clusters, LSH/pHash tables)
+    # for BOTH scale factors; the 8g default heap OOM'd the JVM mid-sf1
+    # leg in round 9. The sweep is the one tool that needs a bigger
+    # driver, so size it here rather than globally.
+    import os
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(
         "sf_scaling", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
