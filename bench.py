@@ -146,6 +146,7 @@ HEADLINE = [
     "chunk_dedup_stats",
     "training_shard_manifest",
     "training_shard_manifest_bpe",
+    "training_shard_manifest_curated",
     "shard_merkle_manifest",
     "training_order_shuffle_stats",
     "unigram_kl_quality",
@@ -281,6 +282,7 @@ HEADLINE = [
     "streaming_quarantine_gate",
     "streaming_late_data_audit",
     "streaming_knn_serving",
+    "streaming_curation_gate",
 ]
 
 

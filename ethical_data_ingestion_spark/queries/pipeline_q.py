@@ -999,13 +999,16 @@ def training_shard_manifest_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # validation gate (`ethical_crawler.py:214-260`).
 
 
-def _curation_emit_oracle() -> str:
+def _curation_lab_ctes() -> str:
+    """CTE chain from the raw corpus through the per-document ``lab``
+    decision table (the first-failing-stage reason) — shared by the emit
+    oracle and the curated shard-manifest oracle. Opens inside a caller's
+    ``WITH RECURSIVE``."""
     from .corpus_q import _BENCH_SOURCE, _DECON_K, _sql_shingles
     from .dedup_q import _TIER_COMP_SQL
     from .text_q import QUALITY_Z_CTE, _ENS_TAU
 
-    return f"""
-    WITH RECURSIVE {_TIER_COMP_SQL},
+    return f"""{_TIER_COMP_SQL},
     {QUALITY_Z_CTE},
     elig AS (
       SELECT doc_id, z FROM qz
@@ -1041,33 +1044,22 @@ def _curation_emit_oracle() -> str:
       LEFT JOIN comp c ON c.id = d.doc_id
       LEFT JOIN ekeep k ON k.cluster_id = c.cluster_id
       LEFT JOIN tainted t ON t.doc_id = d.doc_id
-    )
+    )"""
+
+
+def _curation_emit_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_curation_lab_ctes()}
     SELECT doc_id, source, n_tokens, z,
            (drop_reason IS NULL) AS kept, drop_reason
     FROM lab ORDER BY doc_id
     """
 
 
-@register("corpus_curation_emit", oracle=_curation_emit_oracle())
-def corpus_curation_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE curated-corpus manifest: every document with its keep/drop
-    decision through the full pipeline, reason-coded by the FIRST failing
-    stage in pipeline order — ``benchmark_holdout`` (the eval source never
-    trains), ``quality`` (frozen-weight ensemble z below the calibrated
-    tau), ``near_duplicate`` (cross-tier cluster member that is not the
-    best-quality survivor AMONG the docs still alive at this stage —
-    survivor choice respects pipeline order, so a cluster whose best doc
-    failed quality elects its best *surviving* member), ``contaminated``
-    (shares a word-8-gram with the benchmark source). The training corpus
-    is ``WHERE kept``; the dropped rows are the per-stage audit trail.
-
-    Scale shape: one quality projection (expression-only), the
-    session-shared tiered clusters (bucketed candidates, never all-pairs),
-    ONE ``max(struct(z, -id))`` groupBy for the eligible-survivor pick,
-    a broadcast semi-join against the small benchmark 8-gram set, and
-    four linear left equi-joins keyed on doc/cluster id. No window, no
-    self-join, nothing leaves the JVM. Oracle: the identical stage
-    composition over the recursive-CTE clusters."""
+def _curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens, z, kept, drop_reason) — the per-document
+    pipeline decision, unordered; shared by the emit query and the curated
+    shard manifest."""
     from .corpus_q import _BENCH_SOURCE, _DECON_K
     from .dedup_q import _tiered_comp
     from .text_q import _ENS_TAU, quality_z_df
@@ -1125,14 +1117,130 @@ def corpus_curation_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(F.col("_t").isNotNull(), F.lit("contaminated"))
     )
-    return (
-        base.select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            "z",
-            reason.isNull().alias("kept"),
-            reason.alias("drop_reason"),
-        )
-        .orderBy("doc_id")
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "z",
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
     )
+
+
+@register("corpus_curation_emit", oracle=_curation_emit_oracle())
+def corpus_curation_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE curated-corpus manifest: every document with its keep/drop
+    decision through the full pipeline, reason-coded by the FIRST failing
+    stage in pipeline order — ``benchmark_holdout`` (the eval source never
+    trains), ``quality`` (frozen-weight ensemble z below the calibrated
+    tau), ``near_duplicate`` (cross-tier cluster member that is not the
+    best-quality survivor AMONG the docs still alive at this stage —
+    survivor choice respects pipeline order, so a cluster whose best doc
+    failed quality elects its best *surviving* member), ``contaminated``
+    (shares a word-8-gram with the benchmark source). The training corpus
+    is ``WHERE kept``; the dropped rows are the per-stage audit trail.
+
+    Scale shape: one quality projection (expression-only), the
+    session-shared tiered clusters (bucketed candidates, never all-pairs),
+    ONE ``max(struct(z, -id))`` groupBy for the eligible-survivor pick,
+    a broadcast semi-join against the small benchmark 8-gram set, and
+    four linear left equi-joins keyed on doc/cluster id. No window, no
+    self-join, nothing leaves the JVM. Oracle: the identical stage
+    composition over the recursive-CTE clusters."""
+    return _curation_decisions(spark, sf_dir).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# The capstone composition: curate -> tokenize -> shard. The curated shard
+# manifest is what a training run actually mounts — only pipeline-kept
+# documents, budgeted in TRAINED-tokenizer tokens. Composes the three
+# artifacts the family queries built: the per-document curation decision
+# (`_curation_decisions`), the BPE merge-replay segmentation
+# (`strings_q._bpe_word_segs`), and the distributed prefix-sum sharder
+# (`_shard_manifest_from_counts`).
+
+
+def _shard_curated_oracle() -> str:
+    from .strings_q import _BPE_ROUNDS, _bpe_round_ctes
+
+    s2 = "chr(31) || chr(31)"
+    return f"""
+    WITH RECURSIVE {_curation_lab_ctes()},
+    keptd AS (SELECT doc_id FROM lab WHERE drop_reason IS NULL),
+    {_bpe_round_ctes(_BPE_ROUNDS)},
+    wordsym AS (
+      SELECT word,
+             CAST(len(string_split(substr(seg, 2, length(seg) - 2), {s2}))
+                  AS BIGINT) AS n_sym
+      FROM seg{_BPE_ROUNDS}
+    ),
+    dw AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> ''
+    ),
+    per_doc AS (
+      SELECT dw.doc_id, CAST(SUM(ws.n_sym) AS BIGINT) AS n_tok
+      FROM dw JOIN wordsym ws USING (word)
+      GROUP BY dw.doc_id
+    ),
+    dk AS (
+      SELECT k.doc_id, COALESCE(p.n_tok, 0) AS n_tok
+      FROM keptd k LEFT JOIN per_doc p USING (doc_id)
+    ),
+    ck AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id) - n_tok AS cum_excl
+      FROM dk
+    ),
+    tagged AS (
+      SELECT doc_id, n_tok,
+             CAST(cum_excl // {_SHARD_TOKENS} AS BIGINT) AS shard_id
+      FROM ck
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM tagged
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """
+
+
+@register("training_shard_manifest_curated", oracle=_shard_curated_oracle())
+def training_shard_manifest_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training run's actual mount: the greedy contiguous shard
+    manifest over ONLY the curation-kept documents (holdout, low-quality,
+    near-duplicate, and contaminated docs never reach a shard), budgeted
+    in trained-BPE tokens — the end-to-end composition of the curation
+    manifest, the learned tokenizer, and the distributed prefix-sum
+    sharder. A user mounts these shards; the dropped docs live in the
+    emit query's audit trail.
+
+    Scale shape: each composed piece keeps its own proven shape (bucketed
+    cluster candidates, vocabulary-collapsed token pricing, TeraSort-style
+    range prefix sums); the composition adds ONE doc-keyed semi-join.
+    Oracle: the identical composition — lab CTE -> kept set -> merge-replay
+    word costs -> windowed prefix sum."""
+    from .strings_q import _bpe_word_segs
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = _curation_decisions(spark, sf_dir).filter(F.col("kept")).select(
+        "doc_id"
+    )
+    segs = _bpe_word_segs(spark, sf_dir)
+    per_doc = (
+        docs.join(kept, "doc_id", "left_semi")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .join(segs, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sym").cast("long").alias("n_tok"))
+    )
+    d = kept.join(per_doc, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("n_tok"), F.lit(0).cast("long")).alias("n_tok")
+    )
+    return _shard_manifest_from_counts(spark, d)

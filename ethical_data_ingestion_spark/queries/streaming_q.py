@@ -1128,3 +1128,280 @@ def streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the composed curation manifest (pipeline_q.
+# corpus_curation_emit): the delta batch streams in and every document is
+# screened IN-FLIGHT against pinned static artifacts — the benchmark
+# holdout rule, the frozen-weight quality gate, the persistent corpus'
+# exact-fingerprint index (stream-static broadcast join), and the
+# benchmark 8-gram set as a Bloom BITMAP evaluated per row as a pure
+# expression (no explode, no second stateful aggregation — the property
+# that keeps the whole drain a single state-store rollup). This is the
+# ingest-side deployment shape: nothing reaches the corpus without the
+# same screens the batch manifest audits, and the per-source reason
+# counts are the live ops dashboard.
+
+#: Streaming-gate Bloom geometry: 62-bit words (not corpus_q's 63) so the
+#: per-row membership test stays in exact BIGINT arithmetic — bit b is
+#: (word % 2^(b+1)) >= 2^b with b <= 61, representable without the
+#: column-shift operators the DataFrame API reserves for literals.
+_SGATE_M = 131068  # bits; 62 * 2114
+_SGATE_K = 5
+_SGATE_WORD = 62
+
+_SGATE_BLOOM_CACHE: dict[str, list[int]] = {}
+
+
+def _sgate_bloom_words(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Dense 2114-long word list of the benchmark 8-gram Bloom bitmap —
+    built ONCE per (process, corpus) from the static benchmark source and
+    embedded as an array literal in the streaming plan (16 KB — the
+    constant-size decontamination artifact, same scale argument as
+    ``bloom_decontam_stats``). The collect is bounded by the bitmap
+    geometry, never by benchmark size."""
+    hit = _SGATE_BLOOM_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    from ..operators.text import shingles
+    from .corpus_q import _BENCH_SOURCE, _DECON_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("source") == _BENCH_SOURCE)
+        .select(F.explode(shingles("text", _DECON_K)).alias("s"))
+        .distinct()
+    )
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(1, _SGATE_K + 1)])
+    ).alias("i")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("s"), F.lit("#"), F.col("i").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _SGATE_M
+    )
+    words = (
+        bench.select("s", seeds)
+        .select(pos.alias("pos"))
+        .select(
+            F.expr(f"pos div {_SGATE_WORD}").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_SGATE_WORD} AS INT))"
+            ).alias("bitval"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bitval").alias("bits"))
+        .collect()
+    )
+    dense = [0] * (_SGATE_M // _SGATE_WORD)
+    for r in words:
+        dense[r.w] = r.bits
+    _SGATE_BLOOM_CACHE[sf_dir] = dense
+    return dense
+
+
+def _sgate_member(g: F.Column, words: F.Column, pow2: F.Column) -> F.Column:
+    """All-seeds Bloom membership for one shingle, in exact integer
+    expressions a streaming row can evaluate: bit b of the 62-bit word is
+    ``(word % 2^(b+1)) >= 2^b`` — no column-operand shifts, no UDF."""
+    cond = None
+    for i in range(1, _SGATE_K + 1):
+        pos = (
+            F.conv(
+                F.substring(F.md5(F.concat(g, F.lit(f"#{i}"))), 1, 15), 16, 10
+            ).cast("long")
+            % _SGATE_M
+        )
+        b = (pos % _SGATE_WORD).cast("int")
+        word = F.element_at(words, (pos / _SGATE_WORD).cast("int") + 1)
+        c = (word % F.element_at(pow2, b + 2)) >= F.element_at(pow2, b + 1)
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def _sgate_oracle() -> str:
+    from .corpus_q import _BENCH_SOURCE, _DECON_K, _sql_shingles
+    from .dedup_q import _INC_SPLIT
+    from .text_q import _ENS_TAU, quality_z_cte
+
+    return f"""
+    WITH b AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+            < {_INC_SPLIT}
+    ),
+    {quality_z_cte("b")},
+    idx AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+      WHERE NOT (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                 < {_INC_SPLIT})
+    ),
+    allsh AS ({_sql_shingles(_DECON_K)}),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM allsh
+      WHERE source = '{_BENCH_SOURCE}'
+    ),
+    seeds AS (SELECT unnest(range(1, {_SGATE_K} + 1)) AS i),
+    build AS (
+      SELECT (('0x' || substring(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+              % {_SGATE_M}) AS pos
+      FROM bench, seeds
+    ),
+    bitmap AS (
+      SELECT pos // {_SGATE_WORD} AS w,
+             bit_or(1::BIGINT << CAST(pos % {_SGATE_WORD} AS INTEGER)) AS bits
+      FROM build GROUP BY 1
+    ),
+    bsh AS (
+      SELECT a.doc_id, unnest(a.shingles) AS s
+      FROM allsh a JOIN b USING (doc_id)
+    ),
+    probe AS (
+      SELECT bsh.doc_id, bsh.s,
+             (('0x' || substring(md5(bsh.s || '#' || CAST(seeds.i AS VARCHAR)), 1, 15))::BIGINT
+              % {_SGATE_M}) AS pos
+      FROM bsh, seeds
+    ),
+    gramhit AS (
+      SELECT doc_id, s,
+             MIN(COALESCE((bitmap.bits >> CAST(pos % {_SGATE_WORD} AS INTEGER)) & 1, 0))
+               AS hit
+      FROM probe LEFT JOIN bitmap ON bitmap.w = pos // {_SGATE_WORD}
+      GROUP BY doc_id, s
+    ),
+    docc AS (SELECT doc_id, MAX(hit) AS c FROM gramhit GROUP BY doc_id),
+    lab AS (
+      SELECT b.source,
+             (b.source = '{_BENCH_SOURCE}') AS h,
+             (qz.z < {_ENS_TAU}) AS q,
+             (i.fp IS NOT NULL) AS d,
+             (COALESCE(docc.c, 0) = 1) AS c
+      FROM b
+      JOIN qz ON qz.doc_id = b.doc_id
+      LEFT JOIN idx i
+        ON i.fp = md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g')))
+      LEFT JOIN docc ON docc.doc_id = b.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout,
+           CAST(SUM(CASE WHEN NOT h AND q THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(SUM(CASE WHEN NOT h AND NOT q AND d THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicate,
+           CAST(SUM(CASE WHEN NOT h AND NOT q AND NOT d AND c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN NOT h AND NOT q AND NOT d AND NOT c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN NOT h AND NOT q AND NOT d AND NOT c THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 4) AS kept_rate
+    FROM lab GROUP BY source ORDER BY source
+    """
+
+
+@register("streaming_curation_gate", oracle=_sgate_oracle())
+def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline AS AN INGEST STREAM: the 20% delta batch
+    flows in over micro-batches and every document is reason-coded
+    in-flight by the FIRST failing stage — ``benchmark_holdout``,
+    ``quality`` (frozen-weight z below tau), ``duplicate`` (exact
+    fingerprint already in the persistent corpus' index), ``contaminated``
+    (all-seeds hit in the benchmark 8-gram Bloom bitmap) — with per-source
+    reason counts held in engine state across batches. The streaming twin
+    of ``corpus_curation_emit``'s decision column, restricted to the
+    stages that are per-row decidable at ingest (near-dup clustering
+    stays batch-side, exactly as MinHash banding does for
+    ``streaming_incremental_dedup``).
+
+    Hash-checkable because every output is a survivor-independent per-row
+    flag count — micro-batch boundaries cannot change the drained
+    complete-mode table. Scale shape: the fingerprint index joins
+    stream-static (broadcast), the Bloom bitmap is a 16 KB array literal
+    evaluated per row (k=5 md5s per gram — the stateless trade for not
+    needing a per-doc second aggregation), quality is expression-only,
+    and state is O(|sources|) counters."""
+    with P.state_partitions(spark, 4):
+        stream = _doc_batch_stream(spark, sf_dir, mfpt=2)
+        agg = _curation_rollup(spark, sf_dir, stream)
+        out = P.run_available_now(agg, output_mode="complete")
+    return _curation_final(out)
+
+
+def _curation_rollup(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Per-source first-fail reason rollup over a (doc_id, source, text)
+    frame — works identically on the micro-batched stream and its batch
+    twin (``tools/streaming_decomp.py``); the static artifacts (fp index,
+    Bloom bitmap) come from the corpus, never from the frame."""
+    from ..operators import text as T
+    from .corpus_q import _BENCH_SOURCE, _DECON_K
+    from .dedup_q import _is_batch
+    from .text_q import _ENS_TAU, quality_z_df
+
+    words_lit = F.lit(_sgate_bloom_words(spark, sf_dir))
+    pow2_lit = F.lit([1 << b for b in range(_SGATE_WORD + 1)])
+    corpus = load_table(spark, sf_dir, "documents")
+    idx = (
+        corpus.filter(~_is_batch())
+        .select(T.fingerprint("text").alias("fp"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    zed = quality_z_df(docs, extra=("text",))
+    flagged = (
+        zed.withColumn("fp", T.fingerprint("text"))
+        .join(F.broadcast(idx), "fp", "left")
+        .select(
+            "source",
+            (F.col("source") == _BENCH_SOURCE).alias("h"),
+            (F.col("z") < _ENS_TAU).alias("q"),
+            F.col("_dup").isNotNull().alias("d"),
+            F.exists(
+                T.shingles("text", _DECON_K),
+                lambda g: _sgate_member(g, words_lit, pow2_lit),
+            ).alias("c"),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("h").cast("long")).alias("n_holdout"),
+        F.sum((~F.col("h") & F.col("q")).cast("long")).alias("n_quality"),
+        F.sum(
+            (~F.col("h") & ~F.col("q") & F.col("d")).cast("long")
+        ).alias("n_duplicate"),
+        F.sum(
+            (~F.col("h") & ~F.col("q") & ~F.col("d") & F.col("c")).cast(
+                "long"
+            )
+        ).alias("n_contaminated"),
+        F.sum(
+            (~F.col("h") & ~F.col("q") & ~F.col("d") & ~F.col("c")).cast(
+                "long"
+            )
+        ).alias("n_kept"),
+    )
+
+
+def _curation_final(out: DataFrame) -> DataFrame:
+    return out.select(
+        "source",
+        "n_docs",
+        "n_holdout",
+        "n_quality",
+        "n_duplicate",
+        "n_contaminated",
+        "n_kept",
+        F.round(
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 4
+        ).alias("kept_rate"),
+    ).orderBy("source")

@@ -229,6 +229,17 @@ def _twins(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
 
         return _late_audit_batch_twin(spark, sf_dir)
 
+    def curation_gate():
+        from ethical_data_ingestion_spark.queries.dedup_q import _is_batch
+        from ethical_data_ingestion_spark.queries.streaming_q import (
+            _curation_final,
+            _curation_rollup,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        batch = docs.filter(_is_batch()).select("doc_id", "source", "text")
+        return _curation_final(_curation_rollup(spark, sf_dir, batch))
+
     def knn_serving():
         from ethical_data_ingestion_spark.operators import similarity as S
         from ethical_data_ingestion_spark.queries.similarity_q import (
@@ -262,6 +273,7 @@ def _twins(spark: SparkSession, sf_dir: str) -> dict[str, callable]:
         "streaming_quarantine_gate": quarantine,
         "streaming_late_data_audit": late_audit,
         "streaming_knn_serving": knn_serving,
+        "streaming_curation_gate": curation_gate,
     }
 
 
