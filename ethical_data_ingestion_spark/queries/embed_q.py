@@ -1169,6 +1169,15 @@ def chunk_embed_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the approximate result list itself hash-checkable against the
     shared DuckDB LSH-pipeline mirror."""
     base, b_buckets, planes = _chunk_lsh_buckets(spark, sf_dir)
+    return _chunk_ann_serve(spark, sf_dir, base, b_buckets, planes)
+
+
+def _chunk_ann_serve(
+    spark: SparkSession, sf_dir: str, base, b_buckets, planes
+) -> DataFrame:
+    """The serving join over an arbitrary (base, bucket-index, planes)
+    triple — lets the persistence test serve from a parquet-reloaded
+    index and prove it answers identically to the freshly built one."""
     qd = (
         _searchable_docs(spark, sf_dir)
         .filter(F.col("doc_id") < _RAG_QUERIES)
