@@ -230,6 +230,7 @@ HEADLINE = [
     "chunk_embed_topk_ann",
     "mmr_diversified_topk",
     "mmr_diversified_topk_ann",
+    "hybrid_retrieval_topk",
     "rag_retrieval_quality",
     "semantic_decontam_stats",
     "domain_cap_sampling",

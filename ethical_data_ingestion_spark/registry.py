@@ -53,6 +53,7 @@ def _load_everything() -> None:
         relational_tpch2,
         dedup_q,
         embed_q,
+        hybrid_q,
         multimodal_q,
         pipeline_q,
         privacy_q,

@@ -68,6 +68,8 @@ HEAVY = [
     "training_shard_manifest_bpe",
     "neardup_emit",
     "corpus_curation_emit",
+    # round-10 panels
+    "hybrid_retrieval_topk",
 ]
 
 N_RUNS = 2
