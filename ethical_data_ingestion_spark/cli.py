@@ -256,6 +256,17 @@ def cmd_status(spark: SparkSession) -> DataFrame:
     )
 
 
+def cmd_curate(spark: SparkSession, data_dir: str, output: str) -> dict:
+    """``curate`` — the training-pipeline analogue of ``export``
+    (``ethical_crawler.py:1352-1414``): compose the curation decision
+    manifest, the substring-dedup pass, and the BPE-priced sharder, and
+    WRITE the mount (corpus partitioned by shard_id + shard manifest +
+    audit trail + Merkle manifest with root hash) — see :mod:`.curate`."""
+    from .curate import write_training_mount
+
+    return write_training_mount(spark, data_dir, output)
+
+
 def main(argv: Sequence[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="ethical_data_ingestion_spark",
@@ -285,6 +296,9 @@ def main(argv: Sequence[str] | None = None) -> int:
     e.add_argument("--output", required=True)
     e.add_argument("--where")
     sub.add_parser("status")
+    cu = sub.add_parser("curate")
+    cu.add_argument("--data", required=True, help="corpus dir holding documents.parquet")
+    cu.add_argument("--output", required=True, help="training-mount dir to write")
     args = p.parse_args(argv)
 
     if args.cmd == "fetch":
@@ -332,6 +346,8 @@ def main(argv: Sequence[str] | None = None) -> int:
         df = cmd_status(spark)
         print(render.render_df(df, title="Collection Results"))
         print(render.attribution_footer([r[0] for r in df.select(df.columns[0]).collect()]))
+    elif args.cmd == "curate":
+        print(json.dumps(cmd_curate(spark, args.data, args.output)))
     return 0
 
 

@@ -643,10 +643,12 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shard_manifest_from_counts(spark, d)
 
 
-def _shard_manifest_from_counts(spark: SparkSession, d: DataFrame) -> DataFrame:
-    """Prefix-sum shard assignment + manifest rollup over a
-    (doc_id, n_tok) table — shared by the whitespace- and BPE-priced
-    manifests (the budgets differ only in what a token is)."""
+def _shard_assignments_from_counts(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Per-document prefix-sum shard assignment (doc_id, n_tok, shard_id)
+    over a (doc_id, n_tok) table — the ``tagged`` half of
+    :func:`_shard_manifest_from_counts`, split out so the ``curate``
+    product path (:mod:`..curate`) can ``write.partitionBy("shard_id")``
+    the corpus with exactly the assignment the manifest rolls up."""
     nparts = max(spark.sparkContext.defaultParallelism // 2, 8)
     parts = materialize(
         d.repartitionByRange(nparts, "doc_id").withColumn(
@@ -671,7 +673,7 @@ def _shard_manifest_from_counts(spark: SparkSession, d: DataFrame) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tagged = parts.join(off_df, "pid").select(
+    return parts.join(off_df, "pid").select(
         "doc_id",
         "n_tok",
         (
@@ -681,6 +683,13 @@ def _shard_manifest_from_counts(spark: SparkSession, d: DataFrame) -> DataFrame:
         .cast("long")
         .alias("shard_id"),
     )
+
+
+def _shard_manifest_from_counts(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Prefix-sum shard assignment + manifest rollup over a
+    (doc_id, n_tok) table — shared by the whitespace- and BPE-priced
+    manifests (the budgets differ only in what a token is)."""
+    tagged = _shard_assignments_from_counts(spark, d)
     return (
         tagged.groupBy("shard_id")
         .agg(
@@ -1225,6 +1234,17 @@ def training_shard_manifest_curated(spark: SparkSession, sf_dir: str) -> DataFra
     range prefix sums); the composition adds ONE doc-keyed semi-join.
     Oracle: the identical composition — lab CTE -> kept set -> merge-replay
     word costs -> windowed prefix sum."""
+    return _shard_manifest_from_counts(
+        spark, _curated_token_counts(spark, sf_dir)
+    )
+
+
+def _curated_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tok) of every curation-KEPT document priced in
+    trained-BPE tokens — the input both the registered manifest rollup
+    and the ``curate`` product path (:mod:`..curate`) shard on, factored
+    out so the written corpus partitions by EXACTLY the manifest's
+    assignment."""
     from .strings_q import _bpe_word_segs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1240,7 +1260,6 @@ def training_shard_manifest_curated(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("doc_id")
         .agg(F.sum("n_sym").cast("long").alias("n_tok"))
     )
-    d = kept.join(per_doc, "doc_id", "left").select(
+    return kept.join(per_doc, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("n_tok"), F.lit(0).cast("long")).alias("n_tok")
     )
-    return _shard_manifest_from_counts(spark, d)
