@@ -34,7 +34,15 @@ from ..operators.analytics import davg
 from ..operators import similarity as S
 from ..registry import register
 
-_DIM = 64
+from .chunk_common import (  # noqa: F401  (re-exported: one source of truth)
+    _CHUNK_KEYMUL,
+    _CHUNK_QOFF,
+    _CHUNK_SIZE,
+    _CHUNK_STRIDE,
+    _DIM,
+    _dense_chunk_sql,
+)
+
 _N_QUERIES = 10
 _K = 5
 
@@ -189,7 +197,7 @@ def _embed_lsh_oracle() -> str:
     candidate equi-join, exact rescoring — with a top-{_K} tail. The
     components are exact integers, so only the bucket projections are
     ulp-sensitive, and those fold in dimension order on both engines."""
-    from .similarity_q import _lsh_pipeline_ctes
+    from .lsh_common import _lsh_pipeline_ctes
 
     dense = f"""
       SELECT n.doc_id AS vec_id,
@@ -262,10 +270,8 @@ def embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Round-5 widening: RAG-style chunk indexing end-to-end.
 
-_CHUNK_SIZE = 32   # tokens per chunk
-_CHUNK_STRIDE = 16 # sliding-window stride (50% overlap)
-_CHUNK_KEYMUL = 1024  # ckey = doc_id*KEYMUL + chunk_idx; fixture docs ≤ 99
-                      # tokens → chunk_idx ≤ 6, far under the KEYMUL bound
+# chunk geometry (_CHUNK_SIZE/_CHUNK_STRIDE/_CHUNK_KEYMUL) lives in
+# .chunk_common (leaf module) so hybrid_q shares it without an import cycle
 _RAG_QUERIES = 5
 _RAG_K = 3
 
@@ -1074,11 +1080,11 @@ def _mmr_select(cands: DataFrame) -> DataFrame:
 # the ANN dogfood; recall vs the exact panel is bounded in test_embed.py.
 
 #: probe ids are lifted out of the ckey space entirely (qkey = doc_id +
-#: _CHUNK_QOFF) — the LSH candidate join excludes id == query_id pairs,
-#: and a raw query doc_id (< _RAG_QUERIES) would collide with doc 0's
-#: low ckeys, silently dropping legitimate candidates (the id-space
-#: discipline DEPLOY.md documents for the serving drain).
-_CHUNK_QOFF = 1 << 40
+#: _CHUNK_QOFF, defined in .chunk_common) — the LSH candidate join
+#: excludes id == query_id pairs, and a raw query doc_id (< _RAG_QUERIES)
+#: would collide with doc 0's low ckeys, silently dropping legitimate
+#: candidates (the id-space discipline DEPLOY.md documents for the
+#: serving drain).
 
 
 def _chunk_lsh_buckets(spark: SparkSession, sf_dir: str):
@@ -1103,20 +1109,6 @@ def _chunk_lsh_buckets(spark: SparkSession, sf_dir: str):
     return base, b_buckets, planes
 
 
-def _dense_chunk_sql() -> str:
-    """DENSE 64-dim double chunk vectors reconstructed from the sparse
-    hashed counts (explicit dimension ORDER BY, zeros coalesced) — the
-    LSH mirror's base-side b_body for the chunk index."""
-    return f"""
-      SELECT n.ckey AS vec_id,
-             list(CAST(COALESCE(c.c, 0) AS DOUBLE) ORDER BY dims.d) AS bv
-      FROM (SELECT ckey FROM ccnt GROUP BY ckey HAVING SUM(c * c) > 0) n
-      CROSS JOIN (SELECT unnest(generate_series(0, {_DIM - 1})) AS d) dims
-      LEFT JOIN ccnt c ON c.ckey = n.ckey AND c.bucket = dims.d
-      GROUP BY n.ckey
-    """
-
-
 def _dense_query_sql() -> str:
     """Dense probe vectors (first {_RAG_QUERIES} docs, ids lifted by
     _CHUNK_QOFF out of the ckey space) — the LSH mirror's q_body."""
@@ -1132,7 +1124,7 @@ def _dense_query_sql() -> str:
 
 
 def _chunk_ann_oracle() -> str:
-    from .similarity_q import _lsh_pipeline_ctes
+    from .lsh_common import _lsh_pipeline_ctes
 
     dense_chunks = _dense_chunk_sql()
     dense_queries = _dense_query_sql()
@@ -1228,7 +1220,7 @@ def _chunk_ann_serve(
 
 
 def _mmr_ann_oracle() -> str:
-    from .similarity_q import _lsh_pipeline_ctes
+    from .lsh_common import _lsh_pipeline_ctes
 
     return f"""
     WITH {_CHUNK_INDEX_CTES},

@@ -41,13 +41,12 @@ from ..io import load_table
 from ..operators import embed as E
 from ..operators import similarity as S
 from ..registry import register
-from .embed_q import (
+from .chunk_common import (
     _CHUNK_KEYMUL,
     _CHUNK_QOFF,
     _CHUNK_SIZE,
     _CHUNK_STRIDE,
     _DIM,
-    _chunk_lsh_buckets,
     _dense_chunk_sql,
 )
 
@@ -144,6 +143,8 @@ def _sem_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     by their best-scoring chunk (own document included: this is the
     self-retrieval serving shape, unlike `chunk_embed_topk_ann`'s
     exclude-own eval)."""
+    from .embed_q import _chunk_lsh_buckets  # runtime-only: avoids a cycle
+
     base, b_buckets, planes = _chunk_lsh_buckets(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _norm_tokens().alias("t")
@@ -223,7 +224,7 @@ def _hybrid_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hybrid_oracle() -> str:
-    from .similarity_q import _lsh_pipeline_ctes
+    from .lsh_common import _lsh_pipeline_ctes
 
     dense_queries = f"""
       SELECT n.query_id + {_CHUNK_QOFF} AS vec_id,

@@ -1003,7 +1003,7 @@ _SERVE_BITS = 8  # bits per LSH table for the SERVING index: bucket width
 
 
 def _ann_serving_oracle() -> str:
-    from .similarity_q import _ANN_SPLIT, _lsh_pipeline_ctes
+    from .lsh_common import _ANN_SPLIT, _lsh_pipeline_ctes
 
     pred = "('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT"
     b_body = (
