@@ -237,6 +237,8 @@ HEADLINE = [
     "padding_efficiency_stats",
     "quality_filter_ensemble",
     "quality_calibration_stats",
+    "quality_probe_fit",
+    "quality_probe_calibration",
     "bpe_merge_candidates",
     "bpe_training_rounds",
     "bpe_encode_stats",

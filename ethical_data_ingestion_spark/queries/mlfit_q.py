@@ -1,0 +1,293 @@
+"""In-cluster training of the quality filter (round-9 verdict item 7).
+
+``quality_filter_ensemble`` scores documents with FROZEN weights; a real
+curation pipeline FITS its filter. This module trains a linear probe —
+the standard quality-classifier baseline (a least-squares probe over
+hand features against an independent outcome label) — entirely
+in-cluster, with hash-exact coefficients:
+
+* **Features** (per document, each scaled to exact integer micro-units,
+  so every moment is an exact BIGINT on both engines): the four ensemble
+  features — EN-stopword ratio, type-token ratio, saturating length
+  ``min(1, n_tok/128)``, average-token-length deviation ``|alen - 5|`` —
+  plus an intercept.
+* **Label**: ``lang = 'en'`` — the same independent outcome
+  ``quality_calibration_stats`` bins against (the score family is an
+  English-quality classifier on this corpus).
+* **Fit**: one distributed aggregation produces the 5×5 normal-equation
+  moments (Σ FᵢFⱼ, Σ Fᵢy — exact integers: features ≤ 10⁶ in micro-units,
+  so every product sum stays far under 2⁵³ and converts to double
+  EXACTLY); the tiny dense solve is Gaussian elimination WITHOUT
+  pivoting + back-substitution over those doubles. Spark evaluates the
+  solve on the driver (21 scalars — the scalar-aggregate pattern);
+  DuckDB evaluates it as generated CTE expressions. BOTH are generated
+  from ONE symbolic step list (:func:`_elim_steps`), so the IEEE-754
+  operation order is identical token for token and the resulting
+  coefficient doubles are bit-identical — the value-hash gate checks the
+  whole fit, not a rounded shadow of it.
+
+The companion ``quality_probe_calibration`` panel re-bins the corpus by
+the FITTED score (the same reliability-diagram shape as
+``quality_calibration_stats``), proving the learned weights reproduce
+end to end on both engines.
+
+Scale shape: the fit is ONE scan + one 21-cell aggregation regardless of
+corpus size (the classic sufficient-statistics trick — at 100 TB the
+moments are a map-side-combined rollup to a single row); the solve is
+O(p³) on p=5 scalars. The calibration panel is one more scan + a
+|bins|-row rollup.
+
+Reference basis: the reference declares the ML surface but never trains
+(SURVEY §2 #45); this realizes the training step of that surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import text as T
+from ..registry import register
+
+_P = 5  # features incl. intercept
+_SCALE = 1_000_000  # micro-unit feature scaling (exact integers)
+_TERMS = ("intercept", "swr", "ttr", "len_sat", "alen_dev")
+_CAL_BIN = 0.25
+
+
+def _en_stopwords() -> str:
+    return [s for lang, s in T.LANG_STOPWORDS if lang == "en"][0]
+
+
+def _feature_cols() -> list[F.Column]:
+    """The five integer micro-unit feature columns (BIGINT), in
+    ``_TERMS`` order. Rounding to 6 decimals BEFORE scaling makes the
+    integers the single source of truth on both engines."""
+    n_tok = T.n_tokens("text")
+    ttr = F.round(
+        F.size(F.array_distinct(T.tokens("text"))).cast("double")
+        / n_tok.cast("double"),
+        6,
+    )
+    feats = [
+        F.lit(1.0),
+        T.stopword_ratio("text", _en_stopwords()),
+        ttr,
+        F.round(F.least(F.lit(1.0), n_tok / F.lit(128.0)), 6),
+        F.round(F.abs(T.avg_token_len("text") - F.lit(5.0)), 6),
+    ]
+    return [
+        F.round(f * _SCALE).cast("long").alias(f"x{i}")
+        for i, f in enumerate(feats)
+    ]
+
+
+def _features_sql() -> str:
+    """DuckDB twin of :func:`_feature_cols` + the label, over
+    ``documents``: same 6-decimal rounds, same micro-unit scaling."""
+    from .text_q import _EN, _sw_count
+
+    ntok = "len(string_split(text, ' '))"
+    return f"""feats AS (
+      SELECT doc_id,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+             CAST({_SCALE} AS BIGINT) AS x0,
+             CAST(ROUND(ROUND({_sw_count(_EN)}::DOUBLE / {ntok}::DOUBLE, 6)
+                        * {_SCALE}) AS BIGINT) AS x1,
+             CAST(ROUND(ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                              / {ntok}::DOUBLE, 6) * {_SCALE}) AS BIGINT) AS x2,
+             CAST(ROUND(ROUND(least(1.0, {ntok} / 128.0), 6) * {_SCALE})
+                  AS BIGINT) AS x3,
+             CAST(ROUND(ROUND(abs(ROUND(length(replace(text, ' ', ''))::DOUBLE
+                                        / {ntok}::DOUBLE, 6) - 5.0), 6)
+                        * {_SCALE}) AS BIGINT) AS x4
+      FROM documents
+    )"""
+
+
+def _moment_names() -> list[str]:
+    names = []
+    for i in range(_P):
+        for j in range(i, _P):
+            names.append(f"s{i}{j}")
+    for i in range(_P):
+        names.append(f"b{i}")
+    return names
+
+
+def _moments_sql() -> str:
+    """The normal-equation moment rollup (exact BIGINT sums)."""
+    cells = []
+    for i in range(_P):
+        for j in range(i, _P):
+            cells.append(f"CAST(SUM(x{i} * x{j}) AS BIGINT) AS s{i}{j}")
+    for i in range(_P):
+        cells.append(f"CAST(SUM(x{i} * y) AS BIGINT) AS b{i}")
+    return f"mom AS (SELECT {', '.join(cells)} FROM feats)"
+
+
+def _elim_steps() -> list[tuple[str, str]]:
+    """The shared symbolic solve: an ordered list of (name, expression)
+    where each expression refers only to earlier names (or the moment
+    doubles ``a{i}{j}`` / ``r{i}``). Evaluated verbatim as Python floats
+    on the Spark driver AND as DuckDB double expressions — identical
+    IEEE-754 operation order, identical bits.
+
+    Gaussian elimination without pivoting (the normal matrix is SPD) then
+    back-substitution with a FIXED left-to-right accumulation order."""
+    steps: list[tuple[str, str]] = []
+    a = {(i, j): f"a{i}{j}" for i in range(_P) for j in range(_P)}
+    r = {i: f"r{i}" for i in range(_P)}
+    for k in range(_P - 1):
+        for i in range(k + 1, _P):
+            f = f"f{i}_{k}"
+            steps.append((f, f"({a[(i, k)]} / {a[(k, k)]})"))
+            for j in range(k + 1, _P):
+                nm = f"a{i}{j}_{k}"
+                steps.append((nm, f"({a[(i, j)]} - ({f} * {a[(k, j)]}))"))
+                a[(i, j)] = nm
+            nm = f"r{i}_{k}"
+            steps.append((nm, f"({r[i]} - ({f} * {r[k]}))"))
+            r[i] = nm
+    w = {}
+    for i in range(_P - 1, -1, -1):
+        acc = r[i]
+        for j in range(i + 1, _P):
+            acc = f"({acc} - ({a[(i, j)]} * w{j}))"
+        w[i] = f"w{i}"
+        steps.append((f"w{i}", f"({acc} / {a[(i, i)]})"))
+    return steps
+
+
+def _solve(moments: dict[str, int]) -> list[float]:
+    """Driver-side evaluation of :func:`_elim_steps` over the exact
+    integer moments — plain Python floats, the same IEEE doubles the SQL
+    chain computes."""
+    env: dict[str, float] = {}
+    for i in range(_P):
+        for j in range(_P):
+            env[f"a{i}{j}"] = float(moments[f"s{min(i, j)}{max(i, j)}"])
+        env[f"r{i}"] = float(moments[f"b{i}"])
+    for name, expr in _elim_steps():
+        env[name] = eval(expr, {"__builtins__": {}}, env)  # noqa: S307
+    return [env[f"w{i}"] for i in range(_P)]
+
+
+def _solve_ctes() -> str:
+    """The same step list as sequential DuckDB scalar projections."""
+    body = ", ".join(
+        [f"CAST(s{min(i, j)}{max(i, j)} AS DOUBLE) AS a{i}{j}"
+         for i in range(_P) for j in range(_P) if j >= i]
+        + [f"CAST(s{j}{i} AS DOUBLE) AS a{i}{j}"
+           for i in range(_P) for j in range(_P) if j < i]
+        + [f"CAST(b{i} AS DOUBLE) AS r{i}" for i in range(_P)]
+    )
+    ctes = [f"m0 AS (SELECT {body} FROM mom)"]
+    prev = "m0"
+    for n, (name, expr) in enumerate(_elim_steps(), start=1):
+        ctes.append(f"m{n} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"m{n}"
+    return ",\n    ".join(ctes) + f",\n    solved AS (SELECT * FROM {prev})"
+
+
+def _fit_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Collect the exact moments with one aggregation and solve on the
+    driver. Deterministic: integer sums are partition-order-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        (F.col("lang") == "en").cast("long").alias("y"), *_feature_cols()
+    )
+    aggs = []
+    for i in range(_P):
+        for j in range(i, _P):
+            aggs.append(
+                F.sum(F.col(f"x{i}") * F.col(f"x{j}")).cast("long").alias(f"s{i}{j}")
+            )
+    for i in range(_P):
+        aggs.append(
+            F.sum(F.col(f"x{i}") * F.col("y")).cast("long").alias(f"b{i}")
+        )
+    row = feats.agg(*aggs).first()
+    return _solve({k: row[k] for k in _moment_names()})
+
+
+@register(
+    "quality_probe_fit",
+    oracle=f"""
+    WITH {_features_sql()},
+    {_moments_sql()},
+    {_solve_ctes()}
+    SELECT v.term, v.weight
+    FROM (
+      SELECT * FROM solved
+    ) s, LATERAL (VALUES {', '.join(f"('{t}', s.w{i})" for i, t in enumerate(_TERMS))})
+         AS v(term, weight)
+    ORDER BY v.term
+    """,
+)
+def quality_probe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained quality filter: least-squares probe coefficients over
+    the four ensemble features + intercept against the ``lang = 'en'``
+    outcome — (term, weight), weights in micro-unit feature space (the
+    per-document fitted score is Σ wᵢ·Fᵢ with Fᵢ the integer micro-unit
+    features; ``quality_probe_calibration`` applies it). Bit-identical
+    to the DuckDB mirror: exact integer moments + one shared symbolic
+    solve (module docstring)."""
+    weights = _fit_weights(spark, sf_dir)
+    return spark.createDataFrame(
+        sorted(zip(_TERMS, weights)), "term string, weight double"
+    ).orderBy("term")
+
+
+def _score_expr_sql() -> str:
+    parts = "(CAST(x0 AS DOUBLE) * w0)"
+    for i in range(1, _P):
+        parts = f"({parts} + (CAST(x{i} AS DOUBLE) * w{i}))"
+    return parts
+
+
+@register(
+    "quality_probe_calibration",
+    oracle=f"""
+    WITH {_features_sql()},
+    {_moments_sql()},
+    {_solve_ctes()}
+    SELECT CAST(floor({_score_expr_sql()} / {_CAL_BIN}) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f.y) AS BIGINT) AS n_en,
+           ROUND(SUM(f.y)::DOUBLE / COUNT(*)::DOUBLE, 4) AS en_rate
+    FROM feats f, solved
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def quality_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the TRAINED probe: corpus binned by the
+    fitted score (width {_CAL_BIN}), with the empirical outcome rate per
+    bin — the panel a curation team reads to pick the probe's drop
+    threshold, and the end-to-end proof that the learned weights
+    reproduce bit-exactly on both engines (the bin keys floor the raw
+    fitted doubles; one ULP of divergence anywhere in the fit would move
+    a bin edge and fail the hash gate)."""
+    weights = _fit_weights(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        (F.col("lang") == "en").cast("long").alias("y"), *_feature_cols()
+    )
+    score = (F.col("x0").cast("double") * F.lit(weights[0]))
+    for i in range(1, _P):
+        score = score + (F.col(f"x{i}").cast("double") * F.lit(weights[i]))
+    return (
+        feats.groupBy(
+            F.floor(score / F.lit(_CAL_BIN)).cast("int").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_en"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("en_rate"),
+        )
+        .orderBy("bin")
+    )

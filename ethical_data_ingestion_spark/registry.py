@@ -54,6 +54,7 @@ def _load_everything() -> None:
         dedup_q,
         embed_q,
         hybrid_q,
+        mlfit_q,
         multimodal_q,
         pipeline_q,
         privacy_q,
