@@ -49,6 +49,71 @@ from pyspark.sql import DataFrame
 _ENV_VAR = "SPARK_GRAFT_MATERIALIZE"
 _MODES = ("local", "disk", "checkpoint")
 
+#: sizeInBytes digit bound above which a checkpoint's inherited statistics
+#: are treated as estimate garbage and reset — no real dataset exceeds
+#: 10^40 bytes; only compounding join-product ESTIMATES do.
+_STATS_DIGIT_CAP = 40
+
+_warned_stats_cap = False
+
+
+def _cap_checkpoint_stats(df: DataFrame) -> DataFrame:
+    """Reset ASTRONOMICAL inherited statistics on a checkpointed plan.
+
+    ``localCheckpoint`` truncates lineage but COPIES the truncated plan's
+    statistics onto the new ``LogicalRDD`` (``originStats``). In an
+    iterative loop that re-joins its own checkpoint (the suffix-array
+    doubling, any self-join iteration), the size-only estimator's join
+    rule MULTIPLIES child sizes, so the carried ``sizeInBytes`` BigInt
+    roughly CUBES per round — its digit count triples, and every later
+    Catalyst pass that consults stats (join selection, runtime-filter
+    injection, AQE) pays BigInt arithmetic that grows ~4-6x per round.
+    Measured on a 13-round build: rounds 1-7 ~1 s, round 10 = 40 s, round
+    13 extrapolates to over an hour — a pure PLANNING hang with executors
+    idle (diagnosed from thread samples: ``SizeInBytesOnlyStatsPlanVisitor``
+    over thousand-digit ``scala.math.BigInt`` products).
+
+    The fix: when the checkpointed plan's ``sizeInBytes`` exceeds
+    ``10^_STATS_DIGIT_CAP`` (no REAL dataset gets near it — it is always
+    compounded estimate garbage), rebuild the ``LogicalRDD`` over the SAME
+    InternalRow RDD with ``originStats``/``originConstraints`` empty, so
+    the node reports ``spark.sql.defaultSizeInBytes`` and the compounding
+    resets at every pin. Plans with sane stats pass through untouched
+    (their sizes keep driving broadcast decisions). Uses two
+    ``private[sql]`` JVM surfaces that are public in bytecode; if a Spark
+    upgrade moves them, we log once and degrade to the uncapped plan
+    (a perf-only regression, never a correctness one)."""
+    global _warned_stats_cap
+    try:
+        qe = df._jdf.queryExecution()
+        an = qe.analyzed()
+        if not an.getClass().getName().endswith(".LogicalRDD"):
+            return df
+        if len(str(an.stats().sizeInBytes())) <= _STATS_DIGIT_CAP:
+            return df
+        spark = df.sparkSession
+        jvm = spark._jvm
+        none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        new_lr = jvm.org.apache.spark.sql.execution.LogicalRDD(
+            an.output(), an.rdd(), an.outputPartitioning(),
+            an.outputOrdering(), an.isStreaming(), an.stream(),
+            spark._jsparkSession, none, none,
+        )
+        njdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, new_lr
+        )
+        return DataFrame(njdf, spark)
+    except Exception as e:  # noqa: BLE001 — perf-only path, degrade loudly once
+        if not _warned_stats_cap:
+            _warned_stats_cap = True
+            print(
+                "materialize: checkpoint-stats cap unavailable "
+                f"({type(e).__name__}: {e}); iterative self-join loops may "
+                "plan slowly on this Spark build",
+                file=__import__("sys").stderr,
+            )
+        return df
+
 
 def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
     """Pin ``df``: force one computation whose result every downstream job
@@ -62,7 +127,7 @@ def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
             f"(set via mode= or ${_ENV_VAR})"
         )
     if mode == "local":
-        return df.localCheckpoint(eager=True)
+        return _cap_checkpoint_stats(df.localCheckpoint(eager=True))
     if mode == "disk":
         pinned = df.persist(StorageLevel.DISK_ONLY)
         pinned.count()

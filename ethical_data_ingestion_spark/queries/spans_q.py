@@ -339,9 +339,46 @@ def suffix_doubling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicated substrings ACROSS documents, which the span/winnowing tiers
 # can only approximate.
 
-_SAG_ROUNDS = 7  # rank_k distinguishes 2^k-token windows; 2^7 = 128 >= the
-                 # longest fixture document (100 tokens), so rank_7 classes
-                 # are exactly the identical-full-suffix classes
+_SAG_ROUNDS = 7  # REPORT depth: the profile panels report window widths
+                 # 2^0..2^_SAG_ROUNDS, and the REGISTERED DuckDB oracles are
+                 # generated at this depth (exact whenever the corpus max doc
+                 # length is <= 2^7 = 128 tokens — true for every driver
+                 # fixture, whose longest document is 100 tokens). The BUILD
+                 # depth is NOT capped here: it adapts to the measured corpus
+                 # via _sag_depth (round-9 verdict item 1).
+
+#: sf_dir -> doubling depth. Fixture parquet is immutable within a process
+#: (same assumption as io._SCHEMA_CACHE), so the one maxlen scan per corpus
+#: is paid once per session.
+_SAG_DEPTH: dict[str, int] = {}
+
+
+def _sag_depth(spark: SparkSession, sf_dir: str) -> int:
+    """Doubling depth for the corpus at ``sf_dir``:
+    ``max(_SAG_ROUNDS, ceil(log2(max document tokens)))``.
+
+    rank_R equates suffixes agreeing on their first 2^R tokens, so
+    R >= log2(maxlen) makes the final ranks exactly the full-suffix
+    order. The old fixed ``_SAG_ROUNDS = 7`` capped the whole SA / LCP /
+    ``substring_dedup_emit`` family at 128-token documents and raised on
+    anything longer; the depth now GROWS with the corpus — logarithmically
+    (14 rounds covers 16k-token documents, 27 covers 100M), so the extra
+    rounds stay O(log maxlen) even on pathological concatenated web pages.
+
+    The REGISTERED oracle SQL is still generated at ``_SAG_ROUNDS``; on a
+    corpus needing a deeper build the gate would therefore hash-mismatch
+    LOUDLY (never silently agree on a shared wrong answer — the failure
+    mode the old raise guarded against). ``tests/test_spans_longdoc.py``
+    re-generates the oracles at the matching depth via the parametrized
+    builders below and proves the deep build on a >=4k-token corpus."""
+    if sf_dir not in _SAG_DEPTH:
+        maxlen = (
+            load_table(spark, sf_dir, "documents")
+            .agg(F.max(F.size(F.split("text", " "))).alias("m"))
+            .first()["m"]
+        )
+        _SAG_DEPTH[sf_dir] = max(_SAG_ROUNDS, int(maxlen - 1).bit_length() if maxlen else 0)
+    return _SAG_DEPTH[sf_dir]
 
 
 def _sag_nxt(cur: DataFrame, k: int) -> DataFrame:
@@ -369,8 +406,9 @@ def _sag_nxt(cur: DataFrame, k: int) -> DataFrame:
 
 def _suffix_global_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-shared generalized-suffix-array table: one row per corpus
-    token position with ordered ranks ``k0..k{_SAG_ROUNDS}`` (rank ``k_j``
-    orders/equates 2^j-token suffix windows) and ``rn``, the 0-based
+    token position with ordered ranks ``k0..kR`` where
+    ``R = _sag_depth(spark, sf_dir)`` (rank ``k_j`` orders/equates
+    2^j-token suffix windows) and ``rn``, the 0-based
     position in the GLOBAL suffix order (ties between identical
     cross-document suffixes broken by (doc_id, i)).
 
@@ -384,6 +422,8 @@ def _suffix_global_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     via ``materialize`` (lineage would otherwise double per round) and
     release their predecessor with ``unpin``."""
 
+    R = _sag_depth(spark, sf_dir)
+
     def build() -> DataFrame:
         from .quality_q import _global_ranks
 
@@ -391,29 +431,17 @@ def _suffix_global_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks = docs.select(
             "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "tok")
         ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
-        # Loud cap guard: rank_{_SAG_ROUNDS} equates suffixes agreeing on
-        # their first 2^_SAG_ROUNDS tokens, and the DuckDB mirrors stop
-        # their token scans at the SAME cap — so a longer document would
-        # make the suffix order, LCP array, and removal pricing silently
-        # wrong on BOTH sides while still hash-matching. Fail instead.
-        cap = 1 << _SAG_ROUNDS
-        maxlen = docs.agg(
-            F.max(F.size(F.split("text", " "))).alias("m")
-        ).first()["m"]
-        if maxlen is not None and maxlen > cap:
-            raise ValueError(
-                f"suffix-array build: longest document has {maxlen} tokens"
-                f" > 2^{_SAG_ROUNDS} = {cap}; rank_{_SAG_ROUNDS} would"
-                " equate distinct suffixes (and the shared engine cap"
-                " would hide it from the hash gate) — raise _SAG_ROUNDS"
-                " to >= ceil(log2(max document tokens))"
-            )
+        # Depth adapts to the corpus (``_sag_depth``): rank_R equates
+        # suffixes agreeing on their first 2^R tokens, and R is chosen so
+        # 2^R >= the longest document — rank_R classes are therefore
+        # exactly the identical-full-suffix classes on ANY corpus, not
+        # just the <=128-token fixtures the old fixed cap allowed.
         keys0, _ = _global_ranks(toks.select("tok").distinct(), "tok")
         cur = materialize(
             toks.join(keys0.withColumnRenamed("rn", "k0"), "tok").drop("tok")
         )
         prev = cur
-        for k in range(1, _SAG_ROUNDS + 1):
+        for k in range(1, R + 1):
             withnxt = _sag_nxt(cur, k)
             keys, _ = _global_ranks(
                 withnxt.select(f"k{k - 1}", "_nxt").distinct(),
@@ -428,20 +456,22 @@ def _suffix_global_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             unpin(prev)
             prev = cur
-        fin, _ = _global_ranks(cur, f"k{_SAG_ROUNDS}", "doc_id", "i")
+        fin, _ = _global_ranks(cur, f"k{R}", "doc_id", "i")
         return fin
 
-    return shared(("suffix_global_ranks", sf_dir, _SAG_ROUNDS), spark, build)
+    return shared(("suffix_global_ranks", sf_dir, R), spark, build)
 
 
-def _sag_ctes() -> str:
+def _sag_ctes(build_rounds: int = _SAG_ROUNDS) -> str:
     """The shared DuckDB CTE chain of the ordered doubling, through
-    ``fin`` (doc_id, i, k0..k{_SAG_ROUNDS}, rn): per-round DENSE_RANK
+    ``fin`` (doc_id, i, k0..k{build_rounds}, rn): per-round DENSE_RANK
     over (prev rank, lead-or--1) replicates the ordered rank classes
     (numeric values differ across engines — only the induced order and
     equivalence classes feed any output), ROW_NUMBER over
     (k_R, doc_id, i) replicates the global suffix order. Reused by the
-    class panel, the LCP-array mirrors, and the span extractor."""
+    class panel, the LCP-array mirrors, and the span extractor.
+    ``build_rounds`` defaults to the registered/report depth; the
+    long-doc gate regenerates at the corpus's ``_sag_depth``."""
     ctes = [
         """toks AS (
       SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok
@@ -452,7 +482,7 @@ def _sag_ctes() -> str:
     )""",
     ]
     prev = "r0"
-    for k in range(1, _SAG_ROUNDS + 1):
+    for k in range(1, build_rounds + 1):
         h = 1 << (k - 1)
         kept = ", ".join(f"k{j}" for j in range(k))
         ctes.append(
@@ -470,17 +500,19 @@ def _sag_ctes() -> str:
         prev = f"r{k}"
     ctes.append(
         f"""fin AS (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY k{_SAG_ROUNDS}, doc_id, i) AS rn
+      SELECT *, ROW_NUMBER() OVER (ORDER BY k{build_rounds}, doc_id, i) AS rn
       FROM {prev}
     )"""
     )
     return ",".join(ctes)
 
 
-def _sag_oracle() -> str:
+def _sag_oracle(build_rounds: int = _SAG_ROUNDS) -> str:
     """Class panel + adjacency mirror over the shared doubling chain
     (:func:`_sag_ctes`): the two melts replicate the per-width class
-    rollup and the adjacent-pair scan."""
+    rollup and the adjacent-pair scan. The build chain runs to
+    ``build_rounds`` (corpus-adaptive); the REPORTED widths stay pinned
+    at 2^0..2^_SAG_ROUNDS, matching the Spark panel."""
     cls_melt = "\n      UNION ALL\n      ".join(
         f"SELECT {1 << k} AS window_tokens, doc_id, k{k} AS cls FROM fin"
         for k in range(_SAG_ROUNDS + 1)
@@ -492,7 +524,7 @@ def _sag_oracle() -> str:
     a_cols = ", ".join(f"a.k{k} AS a{k}" for k in range(_SAG_ROUNDS + 1))
     b_cols = ", ".join(f"b.k{k} AS b{k}" for k in range(_SAG_ROUNDS + 1))
     return f"""
-    WITH {_sag_ctes()},
+    WITH {_sag_ctes(build_rounds)},
     adj AS (
       SELECT (a.doc_id <> b.doc_id) AS xd, {a_cols}, {b_cols}
       FROM fin a JOIN fin b ON b.rn = a.rn + 1
@@ -657,6 +689,8 @@ def _suffix_lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — never a token-by-token scan; O(log L) rounds over a table
     linear in corpus positions, pinned per round like the doubling."""
 
+    R = _sag_depth(spark, sf_dir)
+
     def build() -> DataFrame:
         fin = _suffix_global_ranks(spark, sf_dir)
         lens = fin.groupBy("doc_id").agg(F.max("i").alias("_len"))
@@ -678,7 +712,7 @@ def _suffix_lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("da", "ia", "la", "db", "ib", "lb")
             .withColumn("acc", F.lit(0).cast("long"))
         )
-        for k in range(_SAG_ROUNDS, -1, -1):
+        for k in range(R, -1, -1):
             h = 1 << k
             ra = fin.select(
                 F.col("doc_id").alias("_rda"),
@@ -728,15 +762,18 @@ def _suffix_lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("acc"), rem).cast("long").alias("lcp"),
         )
 
-    return shared(("suffix_lcp_pairs", sf_dir, _SAG_ROUNDS), spark, build)
+    return shared(("suffix_lcp_pairs", sf_dir, R), spark, build)
 
 
-#: DuckDB LCP mirror computed by a DIFFERENT algorithm — direct
-#: token-by-token comparison of the two suffixes' arrays (first unequal
-#: offset via a correlated scan) — so the hash gate cross-checks the
-#: level-decomposition construction against ground truth, not against a
-#: re-implementation of itself.
-_LCP_PAIRS_CTES = """adj AS (
+def _lcp_pairs_ctes(build_rounds: int = _SAG_ROUNDS) -> str:
+    """DuckDB LCP mirror computed by a DIFFERENT algorithm — direct
+    token-by-token comparison of the two suffixes' arrays (first unequal
+    offset via a correlated scan) — so the hash gate cross-checks the
+    level-decomposition construction against ground truth, not against a
+    re-implementation of itself. The scan cap is 2^build_rounds (the
+    longest possible common prefix at that depth), generated from the
+    SAME constant as the doubling chain."""
+    return f"""adj AS (
       SELECT a.doc_id AS doc_a, a.i AS pos_a,
              b.doc_id AS doc_b, b.i AS pos_b
       FROM fin a JOIN fin b ON b.rn = a.rn + 1
@@ -747,7 +784,7 @@ _LCP_PAIRS_CTES = """adj AS (
              (p.doc_a <> p.doc_b) AS xd,
              CAST(COALESCE(
                (SELECT MIN(g) - 1
-                FROM generate_series(1, 128) AS s(g)
+                FROM generate_series(1, {1 << build_rounds}) AS s(g)
                 WHERE g <= LEAST(len(ta.t) - p.pos_a,
                                  len(tb.t) - p.pos_b) + 1
                   AND ta.t[p.pos_a + g - 1] <> tb.t[p.pos_b + g - 1]),
@@ -759,11 +796,10 @@ _LCP_PAIRS_CTES = """adj AS (
     )"""
 
 
-@register(
-    "suffix_lcp_histogram",
-    oracle=f"""
-    WITH {_sag_ctes()},
-    {_LCP_PAIRS_CTES}
+def _lcp_hist_oracle(build_rounds: int = _SAG_ROUNDS) -> str:
+    return f"""
+    WITH {_sag_ctes(build_rounds)},
+    {_lcp_pairs_ctes(build_rounds)}
     SELECT lcp,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(CASE WHEN xd THEN 1 ELSE 0 END) AS BIGINT)
@@ -771,8 +807,10 @@ _LCP_PAIRS_CTES = """adj AS (
     FROM lcp_pairs
     GROUP BY lcp
     ORDER BY lcp
-    """,
-)
+    """
+
+
+@register("suffix_lcp_histogram", oracle=_lcp_hist_oracle())
 def suffix_lcp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution of the exact LCP array (adjacent-suffix common-prefix
     lengths in global SA order), split cross-document — THE curve for
@@ -797,18 +835,19 @@ def suffix_lcp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_TOPN = 25
 
 
-@register(
-    "suffix_cross_doc_spans",
-    oracle=f"""
-    WITH {_sag_ctes()},
-    {_LCP_PAIRS_CTES}
+def _spans_oracle(build_rounds: int = _SAG_ROUNDS) -> str:
+    return f"""
+    WITH {_sag_ctes(build_rounds)},
+    {_lcp_pairs_ctes(build_rounds)}
     SELECT doc_a, pos_a, doc_b, pos_b, lcp AS lcp_tokens
     FROM lcp_pairs
     WHERE xd AND lcp >= 1
     ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
     LIMIT {_SPAN_TOPN}
-    """,
-)
+    """
+
+
+@register("suffix_cross_doc_spans", oracle=_spans_oracle())
 def suffix_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{_SPAN_TOPN} exact cross-document duplicated substrings,
     witnessed by adjacent cross-doc suffix pairs: the maximal
@@ -846,7 +885,7 @@ def suffix_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REMOVAL_THRESHOLDS = (4, 8, 16, 32)
 
 
-def _removal_oracle() -> str:
+def _removal_oracle(build_rounds: int = _SAG_ROUNDS) -> str:
     per_thr = []
     for L in _REMOVAL_THRESHOLDS:
         per_thr.append(
@@ -855,8 +894,8 @@ def _removal_oracle() -> str:
         )
     starts = "\n      UNION ALL\n      ".join(per_thr)
     return f"""
-    WITH {_sag_ctes()},
-    {_LCP_PAIRS_CTES},
+    WITH {_sag_ctes(build_rounds)},
+    {_lcp_pairs_ctes(build_rounds)},
     ends AS (
       SELECT doc_a AS doc_id, pos_a AS pos, lcp FROM lcp_pairs
       UNION ALL
@@ -1044,11 +1083,11 @@ def _retained_tokens(spark: SparkSession, sf_dir: str, L: int) -> DataFrame:
     return toks.join(covered, ["doc_id", "i"], "left_anti")
 
 
-def _emit_oracle() -> str:
+def _emit_oracle(build_rounds: int = _SAG_ROUNDS) -> str:
     L = _EMIT_THRESHOLD
     return f"""
-    WITH {_sag_ctes()},
-    {_LCP_PAIRS_CTES},
+    WITH {_sag_ctes(build_rounds)},
+    {_lcp_pairs_ctes(build_rounds)},
     ends AS (
       SELECT doc_a AS doc_id, pos_a AS pos, lcp FROM lcp_pairs
       UNION ALL

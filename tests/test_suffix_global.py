@@ -4,7 +4,6 @@ monotonicity, and the plan shape of the doubling rounds."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from ethical_data_ingestion_spark import registry
@@ -129,18 +128,34 @@ def test_sa_build_survives_giant_document_skew(spark, tmp_path_factory):
     assert got == [(doc_id, i) for _, doc_id, i in suffixes]
 
 
-def test_sa_build_rejects_documents_over_rank_cap(spark, tmp_path_factory):
-    """ADVICE r8: rank_ROUNDS equates suffixes agreeing on their first
-    2^ROUNDS tokens and the DuckDB mirrors share the cap, so the hash
-    gate is blind to violations — the build must fail LOUDLY instead."""
+def test_sa_build_auto_deepens_past_report_cap(spark, tmp_path_factory):
+    """Round-9 verdict item 1: a document longer than 2^_SAG_ROUNDS tokens
+    must AUTO-DEEPEN the doubling (depth = ceil(log2(maxlen))) instead of
+    raising, and the deeper ranks must still induce the exact suffix
+    order (Python ground-truth suffix sort)."""
     cap = 1 << spans_q._SAG_ROUNDS
-    long_doc = " ".join(f"t{i}" for i in range(cap + 5))
-    d = tmp_path_factory.mktemp("sa_cap")
-    spark.createDataFrame(
-        [(1, long_doc), (2, "a b c")], "doc_id long, text string"
-    ).write.parquet(str(d / "documents.parquet"))
-    with pytest.raises(ValueError, match="suffix-array build"):
-        spans_q._suffix_global_ranks(spark, str(d))
+    rows = [
+        (1, " ".join(f"t{(i * 3) % 11}" for i in range(cap + 5))),
+        (2, "t1 t2 t3"),
+    ]
+    d = tmp_path_factory.mktemp("sa_deepen")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    assert spans_q._sag_depth(spark, str(d)) == spans_q._SAG_ROUNDS + 1
+    fin = spans_q._suffix_global_ranks(spark, str(d))
+    assert f"k{spans_q._SAG_ROUNDS + 1}" in fin.columns
+    got = [
+        (r.doc_id, r.i)
+        for r in fin.select("rn", "doc_id", "i").orderBy("rn").collect()
+    ]
+    suffixes = []
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        for i in range(1, len(toks) + 1):
+            suffixes.append((toks[i - 1 :], doc_id, i))
+    suffixes.sort(key=lambda s: (s[0], s[1], s[2]))
+    assert got == [(doc_id, i) for _, doc_id, i in suffixes]
 
 
 def test_panel_plan_no_cartesian(spark):
