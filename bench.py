@@ -244,6 +244,7 @@ HEADLINE = [
     "bpe_encode_stats",
     "dataset_diff_stats",
     "dataset_snapshot_chain",
+    "incremental_curation_delta",
     "join_skew_report",
     "revenue_gini_stats",
     "quality_vs_dup_lift",

@@ -1,0 +1,570 @@
+"""Incremental curation across snapshot versions (round-9 verdict item 6).
+
+The production backfill path: snapshot v2 lands (docs added, removed,
+revised); the pipeline must emit ONLY the CHANGED curation decisions —
+which documents newly drop or newly qualify, and why — without re-pairing
+and re-clustering the unchanged corpus mass.
+
+Snapshot model (deterministic carving, same md5-bucket rule as
+``dataset_diff_stats``): v1 = buckets < 80, v2 = buckets >= 10 with every
+5th bucket's text revised. The benchmark source is FROZEN — present and
+identical in both versions, never revised — as real eval sets are, which
+keeps the contamination screen of unchanged documents stable across
+versions (the delta path depends on that; a changing benchmark set is a
+full-recompute event, not a backfill).
+
+Delta algorithm (every expensive stage delta-bounded):
+
+1. v1 artifacts (the previous run's outputs, session-pinned here; a
+   deployment persists them): the shingle-set table, the three-tier pair
+   list, the min-id cluster labels, the per-document decisions.
+2. Tier update: drop v1 pairs touching changed/removed docs; find NEW
+   pairs by probing the v2 shingle/fingerprint/signature indexes with the
+   DELTA documents only — candidates are postings of delta docs, never
+   the corpus square. (The fixture probe joins full shingle postings;
+   production keeps PPJoin's frequency-ordered prefixes per index epoch
+   for the same delta-bounded probe with a smaller constant.)
+3. Affected closure: the v1 clusters containing any touched doc, plus
+   both endpoints of every new pair. Any surviving v1 edge out of an
+   affected node stays INSIDE its v1 cluster (edges don't change unless
+   an endpoint did), so re-running connected components on the affected
+   subgraph alone reproduces exactly what a full v2 re-cluster would
+   assign there; unaffected clusters keep their v1 labels verbatim.
+4. Decisions: quality/holdout/contamination are per-document expressions
+   (one cheap scan); near-dup survivor elections re-run only inside the
+   affected clusters. The emitted table is the DIFF — added / removed /
+   decision-changed rows with both versions' verdicts.
+
+Oracle: the DuckDB mirror recomputes BOTH versions' full decision tables
+from scratch (two complete tier + recursive-CC + stage chains over the
+snapshot CTEs) and diffs them — the delta path is hash-checked against a
+full recompute, which is the entire point.
+
+``tests/test_version_delta.py`` additionally pins, in Spark, that
+delta ∪ inherited-unchanged ≡ an independent FULL v2 recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..materialize import shared
+from ..operators import dedup as D
+from ..operators.text import normalize_text, shingles
+from ..registry import register
+
+_V1_LO = 80   # v1 = hb < 80 (plus the frozen benchmark source)
+_V2_LO = 10   # v2 = hb >= 10 (plus the frozen benchmark source)
+_REV_MOD = 5  # every 5th bucket's text gains ' [rev2]' in v2
+_JACC_T = 0.8
+_SIM_HAM = 3
+_SHINGLE_K = 3
+
+
+def _hb() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+
+
+def _bench() -> str:
+    from .corpus_q import _BENCH_SOURCE
+
+    return _BENCH_SOURCE
+
+
+def _snap(spark: SparkSession, sf_dir: str, v: int) -> DataFrame:
+    """Snapshot v1 or v2 of the corpus: (doc_id, source, text)."""
+    b = _bench()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", _hb().alias("hb")
+    )
+    if v == 1:
+        out = docs.filter((F.col("hb") < _V1_LO) | (F.col("source") == b))
+        return out.select("doc_id", "source", "text")
+    out = docs.filter((F.col("hb") >= _V2_LO) | (F.col("source") == b))
+    rev = (F.col("source") != b) & (F.col("hb") % _REV_MOD == 0)
+    return out.select(
+        "doc_id",
+        "source",
+        F.when(rev, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _snap_sets(snap: DataFrame) -> DataFrame:
+    return D._shingle_sets(snap, "doc_id", "text", _SHINGLE_K, pin=False)
+
+
+def _pairs_over(snap: DataFrame, sets: DataFrame) -> DataFrame:
+    """Full three-tier pair union over one snapshot — used for the v1
+    baseline artifact and by the test's independent full-v2 recompute."""
+    fps = snap.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+    exact = (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+    )
+    jacc = D.jaccard_pairs(
+        snap, "doc_id", "text", k=_SHINGLE_K, threshold=_JACC_T, sets=sets
+    ).select("id1", "id2")
+    sim = D.simhash_pairs(
+        snap, "doc_id", "text", max_hamming=_SIM_HAM, sets=sets
+    ).select("id1", "id2")
+    return exact.unionByName(jacc).unionByName(sim).distinct()
+
+
+def _v1_artifacts(spark: SparkSession, sf_dir: str):
+    """(snap1, sets1, pairs1, comp1, dec1) — the previous run's outputs,
+    built once per (session, corpus)."""
+    snap1 = _snap(spark, sf_dir, 1)
+    sets1 = shared(
+        ("ver_sets1", sf_dir), spark, lambda: _snap_sets(snap1)
+    )
+    pairs1 = shared(
+        ("ver_pairs1", sf_dir), spark, lambda: _pairs_over(snap1, sets1)
+    )
+    comp1 = shared(
+        ("ver_comp1", sf_dir),
+        spark,
+        lambda: D.connected_components(pairs1, "id1", "id2"),
+    )
+    dec1 = shared(
+        ("ver_dec1", sf_dir),
+        spark,
+        lambda: _decisions_over(snap1, comp1),
+    )
+    return snap1, sets1, pairs1, comp1, dec1
+
+
+def _decisions_over(snap: DataFrame, comp: DataFrame) -> DataFrame:
+    """First-failing-stage decision per document of one snapshot, given
+    its cluster labels — the same stage chain as
+    ``pipeline_q._curation_decisions`` (holdout -> quality -> near-dup
+    survivor election -> benchmark 8-gram contamination)."""
+    from .corpus_q import _DECON_K
+    from .text_q import _ENS_TAU, quality_z_df
+
+    b = _bench()
+    z = quality_z_df(snap).select(
+        "doc_id", F.col("source").alias("_zs"), "z"
+    )
+    elig = z.filter((F.col("_zs") != b) & (F.col("z") >= _ENS_TAU)).select(
+        F.col("doc_id").alias("id"), "z"
+    )
+    ekeep = (
+        comp.join(elig, "id")
+        .groupBy("cluster_id")
+        .agg(
+            (-F.max(F.struct(F.col("z"), (-F.col("id")).alias("nid")))["nid"])
+            .alias("keeper_id")
+        )
+    )
+    sh = snap.select(
+        "doc_id", "source", F.explode(shingles("text", _DECON_K)).alias("s")
+    )
+    dbench = F.broadcast(
+        sh.filter(F.col("source") == b).select("s").distinct()
+    )
+    tainted = (
+        sh.filter(F.col("source") != b)
+        .join(dbench, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_t", F.lit(1))
+    )
+    base = (
+        snap.join(z.select("doc_id", "z"), "doc_id")
+        .join(comp.select(F.col("id").alias("doc_id"), "cluster_id"), "doc_id", "left")
+        .join(ekeep, "cluster_id", "left")
+        .join(tainted, "doc_id", "left")
+    )
+    reason = (
+        F.when(F.col("source") == b, F.lit("benchmark_holdout"))
+        .when(F.col("z") < _ENS_TAU, F.lit("quality"))
+        .when(
+            F.col("cluster_id").isNotNull()
+            & (F.col("keeper_id") != F.col("doc_id")),
+            F.lit("near_duplicate"),
+        )
+        .when(F.col("_t").isNotNull(), F.lit("contaminated"))
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
+    )
+
+
+def _delta_sets_and_pairs(spark: SparkSession, sf_dir: str):
+    """(snap2, sets2, pairs2, new_pairs, touched): the tier UPDATE.
+
+    sets2/fps2/sigs2 are index updates (drop touched, add delta rows);
+    new pairs come from probing those indexes with the DELTA docs only;
+    pairs2 = surviving v1 pairs ∪ new pairs."""
+    snap1 = _snap(spark, sf_dir, 1)
+    snap2 = _snap(spark, sf_dir, 2)
+    _, sets1, pairs1, _, _ = _v1_artifacts(spark, sf_dir)
+
+    b = _bench()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _hb().alias("hb")
+    )
+    nb = F.col("source") != b
+    changed = docs.filter(
+        nb & (F.col("hb") % _REV_MOD == 0)
+        & (F.col("hb") >= _V2_LO) & (F.col("hb") < _V1_LO)
+    ).select("doc_id")
+    added = docs.filter(nb & (F.col("hb") >= _V1_LO)).select("doc_id")
+    removed = docs.filter(nb & (F.col("hb") < _V2_LO)).select("doc_id")
+    touched = changed.unionByName(removed).unionByName(added).distinct()
+    delta2 = snap2.join(
+        changed.unionByName(added).distinct(), "doc_id", "left_semi"
+    )
+
+    # --- index updates (delta-sized work over pinned v1 artifacts) ---
+    delta_sets = _snap_sets(delta2)
+    sets2 = sets1.join(touched, "doc_id", "left_anti").unionByName(delta_sets)
+
+    # exact tier: fingerprint probe
+    fps2 = snap2.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+    fpd = delta2.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+    new_exact = (
+        fpd.alias("a")
+        .join(fps2.alias("b"), "fp")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id1"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id2"),
+        )
+    )
+
+    # jaccard tier: shingle-postings probe (superset of qualifying pairs
+    # touching delta), exact verification on candidates only
+    shx2 = sets2.select("doc_id", F.explode("sh").alias("s"))
+    shxd = delta_sets.select(F.col("doc_id").alias("_d"), F.explode("sh").alias("s"))
+    cand = (
+        shxd.join(shx2, "s")
+        .filter(F.col("_d") != F.col("doc_id"))
+        .select(
+            F.least("_d", "doc_id").alias("id1"),
+            F.greatest("_d", "doc_id").alias("id2"),
+        )
+        .distinct()
+    )
+    new_jacc = D._verify_jaccard(cand, sets2, "doc_id", _JACC_T).select(
+        "id1", "id2"
+    )
+
+    # simhash tier: signature-block probe
+    sigs2 = D.simhash_signatures(snap2, "doc_id", "text", sets=sets2)
+    sigsd = sigs2.join(delta2.select("doc_id"), "doc_id", "left_semi")
+    blocks = lambda sg, idc: sg.select(  # noqa: E731
+        F.col("doc_id").alias(idc),
+        F.col("sig").alias(f"_sig_{idc}"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), j * 8).bitwiseAND(255)
+                    for j in range(4)
+                ]
+            )
+        ).alias("bi", "bv"),
+    )
+    new_sim = (
+        blocks(sigsd, "da")
+        .join(blocks(sigs2, "db"), ["bi", "bv"])
+        .filter(F.col("da") != F.col("db"))
+        .filter(
+            F.bit_count(F.col("_sig_da").bitwiseXOR(F.col("_sig_db")))
+            <= _SIM_HAM
+        )
+        .select(
+            F.least("da", "db").alias("id1"),
+            F.greatest("da", "db").alias("id2"),
+        )
+        .distinct()
+    )
+
+    new_pairs = new_exact.unionByName(new_jacc).unionByName(new_sim).distinct()
+    kept_v1 = pairs1.join(
+        touched.select(F.col("doc_id").alias("id1")), "id1", "left_anti"
+    ).join(touched.select(F.col("doc_id").alias("id2")), "id2", "left_anti")
+    pairs2 = kept_v1.select("id1", "id2").unionByName(new_pairs).distinct()
+    return snap2, sets2, pairs2, new_pairs, touched
+
+
+def _delta_comp2(spark: SparkSession, sf_dir: str):
+    """(snap2, comp2): v2 cluster labels via affected-subgraph re-CC."""
+    from ..materialize import materialize
+
+    _, _, pairs1, comp1, _ = _v1_artifacts(spark, sf_dir)
+    snap2, _, pairs2, new_pairs, touched = _delta_sets_and_pairs(
+        spark, sf_dir
+    )
+    seeds = (
+        touched.select(F.col("doc_id").alias("id"))
+        .unionByName(new_pairs.select(F.col("id1").alias("id")))
+        .unionByName(new_pairs.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    affected_clusters = (
+        comp1.join(seeds, "id", "left_semi").select("cluster_id").distinct()
+    )
+    affected_nodes = materialize(
+        comp1.join(affected_clusters, "cluster_id", "left_semi")
+        .select("id")
+        .unionByName(seeds)
+        .distinct()
+    )
+    sub_edges = pairs2.join(
+        affected_nodes.select(F.col("id").alias("id1")), "id1", "left_semi"
+    )
+    comp_sub = D.connected_components(sub_edges, "id1", "id2")
+    comp2 = (
+        comp1.join(affected_clusters, "cluster_id", "left_anti")
+        .unionByName(comp_sub)
+    )
+    return snap2, comp2
+
+
+# --------------------------------------------------------------------------
+# DuckDB mirror: FULL recompute of both versions' decision tables, diffed.
+
+
+def _vsnap_sql(v: int) -> str:
+    b = _bench()
+    hb = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100)"
+    if v == 1:
+        return f"""(
+      SELECT doc_id, source, text FROM documents
+      WHERE {hb} < {_V1_LO} OR source = '{b}'
+    )"""
+    return f"""(
+      SELECT doc_id, source,
+             CASE WHEN source <> '{b}' AND {hb} % {_REV_MOD} = 0
+                  THEN text || ' [rev2]' ELSE text END AS text
+      FROM documents
+      WHERE {hb} >= {_V2_LO} OR source = '{b}'
+    )"""
+
+
+def _vlab_ctes(rel: str, x: str) -> str:
+    """The full tier + CC + stage chain for one snapshot relation ``rel``,
+    every CTE name suffixed ``x`` — the same constructions as
+    ``dedup_q._TIER_COMP_SQL`` and ``pipeline_q._curation_lab_ctes``,
+    parameterized so two versions coexist in one WITH RECURSIVE."""
+    from .corpus_q import _DECON_K
+    from .text_q import _ENS_TAU, _EN, _sw_count
+
+    b = _bench()
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    k1 = _SHINGLE_K - 1
+    dk1 = _DECON_K - 1
+    return f"""sh{x} AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split({norm}, ' ')) - {k1}, 1) + 1),
+               i -> array_to_string(string_split({norm}, ' ')[i:i+{k1}], ' ')))
+               AS shingles
+      FROM {rel}
+    ),
+    shx{x} AS (SELECT doc_id, unnest(shingles) AS s FROM sh{x}),
+    sizes{x} AS (SELECT doc_id, COUNT(*) AS n FROM shx{x} GROUP BY doc_id),
+    common{x} AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM shx{x} a JOIN shx{x} b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jacc{x} AS (
+      SELECT id1, id2, ROUND(c::DOUBLE / (s1.n + s2.n - c), 4) AS jaccard
+      FROM common{x}
+      JOIN sizes{x} s1 ON id1 = s1.doc_id
+      JOIN sizes{x} s2 ON id2 = s2.doc_id
+    ),
+    fps{x} AS (SELECT doc_id, md5({norm}) AS fp FROM {rel}),
+    hs2{x} AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               t -> (('0x' || substr(md5(t), 1, 8))::UBIGINT)::BIGINT) AS hashes
+      FROM sh{x}
+    ),
+    ssig{x} AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32),
+               bb -> CASE WHEN list_sum(list_transform(hashes,
+                              h -> ((h >> bb) & 1) * 2 - 1)) > 0
+                         THEN (1::BIGINT << bb) ELSE 0::BIGINT END)) AS BIGINT)
+               AS sig
+      FROM hs2{x}
+    ),
+    edges{x} AS (
+      SELECT id1, id2 FROM (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM fps{x} a JOIN fps{x} b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        UNION
+        SELECT id1, id2 FROM jacc{x} WHERE jaccard >= {_JACC_T}
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM ssig{x} a JOIN ssig{x} b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= {_SIM_HAM}
+      )
+    ),
+    und{x} AS (SELECT id1 AS src, id2 AS dst FROM edges{x}
+               UNION SELECT id2, id1 FROM edges{x}),
+    nodes{x} AS (SELECT DISTINCT src AS id FROM und{x}),
+    reach{x}(id, r) AS (
+      SELECT id, id FROM nodes{x}
+      UNION
+      SELECT u.dst, reach{x}.r FROM reach{x} JOIN und{x} u ON u.src = reach{x}.id
+    ),
+    comp{x} AS (SELECT id, MIN(r) AS cluster_id FROM reach{x} GROUP BY id),
+    qf{x} AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tok,
+             ROUND({_sw_count(_EN)}::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE, 6) AS swr,
+             ROUND(length(replace(text, ' ', ''))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE, 6) AS alen,
+             ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' '))::DOUBLE, 6) AS ttr
+      FROM {rel}
+    ),
+    qz{x} AS (
+      SELECT doc_id, source,
+             ROUND(1.2 * swr + 0.8 * ttr
+                   + 0.4 * least(1.0, n_tok / 128.0)
+                   - 0.08 * abs(alen - 5.0), 6) AS z
+      FROM qf{x}
+    ),
+    elig{x} AS (
+      SELECT doc_id, z FROM qz{x}
+      WHERE source <> '{b}' AND z >= {_ENS_TAU}
+    ),
+    ekeep{x} AS (
+      SELECT cluster_id, id AS keeper_id FROM (
+        SELECT c.cluster_id, c.id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY e.z DESC, c.id) AS rn
+        FROM comp{x} c JOIN elig{x} e ON e.doc_id = c.id) WHERE rn = 1
+    ),
+    dsh{x} AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split({norm}, ' ')) - {dk1}, 1) + 1),
+               i -> array_to_string(string_split({norm}, ' ')[i:i+{dk1}], ' ')))
+               AS shingles
+      FROM {rel}
+    ),
+    dshx{x} AS (SELECT doc_id, source, unnest(shingles) AS s FROM dsh{x}),
+    dbench{x} AS (SELECT DISTINCT s FROM dshx{x} WHERE source = '{b}'),
+    tainted{x} AS (
+      SELECT DISTINCT t.doc_id FROM dshx{x} t JOIN dbench{x} bb ON t.s = bb.s
+      WHERE t.source <> '{b}'
+    ),
+    lab{x} AS (
+      SELECT d.doc_id, d.source,
+             CASE
+               WHEN d.source = '{b}' THEN 'benchmark_holdout'
+               WHEN q.z < {_ENS_TAU} THEN 'quality'
+               WHEN c.id IS NOT NULL AND k.keeper_id <> d.doc_id
+                 THEN 'near_duplicate'
+               WHEN t.doc_id IS NOT NULL THEN 'contaminated'
+             END AS drop_reason
+      FROM {rel} d
+      JOIN qz{x} q ON q.doc_id = d.doc_id
+      LEFT JOIN comp{x} c ON c.id = d.doc_id
+      LEFT JOIN ekeep{x} k ON k.cluster_id = c.cluster_id
+      LEFT JOIN tainted{x} t ON t.doc_id = d.doc_id
+    )"""
+
+
+def _delta_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_vlab_ctes(_vsnap_sql(1), "1")},
+    {_vlab_ctes(_vsnap_sql(2), "2")},
+    d AS (
+      SELECT COALESCE(l1.doc_id, l2.doc_id) AS doc_id,
+             COALESCE(l1.source, l2.source) AS source,
+             CASE WHEN l1.doc_id IS NULL THEN 'added'
+                  WHEN l2.doc_id IS NULL THEN 'removed'
+                  ELSE 'changed' END AS status,
+             (l1.doc_id IS NOT NULL AND l1.drop_reason IS NULL) AS k1,
+             l1.drop_reason AS r1,
+             (l2.doc_id IS NOT NULL AND l2.drop_reason IS NULL) AS k2,
+             l2.drop_reason AS r2,
+             (l1.doc_id IS NULL) AS a_, (l2.doc_id IS NULL) AS d_
+      FROM lab1 l1 FULL OUTER JOIN lab2 l2 USING (doc_id)
+    )
+    SELECT doc_id, source, status,
+           CASE WHEN a_ THEN NULL ELSE k1 END AS v1_kept,
+           r1 AS v1_reason,
+           CASE WHEN d_ THEN NULL ELSE k2 END AS v2_kept,
+           r2 AS v2_reason
+    FROM d
+    WHERE a_ OR d_
+       OR k1 <> k2
+       OR COALESCE(r1, '') <> COALESCE(r2, '')
+    ORDER BY doc_id
+    """
+
+
+@register("incremental_curation_delta", oracle=_delta_oracle())
+def incremental_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The backfill emit: every document whose curation decision DIFFERS
+    between snapshot v1 and snapshot v2 — added / removed docs and
+    decision-changed survivors (e.g. a near-duplicate whose keeper left
+    the corpus and which now qualifies) — with both versions' verdicts.
+    Spark computes v2 by the DELTA path (module docstring: index updates
+    + delta-probed tiers + affected-subgraph re-clustering); the oracle
+    recomputes both versions from scratch. Unchanged decisions never
+    appear — the table a deployment APPLIES to its v1 decision store to
+    reach v2."""
+    _, _, _, _, dec1 = _v1_artifacts(spark, sf_dir)
+    snap2, comp2 = _delta_comp2(spark, sf_dir)
+    dec2 = _decisions_over(snap2, comp2)
+    l1 = dec1.select(
+        "doc_id",
+        F.col("source").alias("s1"),
+        F.col("kept").alias("k1"),
+        F.col("drop_reason").alias("r1"),
+    )
+    l2 = dec2.select(
+        "doc_id",
+        F.col("source").alias("s2"),
+        F.col("kept").alias("k2"),
+        F.col("drop_reason").alias("r2"),
+    )
+    d = l1.join(l2, "doc_id", "full")
+    status = (
+        F.when(F.col("s1").isNull(), "added")
+        .when(F.col("s2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    differs = (
+        F.col("s1").isNull()
+        | F.col("s2").isNull()
+        | (F.col("k1") != F.col("k2"))
+        | (F.coalesce(F.col("r1"), F.lit("")) != F.coalesce(F.col("r2"), F.lit("")))
+    )
+    return (
+        d.filter(differs)
+        .select(
+            "doc_id",
+            F.coalesce("s1", "s2").alias("source"),
+            status.alias("status"),
+            F.col("k1").alias("v1_kept"),
+            F.col("r1").alias("v1_reason"),
+            F.col("k2").alias("v2_kept"),
+            F.col("r2").alias("v2_reason"),
+        )
+        .orderBy("doc_id")
+    )

@@ -66,6 +66,7 @@ def _load_everything() -> None:
         streaming_q,
         strings_q,
         text_q,
+        version_q,
         windows_q,
     )
 

@@ -70,6 +70,7 @@ HEAVY = [
     "corpus_curation_emit",
     # round-10 panels
     "hybrid_retrieval_topk",
+    "incremental_curation_delta",
 ]
 
 N_RUNS = 2
