@@ -1151,17 +1151,34 @@ _SGATE_M = 131068  # bits; 62 * 2114
 _SGATE_K = 5
 _SGATE_WORD = 62
 
-_SGATE_BLOOM_CACHE: dict[str, list[int]] = {}
+#: keyed on (sf_dir, corpus-file mtime) — ADVICE r9: a plain sf_dir key
+#: served a STALE bitmap to a long-lived process that rewrote the corpus
+#: at the same path (or appended benchmark docs between sessions); the
+#: mtime in the key makes any rewrite a cache miss.
+_SGATE_BLOOM_CACHE: dict[tuple, list[int]] = {}
+
+
+def _corpus_version(sf_dir: str) -> float:
+    """Cheap corpus-snapshot tag: mtime of documents.parquet (works for
+    both single-file fixtures and directory-style Spark writes, whose
+    directory mtime changes on every commit of new part files)."""
+    import os
+
+    try:
+        return os.path.getmtime(f"{sf_dir}/documents.parquet")
+    except OSError:
+        return -1.0
 
 
 def _sgate_bloom_words(spark: SparkSession, sf_dir: str) -> list[int]:
     """Dense 2114-long word list of the benchmark 8-gram Bloom bitmap —
-    built ONCE per (process, corpus) from the static benchmark source and
-    embedded as an array literal in the streaming plan (16 KB — the
-    constant-size decontamination artifact, same scale argument as
+    built ONCE per (process, corpus snapshot) from the static benchmark
+    source and embedded as an array literal in the streaming plan (16 KB
+    — the constant-size decontamination artifact, same scale argument as
     ``bloom_decontam_stats``). The collect is bounded by the bitmap
     geometry, never by benchmark size."""
-    hit = _SGATE_BLOOM_CACHE.get(sf_dir)
+    key = (sf_dir, _corpus_version(sf_dir))
+    hit = _SGATE_BLOOM_CACHE.get(key)
     if hit is not None:
         return hit
     from ..operators.text import shingles
@@ -1204,7 +1221,7 @@ def _sgate_bloom_words(spark: SparkSession, sf_dir: str) -> list[int]:
     dense = [0] * (_SGATE_M // _SGATE_WORD)
     for r in words:
         dense[r.w] = r.bits
-    _SGATE_BLOOM_CACHE[sf_dir] = dense
+    _SGATE_BLOOM_CACHE[key] = dense
     return dense
 
 
@@ -1328,7 +1345,21 @@ def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-static (broadcast), the Bloom bitmap is a 16 KB array literal
     evaluated per row (k=5 md5s per gram — the stateless trade for not
     needing a per-doc second aggregation), quality is expression-only,
-    and state is O(|sources|) counters."""
+    and state is O(|sources|) counters.
+
+    Bloom false-positive discipline (ADVICE r9): the bitmap ADMITS false
+    positives — with m={_SGATE_M} bits, k={_SGATE_K} and n distinct
+    benchmark grams the per-gram FP bound is (1-e^(-kn/m))^k ≈ 2.3e-7 at
+    n=1.3k (sf0.01) and 5.7e-3 at n=11.5k (sf0.1); grow m linearly with
+    n to hold a target rate (m ≈ -kn / ln(1 - fp^(1/k))). Because
+    ``corpus_curation_emit``'s batch path screens with the EXACT 8-gram
+    semi-join, a Bloom-positive here is a *screen*, not a verdict: a
+    deployment must route 'contaminated' rows to a quarantine/recheck
+    table (the ``streaming_quarantine_gate`` shape) and confirm with the
+    exact join before a terminal drop — never delete on the Bloom bit
+    alone. The drained panel itself is unchanged by that discipline (it
+    counts screen hits), which is why the oracle mirrors the bitmap
+    exactly."""
     with P.state_partitions(spark, 4):
         stream = _doc_batch_stream(spark, sf_dir, mfpt=2)
         agg = _curation_rollup(spark, sf_dir, stream)
@@ -1405,3 +1436,76 @@ def _curation_final(out: DataFrame) -> DataFrame:
             F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 4
         ).alias("kept_rate"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round 10 (round-9 verdict item 8): MULTIPLEX the ingest-side drains.
+# streaming_incremental_dedup, streaming_quarantine_gate, and
+# streaming_curation_gate all drain the SAME spooled delta-document
+# stream, each paying its own trigger/state/file-listing premium (the
+# decomposition harness measured ~17s aggregate premium across the drain
+# family for sub-second batch semantics). A deployment serves all three
+# panels from ONE stream pass: a single foreachBatch drain pins each
+# micro-batch, and the three rollups — all survivor-independent
+# aggregations, so batch boundaries cannot change them — run over the
+# union. Outputs are row-identical to the three registered single drains
+# (pinned by tests/test_streaming_multiplex.py and priced by
+# tools/streaming_decomp.py --multiplex).
+
+
+def multiplexed_ingest_drains(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """One streaming pass over the delta-document spool serving the three
+    ingest panels. Returns {registered-query-name: DataFrame} with each
+    panel row-identical to its single-drain twin.
+
+    Scale shape: the stream is read ONCE (one file-source listing, one
+    trigger sequence, one checkpoint); per micro-batch the only work is
+    pinning the batch rows (localCheckpoint — blocks stay on executors);
+    the three rollups then run as batch aggregations over the union,
+    sharing the scan. State that the single drains kept in the engine
+    store (per-fp counts, per-source counters) becomes one post-drain
+    groupBy each — legal precisely because every panel is
+    survivor-independent."""
+    from ..materialize import materialize
+    from ..operators import text as T
+
+    batches: list[DataFrame] = []
+
+    def _sink(bdf: DataFrame, _bid: int) -> None:
+        batches.append(materialize(bdf))
+
+    with P.state_partitions(spark, 4):
+        stream = _doc_batch_stream(spark, sf_dir, mfpt=2)
+        ckpt = scratch_dir("eds_mux_ckpt_")
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not batches:
+        raise RuntimeError("multiplexed drain saw no micro-batches")
+    rows = batches[0]
+    for b in batches[1:]:
+        rows = rows.unionByName(b)
+    rows = materialize(rows)
+    perfp = (
+        rows.select("doc_id", T.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+    return {
+        "streaming_incremental_dedup": _classify_perfp(spark, sf_dir, perfp),
+        "streaming_quarantine_gate": _quarantine_final(
+            _quarantine_rollup(rows)
+        ),
+        "streaming_curation_gate": _curation_final(
+            _curation_rollup(spark, sf_dir, rows)
+        ),
+    }
