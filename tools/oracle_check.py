@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -72,7 +73,9 @@ def main() -> int:
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            # single-file fixtures and Spark directory-style tables both work
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet"
+            + ("/*.parquet')" if os.path.isdir(f"{sf_dir}/{t}.parquet") else "')")
         )
 
     failures = []
