@@ -71,6 +71,19 @@ def main() -> int:
         "oracle_check", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     con = duckdb.connect()
+    # large-SF runs: bound DuckDB's memory next to the Spark JVM and let
+    # it SPILL instead of dying (the sf1 gate OOM'd the box otherwise)
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        spill = os.environ.get(
+            "SPARK_GRAFT_DUCKDB_TMP", "/root/repo/.scratch/duckdb_spill"
+        )
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET temp_directory='{spill}'")
+    thr = os.environ.get("SPARK_GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in FIXTURE_TABLES:
         con.execute(
             # single-file fixtures and Spark directory-style tables both work
