@@ -60,11 +60,6 @@ def test_delta_statuses_and_ripple(spark):
         if r.status == "changed":
             assert (r.v1_kept, r.v1_reason) != (r.v2_kept, r.v2_reason), r
     touched = set()
-    for r in V._snap(spark, SF_DIR, 1).collect():
-        pass  # only needed doc ids below
-    docs = {r.doc_id: r for r in delta}
-    import pyspark.sql.functions as F
-
     from ethical_data_ingestion_spark.io import load_table
 
     b = V._bench()

@@ -70,26 +70,31 @@ def main() -> int:
     spark = get_spark(
         "oracle_check", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
-    con = duckdb.connect()
-    # large-SF runs: bound DuckDB's memory next to the Spark JVM and let
-    # it SPILL instead of dying (the sf1 gate OOM'd the box otherwise)
-    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
-    if mem:
-        con.execute(f"SET memory_limit='{mem}'")
-        spill = os.environ.get(
-            "SPARK_GRAFT_DUCKDB_TMP", "/root/repo/.scratch/duckdb_spill"
-        )
-        os.makedirs(spill, exist_ok=True)
-        con.execute(f"SET temp_directory='{spill}'")
-    thr = os.environ.get("SPARK_GRAFT_DUCKDB_THREADS")
-    if thr:
-        con.execute(f"SET threads={int(thr)}")
-    for t in FIXTURE_TABLES:
-        con.execute(
-            # single-file fixtures and Spark directory-style tables both work
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet"
-            + ("/*.parquet')" if os.path.isdir(f"{sf_dir}/{t}.parquet") else "')")
-        )
+    def _connect():
+        con = duckdb.connect()
+        # large-SF runs: bound DuckDB's memory next to the Spark JVM and
+        # let it SPILL instead of dying (the sf1 gate OOM'd the box
+        # otherwise)
+        mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+        if mem:
+            con.execute(f"SET memory_limit='{mem}'")
+            spill = os.environ.get(
+                "SPARK_GRAFT_DUCKDB_TMP", "/root/repo/.scratch/duckdb_spill"
+            )
+            os.makedirs(spill, exist_ok=True)
+            con.execute(f"SET temp_directory='{spill}'")
+        thr = os.environ.get("SPARK_GRAFT_DUCKDB_THREADS")
+        if thr:
+            con.execute(f"SET threads={int(thr)}")
+        for t in FIXTURE_TABLES:
+            con.execute(
+                # single-file fixtures and Spark directory tables both work
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet"
+                + ("/*.parquet')" if os.path.isdir(f"{sf_dir}/{t}.parquet") else "')")
+            )
+        return con
+
+    con = _connect()
 
     failures = []
     for name, fn in qs.items():
@@ -119,6 +124,10 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            # a failed (esp. OOM'd) query can leave the connection's
+            # buffers wedged and poison every later query — reconnect
+            con.close()
+            con = _connect()
             continue
 
         problems = []
