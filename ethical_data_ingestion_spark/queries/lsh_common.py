@@ -48,7 +48,14 @@ def _lsh_pipeline_ctes(
     from the index), and ``n_queries`` is ignored. ``n_tables``/
     ``n_bits``: plane geometry — must match the Spark side's
     ``hyperplanes`` call (bits per table is the bucket-width knob a
-    deployment grows with corpus size)."""
+    deployment grows with corpus size).
+
+    ``b``/``sig`` (and ``qb``/``qsig``) are AS MATERIALIZED: the melt
+    references ``sig`` once per table and ``lsh_scored`` re-reads ``b``,
+    and DuckDB's default inlining re-evaluated the dense-reconstruction
+    chain once per reference — at sf1 the concurrent inlined copies
+    exhausted a 64 GB budget (the round-10 sf1 gate's one genuine OOM);
+    materialized, each is computed once."""
     planes = S.hyperplanes(64, n_tables, n_bits)
     sig_cols = []
     for t, rows in enumerate(planes):
@@ -78,8 +85,8 @@ def _lsh_pipeline_ctes(
             f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM qsig"
             for t in range(len(planes))
         )
-        q_ctes = f"""qb AS ({q_body}),
-    qsig AS (
+        q_ctes = f"""qb AS MATERIALIZED ({q_body}),
+    qsig AS MATERIALIZED (
       SELECT vec_id, bv, {", ".join(sig_cols)}
       FROM qb
     ),
@@ -88,8 +95,8 @@ def _lsh_pipeline_ctes(
     ),"""
         qm_body = "SELECT vec_id AS query_id, t, bucket FROM qmelt"
         q_sel = "SELECT vec_id AS query_id, bv AS qv FROM qb"
-    return f"""b AS ({b_body}),
-    sig AS (
+    return f"""b AS MATERIALIZED ({b_body}),
+    sig AS MATERIALIZED (
       SELECT vec_id, bv, {", ".join(sig_cols)}
       FROM b
     ),
