@@ -94,14 +94,21 @@ def _verify_jaccard(
     candidate generation was."""
     s1 = sets.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"), F.col("n_sh").alias("n1"))
     s2 = sets.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"), F.col("n_sh").alias("n2"))
+    # 4-decimal rounding via EXACT integer arithmetic, not ROUND(double):
+    # round(double, 4) is computed differently by Spark (BigDecimal
+    # HALF_UP on the exact double) and DuckDB (scale-multiply in float),
+    # so a Jaccard landing on an x.xxxx5 boundary flips by one 4th-decimal
+    # ulp between engines — invisible at sf<=0.1, caught by the sf1 hash
+    # gate (neardup_source_matrix avg off by 0.0001). Half-up of c/d at
+    # 4 decimals == (20000*c + d) div (2*d), exact BIGINTs on both sides.
+    d = F.col("n1") + F.col("n2") - F.col("c")
+    j4 = F.expr("(20000 * cast(c as bigint) + _d) div (2 * _d)")
     return (
         candidates.join(s1, "id1")
         .join(s2, "id2")
         .withColumn("c", F.size(F.array_intersect("sh1", "sh2")))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")), 4),
-        )
+        .withColumn("_d", d.cast("long"))
+        .withColumn("jaccard", j4.cast("double") / F.lit(10000.0))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
         .orderBy("id1", "id2")

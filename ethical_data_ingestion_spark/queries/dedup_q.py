@@ -72,10 +72,15 @@ _EXACT_JACCARD = f"""
     GROUP BY 1, 2
   ),
   jacc AS (
-    SELECT id1, id2, ROUND(c::DOUBLE / (s1.n + s2.n - c), 4) AS jaccard
+    SELECT id1, id2,
+           (((20000 * c + (s1.n + s2.n - c)) // (2 * (s1.n + s2.n - c)))::DOUBLE
+            / 10000.0) AS jaccard
     FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
   )
 """
+# ^ jaccard rounds to 4 decimals via EXACT integer half-up — see
+#   operators/dedup._verify_jaccard: ROUND(double, 4) differs between
+#   engines on x.xxxx5 boundaries (caught by the sf1 hash gate).
 
 
 @register(

@@ -385,7 +385,9 @@ def _vlab_ctes(rel: str, x: str) -> str:
       GROUP BY 1, 2
     ),
     jacc{x} AS (
-      SELECT id1, id2, ROUND(c::DOUBLE / (s1.n + s2.n - c), 4) AS jaccard
+      SELECT id1, id2,
+             (((20000 * c + (s1.n + s2.n - c)) // (2 * (s1.n + s2.n - c)))::DOUBLE
+              / 10000.0) AS jaccard
       FROM common{x}
       JOIN sizes{x} s1 ON id1 = s1.doc_id
       JOIN sizes{x} s2 ON id2 = s2.doc_id
