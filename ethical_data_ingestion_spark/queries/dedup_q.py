@@ -1488,9 +1488,9 @@ def ngram_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT src_a, src_b,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(SUM(CAST(jaccard AS DECIMAL(14,4)))::DOUBLE
-                 / COUNT(*)::DOUBLE, 4) AS avg_jaccard,
-           ROUND(MAX(jaccard), 4) AS max_jaccard
+           (((2 * SUM(CAST(ROUND(jaccard * 10000) AS BIGINT)) + COUNT(*))
+             // (2 * COUNT(*)))::DOUBLE / 10000.0) AS avg_jaccard,
+           MAX(jaccard) AS max_jaccard
     FROM lab GROUP BY src_a, src_b ORDER BY src_a, src_b
     """,
 )
@@ -1540,12 +1540,18 @@ def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab.groupBy("src_a", "src_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.round(
-                F.sum(F.col("jaccard").cast("decimal(14,4)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                4,
+            # avg rounded to 4 decimals by EXACT integer half-up — the
+            # decimal sum / count through ROUND(double, 4) flips on
+            # x.xxxx5 boundaries between engines (sf1-gate catch, same
+            # class as the per-pair fix in operators/dedup)
+            (
+                F.expr(
+                    "(2 * sum(cast(round(jaccard * 10000) as bigint)) + count(1))"
+                    " div (2 * count(1))"
+                ).cast("double")
+                / F.lit(10000.0)
             ).alias("avg_jaccard"),
-            F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
         )
         .orderBy("src_a", "src_b")
     )
@@ -1579,8 +1585,11 @@ _SPLIT_SQL = """CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
     )
     SELECT c.split_pair,
            CAST(COALESCE(COUNT(l.jaccard), 0) AS BIGINT) AS n_pairs,
-           ROUND(SUM(CAST(l.jaccard AS DECIMAL(14,4)))::DOUBLE
-                 / COUNT(l.jaccard)::DOUBLE, 4) AS avg_jaccard
+           CASE WHEN COUNT(l.jaccard) > 0 THEN
+             (((2 * SUM(CAST(ROUND(l.jaccard * 10000) AS BIGINT))
+                + COUNT(l.jaccard)) // (2 * COUNT(l.jaccard)))::DOUBLE
+              / 10000.0)
+           END AS avg_jaccard
     FROM cats c LEFT JOIN lab l USING (split_pair)
     GROUP BY c.split_pair
     ORDER BY c.split_pair
@@ -1647,10 +1656,14 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.count("jaccard"), F.lit(0))
             .cast("long")
             .alias("n_pairs"),
-            F.round(
-                F.sum(F.col("jaccard").cast("decimal(14,4)")).cast("double")
-                / F.count("jaccard").cast("double"),
-                4,
+            # same exact-integer half-up as neardup_source_matrix's avg
+            F.when(
+                F.count("jaccard") > 0,
+                F.expr(
+                    "(2 * sum(cast(round(jaccard * 10000) as bigint))"
+                    " + count(jaccard)) div (2 * count(jaccard))"
+                ).cast("double")
+                / F.lit(10000.0),
             ).alias("avg_jaccard"),
         )
         .orderBy("split_pair")
