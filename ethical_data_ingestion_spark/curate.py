@@ -88,7 +88,9 @@ def _mount_merkle(corpus: DataFrame) -> DataFrame:
     rows_h = corpus.select(
         F.col("shard_id").alias("shard"),
         (F.col("doc_id") % _MERKLE_SUBS).alias("sub"),
-        F.length("text").cast("long").alias("nb"),
+        # octet_length: n_bytes is UTF-8 BYTES (release-card size
+        # accounting), not characters — they differ on non-ASCII corpora.
+        F.octet_length("text").cast("long").alias("nb"),
         F.md5(
             F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
         ).alias("rh"),
@@ -150,7 +152,12 @@ def write_training_mount(
     audit.write.mode("overwrite").parquet(f"{out_dir}/audit")
     # hash the mount that was WRITTEN, not the plan that produced it —
     # the manifest must certify the bytes a consumer will actually read.
-    written = spark.read.parquet(f"{out_dir}/corpus")
+    # partitionBy inference types the hive shard_id column INT; cast back
+    # to BIGINT so merkle/corpus join the manifest without a cross-type
+    # seam.
+    written = spark.read.parquet(f"{out_dir}/corpus").withColumn(
+        "shard_id", F.col("shard_id").cast("long")
+    )
     merkle = _mount_merkle(written)
     merkle.write.mode("overwrite").parquet(f"{out_dir}/merkle")
     m = spark.read.parquet(f"{out_dir}/merkle")

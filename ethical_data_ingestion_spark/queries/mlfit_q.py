@@ -10,7 +10,12 @@ in-cluster, with hash-exact coefficients:
   so every moment is an exact BIGINT on both engines): the four ensemble
   features — EN-stopword ratio, type-token ratio, saturating length
   ``min(1, n_tok/128)``, average-token-length deviation ``|alen - 5|`` —
-  plus an intercept.
+  plus an intercept. Each ratio feature is rounded to micro-units with
+  the EXACT INTEGER HALF-UP used throughout the dedup family —
+  ``(2·num·10⁶ + den) div (2·den)`` on BIGINTs — never ``ROUND(double)``,
+  so there is no cross-engine x.xxx…5-boundary seam at any corpus size
+  (round-10 ADVICE item 1; the sf1 gate retired this bug class for
+  Jaccard and these features follow the same discipline).
 * **Label**: ``lang = 'en'`` — the same independent outcome
   ``quality_calibration_stats`` bins against (the score family is an
   English-quality classifier on this corpus).
@@ -56,52 +61,69 @@ _TERMS = ("intercept", "swr", "ttr", "len_sat", "alen_dev")
 _CAL_BIN = 0.25
 
 
-def _en_stopwords() -> str:
+def _en_stopwords() -> list[str]:
     return [s for lang, s in T.LANG_STOPWORDS if lang == "en"][0]
+
+
+def _half_up_spark(num: str, den: str) -> str:
+    """Spark-SQL exact integer half-up of ``num/den`` in micro-units:
+    ``round(num/den, 6) * 10^6`` computed entirely in BIGINT arithmetic
+    (the ``operators.dedup._verify_jaccard`` discipline) — no double
+    anywhere, so no cross-engine x.xxx…5-boundary divergence."""
+    return (
+        f"((2 * cast({num} as bigint) * {_SCALE} + cast({den} as bigint))"
+        f" div (2 * cast({den} as bigint)))"
+    )
 
 
 def _feature_cols() -> list[F.Column]:
     """The five integer micro-unit feature columns (BIGINT), in
-    ``_TERMS`` order. Rounding to 6 decimals BEFORE scaling makes the
-    integers the single source of truth on both engines."""
-    n_tok = T.n_tokens("text")
-    ttr = F.round(
-        F.size(F.array_distinct(T.tokens("text"))).cast("double")
-        / n_tok.cast("double"),
-        6,
-    )
-    feats = [
-        F.lit(1.0),
-        T.stopword_ratio("text", _en_stopwords()),
-        ttr,
-        F.round(F.least(F.lit(1.0), n_tok / F.lit(128.0)), 6),
-        F.round(F.abs(T.avg_token_len("text") - F.lit(5.0)), 6),
-    ]
+    ``_TERMS`` order — every one an exact integer-arithmetic half-up, so
+    the integers are the single bit-exact source of truth on both
+    engines at ANY corpus size."""
+    sw = ", ".join(f"'{s}'" for s in _en_stopwords())
+    ntok = "size(split(text, ' '))"
+    swc = f"size(filter(split(text, ' '), t -> array_contains(array({sw}), t)))"
+    dist = "size(array_distinct(split(text, ' ')))"
+    nonsp = "length(regexp_replace(text, ' ', ''))"
     return [
-        F.round(f * _SCALE).cast("long").alias(f"x{i}")
-        for i, f in enumerate(feats)
+        F.lit(_SCALE).cast("long").alias("x0"),
+        F.expr(_half_up_spark(swc, ntok)).cast("long").alias("x1"),
+        F.expr(_half_up_spark(dist, ntok)).cast("long").alias("x2"),
+        F.least(
+            F.lit(_SCALE).cast("long"),
+            F.expr(_half_up_spark(ntok, "128")).cast("long"),
+        ).alias("x3"),
+        F.abs(
+            F.expr(_half_up_spark(nonsp, ntok)) - F.lit(5 * _SCALE)
+        ).cast("long").alias("x4"),
     ]
+
+
+def _half_up_duck(num: str, den: str) -> str:
+    """DuckDB twin of :func:`_half_up_spark` (``//`` is BIGINT floordiv)."""
+    return (
+        f"((2 * ({num})::BIGINT * {_SCALE} + ({den})::BIGINT)"
+        f" // (2 * ({den})::BIGINT))"
+    )
 
 
 def _features_sql() -> str:
     """DuckDB twin of :func:`_feature_cols` + the label, over
-    ``documents``: same 6-decimal rounds, same micro-unit scaling."""
+    ``documents``: identical integer half-up micro-unit features."""
     from .text_q import _EN, _sw_count
 
     ntok = "len(string_split(text, ' '))"
+    dist = "len(list_distinct(string_split(text, ' ')))"
+    nonsp = "length(replace(text, ' ', ''))"
     return f"""feats AS (
       SELECT doc_id,
              CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
              CAST({_SCALE} AS BIGINT) AS x0,
-             CAST(ROUND(ROUND({_sw_count(_EN)}::DOUBLE / {ntok}::DOUBLE, 6)
-                        * {_SCALE}) AS BIGINT) AS x1,
-             CAST(ROUND(ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
-                              / {ntok}::DOUBLE, 6) * {_SCALE}) AS BIGINT) AS x2,
-             CAST(ROUND(ROUND(least(1.0, {ntok} / 128.0), 6) * {_SCALE})
-                  AS BIGINT) AS x3,
-             CAST(ROUND(ROUND(abs(ROUND(length(replace(text, ' ', ''))::DOUBLE
-                                        / {ntok}::DOUBLE, 6) - 5.0), 6)
-                        * {_SCALE}) AS BIGINT) AS x4
+             {_half_up_duck(_sw_count(_EN), ntok)} AS x1,
+             {_half_up_duck(dist, ntok)} AS x2,
+             least({_SCALE}, {_half_up_duck(ntok, '128')}) AS x3,
+             abs({_half_up_duck(nonsp, ntok)} - {5 * _SCALE}) AS x4
       FROM documents
     )"""
 

@@ -91,7 +91,7 @@ def test_merkle_root_recomputes_from_written_corpus(spark, mount):
         subs.setdefault((r.shard_id, r.doc_id % _MERKLE_SUBS), []).append(rh)
         a = sizes.setdefault(r.shard_id, [0, 0])
         a[0] += 1
-        a[1] += len(r.text)
+        a[1] += len(r.text.encode("utf-8"))  # n_bytes is UTF-8 octets
     shard_subs: dict[int, list] = {}
     for (shard, sub), hs in subs.items():
         sub_h = hashlib.md5("".join(sorted(hs)).encode()).hexdigest()
