@@ -105,10 +105,30 @@ def hyperplanes(dim: int, n_tables: int, n_bits: int, seed: str = "edi") -> list
     return planes
 
 
+def lsh_bucket_ids(planes: list[list[list[float]]], v: "np.ndarray") -> "np.ndarray":
+    """The LSH bucket kernel: n×dim vectors → n×tables int32 bucket ids.
+
+    Strict left-fold accumulation in dimension order (vectorized across
+    rows and planes): bit-matches the sequential fold the DuckDB oracle
+    mirror performs, so bucket ids agree across engines — a plain
+    matmul's pairwise/SIMD summation differs in the last ulp, which flips
+    signs of near-orthogonal projections. ONE code path shared by the
+    distributed pandas UDF and driver-side probe-batch compilation
+    (:func:`lsh_query_buckets_local`)."""
+    mat = np.asarray(planes, dtype=np.float64)  # [tables, bits, dim]
+    n_tables, n_bits, _ = mat.shape
+    flat = mat.reshape(n_tables * n_bits, -1).T  # dim × (tables·bits)
+    weights = 1 << np.arange(n_bits)
+    acc = np.zeros((len(v), flat.shape[1]))
+    for d in range(v.shape[1]):
+        acc += v[:, d : d + 1] * flat[d]
+    signs = (acc > 0).reshape(len(v), n_tables, n_bits)
+    return (signs * weights).sum(axis=2).astype("int32")
+
+
 def lsh_bucket_udf(planes: list[list[list[float]]]):
-    """Vectorized bucket computation: one Arrow-batched Pandas UDF doing a
-    single numpy matmul (n×dim @ dim×(tables·bits)) and packing sign bits
-    per table → ``array<int>`` of per-table bucket ids.
+    """Vectorized bucket computation: one Arrow-batched Pandas UDF over
+    :func:`lsh_bucket_ids` → ``array<int>`` of per-table bucket ids.
 
     Why a UDF here, against this repo's no-UDF default: the pure-expression
     version (literal array per plane component) builds a ~2000-node
@@ -118,27 +138,34 @@ def lsh_bucket_udf(planes: list[list[list[float]]]):
     is per-partition data-parallel, so it scales like any map."""
     from pyspark.sql.functions import pandas_udf
 
-    mat = np.asarray(planes, dtype=np.float64)  # [tables, bits, dim]
-    n_tables, n_bits, _ = mat.shape
-    flat = mat.reshape(n_tables * n_bits, -1).T  # dim × (tables·bits)
-    weights = 1 << np.arange(n_bits)
-
     @pandas_udf("array<int>")
     def buckets(emb: pd.Series) -> pd.Series:
         v = np.vstack(emb.to_numpy())  # n × dim
-        # strict left-fold accumulation in dimension order (vectorized
-        # across rows and planes): bit-matches the sequential fold the
-        # DuckDB oracle mirror performs, so bucket ids agree across
-        # engines — a plain matmul's pairwise/SIMD summation differs in
-        # the last ulp, which flips signs of near-orthogonal projections.
-        acc = np.zeros((len(v), flat.shape[1]))
-        for d in range(v.shape[1]):
-            acc += v[:, d : d + 1] * flat[d]
-        signs = (acc > 0).reshape(len(v), n_tables, n_bits)
-        out = (signs * weights).sum(axis=2).astype("int32")
-        return pd.Series(list(out))
+        return pd.Series(list(lsh_bucket_ids(planes, v)))
 
     return buckets
+
+
+def lsh_query_buckets_local(
+    q_rows: list[tuple[int, list[float]]],
+    planes: list[list[list[float]]],
+    spark,
+) -> DataFrame:
+    """Driver-compiled (query_id, t, bucket) relation for a SMALL probe
+    batch: the same :func:`lsh_bucket_ids` kernel run once in the driver
+    over the collected probe vectors, returned as a local relation — no
+    Python-worker round-trip, no exchange, broadcast-trivial. The
+    serving-path analogue of hardcoding probe terms as literals: a probe
+    batch is bounded by construction, so bucketizing it is driver work."""
+    ids = np.array([i for i, _ in q_rows], dtype=np.int64)
+    v = np.array([vec for _, vec in q_rows], dtype=np.float64)
+    out = lsh_bucket_ids(planes, v) if len(q_rows) else np.zeros((0, 1))
+    rows = [
+        (int(ids[n]), int(t), int(out[n][t]))
+        for n in range(len(q_rows))
+        for t in range(out.shape[1])
+    ]
+    return spark.createDataFrame(rows, "query_id long, t int, bucket int")
 
 
 def lsh_base_buckets(
@@ -168,12 +195,17 @@ def lsh_candidates(
     base_vec: str = "_bv",
     query_vec: str = "_qv",
     b_buckets: DataFrame | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """(query_id, id) candidate pairs colliding in ANY table's bucket —
     the equi-join on (table, bucket) that replaces the O(|base|) scan per
     query at scale. Shared by `knn_lsh` and the recall-stats query.
     Pass ``b_buckets`` (a pinned :func:`lsh_base_buckets` result) to
-    serve the base side from a session-shared index."""
+    serve the base side from a session-shared index. ``distinct=False``
+    skips the dedup shuffle and emits one row per COLLISION (≤ n_tables
+    per pair) — for consumers whose downstream rollup is idempotent per
+    pair (e.g. ``max(cos)``), saving a full exchange on the serving
+    path."""
     buckets = lsh_bucket_udf(planes)
     if b_buckets is None:
         b_buckets = lsh_base_buckets(b, id_col, planes, base_vec)
@@ -183,16 +215,13 @@ def lsh_candidates(
     # distinct over bare id pairs, NOT over rows carrying the vectors —
     # hashing 64-float arrays through the dedup shuffle doubled runtime;
     # vectors are re-attached to the (small) candidate set afterwards.
-    return (
-        b_buckets.join(
-            F.broadcast(q_buckets),
-            (b_buckets.t == q_buckets.t)
-            & (b_buckets.bucket == q_buckets.bucket)
-            & (F.col(id_col) != F.col(query_id_col)),
-        )
-        .select(query_id_col, id_col)
-        .distinct()
-    )
+    pairs = b_buckets.join(
+        F.broadcast(q_buckets),
+        (b_buckets.t == q_buckets.t)
+        & (b_buckets.bucket == q_buckets.bucket)
+        & (F.col(id_col) != F.col(query_id_col)),
+    ).select(query_id_col, id_col)
+    return pairs.distinct() if distinct else pairs
 
 
 def knn_lsh(

@@ -58,9 +58,26 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def _capture_stderr() -> tuple[int, str]:
+    """Tee the process-level fd 2 into a temp file BEFORE the JVM starts,
+    so Spark's log4j output (HintErrorLogger etc.) is inspectable at the
+    end of the run. Returns (original stderr fd, capture path); the
+    captured bytes are replayed to the original stderr on exit so outer
+    ``2>file`` redirects still see everything."""
+    import tempfile
+
+    f = tempfile.NamedTemporaryFile(
+        prefix="oracle_stderr_", suffix=".log", delete=False
+    )
+    orig = os.dup(2)
+    os.dup2(f.fileno(), 2)
+    return orig, f.name
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    orig_err, err_path = _capture_stderr()
 
     import __spark_entry__ as entrymod
 
@@ -150,6 +167,29 @@ def main() -> int:
                     print(f"    {label}: {row}")
         else:
             print(f"OK    {name}: {len(srows)} rows [{spark_s:.1f}s]")
+
+    # plan-hygiene gate: a discarded join hint (HintErrorLogger WARN)
+    # means a plan does not say what it means — fail loudly (round-10
+    # verdict item 5)
+    sys.stderr.flush()
+    try:
+        with open(err_path, "rb") as fh:
+            data = fh.read()
+        os.write(orig_err, data)
+        hint_lines = sorted(
+            {
+                ln.strip()
+                for ln in data.decode(errors="replace").splitlines()
+                if "HintErrorLogger" in ln
+            }
+        )
+    except OSError:
+        hint_lines = []
+    if hint_lines:
+        print(f"HINTFAIL  {len(hint_lines)} distinct discarded-hint warnings:")
+        for ln in hint_lines[:10]:
+            print(f"    {ln}")
+        failures.append("<discarded-join-hints>")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
