@@ -115,6 +115,18 @@ def _cap_checkpoint_stats(df: DataFrame) -> DataFrame:
         return df
 
 
+#: id(pinned df) -> (weakref to it, persistent-RDD ids created by its pin).
+#: localCheckpoint registers its RDD in SparkContext.persistentRdds with a
+#: STRONG reference — dropping the Python DataFrame never frees the blocks
+#: (measured: block-manager bytes unchanged after del + GC both sides).
+#: :func:`release` uses these ids to unpersist deterministically.
+_PIN_RDD_IDS: dict[int, tuple] = {}
+
+
+def _persistent_ids(sc) -> set:
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
 def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
     """Pin ``df``: force one computation whose result every downstream job
     reuses. Policy from ``mode`` or ``$SPARK_GRAFT_MATERIALIZE`` (default
@@ -127,7 +139,24 @@ def materialize(df: DataFrame, mode: str | None = None) -> DataFrame:
             f"(set via mode= or ${_ENV_VAR})"
         )
     if mode == "local":
-        return _cap_checkpoint_stats(df.localCheckpoint(eager=True))
+        import weakref
+
+        sc = df.sparkSession.sparkContext
+        try:
+            before = _persistent_ids(sc)
+        except Exception:  # noqa: BLE001 — tracking is best-effort
+            before = None
+        pinned = _cap_checkpoint_stats(df.localCheckpoint(eager=True))
+        if before is not None:
+            try:
+                new = _persistent_ids(sc) - before
+                if new:
+                    _PIN_RDD_IDS[id(pinned)] = (
+                        weakref.ref(pinned), sorted(new)
+                    )
+            except Exception:  # noqa: BLE001
+                pass
+        return pinned
     if mode == "disk":
         pinned = df.persist(StorageLevel.DISK_ONLY)
         pinned.count()
@@ -228,3 +257,82 @@ def unpin(df: DataFrame | None, mode: str | None = None) -> None:
     mode = mode or os.environ.get(_ENV_VAR, "local")
     if mode == "disk":
         df.unpersist()
+
+
+def release(df: DataFrame | None) -> int:
+    """Deterministically FREE a local-mode pin's block-manager memory.
+
+    Contract: the caller guarantees NO consumer touches ``df`` again —
+    after release the DataFrame is unrecomputable (its lineage was
+    truncated by the checkpoint). This is the between-workload memory
+    budget the long-suite bench needs (DEPLOY §14): pinned artifacts
+    accumulate in SparkContext.persistentRdds (strong refs — GC never
+    frees them) and squeeze execution memory for every later query.
+    Returns the number of RDDs unpersisted. No-op for non-local modes
+    (``disk`` pins release via :func:`unpin`; reliable checkpoints are
+    files, not blocks)."""
+    if df is None:
+        return 0
+    ref_ids = _PIN_RDD_IDS.pop(id(df), None)
+    if ref_ids is None or ref_ids[0]() is not df:
+        return 0
+    sc = df.sparkSession.sparkContext
+    n = 0
+    try:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ref_ids[1]:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+                n += 1
+    except Exception:  # noqa: BLE001 — releasing is best-effort hygiene
+        return n
+    return n
+
+
+def transient_release(spark) -> int:
+    """Unpersist every persistent RDD NOT owned by a live shared
+    artifact — the per-call :func:`materialize` pins (loop rounds,
+    intra-query intermediates) that are dead once their query's action
+    returns but sit in ``persistentRdds`` for session life otherwise.
+    A long-lived session (the bench, a notebook, a server) calls this
+    between queries; one query's transients never help the next, so the
+    only effect is execution memory handed back. Returns the number of
+    RDDs unpersisted."""
+    owned: set = set()
+    for s, df in _SHARED.values():
+        if s is spark:
+            e = _PIN_RDD_IDS.get(id(df))
+            if e is not None and e[0]() is df:
+                owned.update(e[1])
+    n = 0
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in set(jmap.keySet().toArray()) - owned:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+                n += 1
+    except Exception:  # noqa: BLE001 — best-effort hygiene
+        return n
+    # sweep trackers whose DataFrames are gone
+    for k in [k for k, (r, _) in _PIN_RDD_IDS.items() if r() is None]:
+        del _PIN_RDD_IDS[k]
+    return n
+
+
+def shared_release(spark, predicate=None) -> int:
+    """Evict session-shared artifacts and FREE their blocks (see
+    :func:`release` for the contract — later :func:`shared` callers
+    simply rebuild). ``predicate(key)`` selects entries; None releases
+    every entry of this session. Returns the number of artifacts
+    released. The bench calls this between family blocks so each block's
+    timings run against a clean block manager instead of the whole
+    suite's accumulated artifact set."""
+    n = 0
+    for k in [k for k, (s, _) in _SHARED.items()
+              if s is spark and (predicate is None or predicate(k))]:
+        _, df = _SHARED.pop(k)
+        release(df)
+        n += 1
+    return n

@@ -207,33 +207,45 @@ def _global_ranks(vals: DataFrame, *cols: str) -> tuple[DataFrame, int]:
     return ranked, acc
 
 
-#: one-slot cache for the ranked-orders materialization shared by
-#: ``exact_order_percentiles`` and ``order_price_deciles`` — both rank the
-#: same ``o_totalprice`` in the same suite, so the second query (and any
-#: repeat call in one session) reuses the pinned blocks instead of paying
-#: repartitionByRange + checkpoint + histogram again. Keyed on the exact
-#: (session, sf_dir) pair: a new session invalidates (pinned blocks die
-#: with their session), a different sf_dir re-ranks.
-_RANKED_ORDERS_CACHE: dict[str, tuple[SparkSession, DataFrame, int]] = {}
+#: one-slot count cache companion to the shared ranked-orders artifact —
+#: n is deterministic per sf_dir, so it survives an artifact release
+#: (a rebuilt pin ranks identically).
+_RANKED_N: dict[str, tuple[SparkSession, int]] = {}
 
 
 def _ranked_order_prices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     """(orders ranked globally by (o_totalprice, o_orderkey) with 0-based
-    ``rn``, total count) — cached per (session, sf_dir).
+    ``rn``, total count) — a ``materialize.shared`` session artifact:
+    ``exact_order_percentiles`` and ``order_price_deciles`` both rank the
+    same ``o_totalprice``, so the second query (and any repeat call in a
+    session) reuses the pinned blocks instead of paying
+    repartitionByRange + checkpoint + histogram again. Living in the
+    shared store (not a module-level DataFrame ref) keeps it visible to
+    the store's release discipline — an untracked pinned DataFrame would
+    be freed out from under us by ``transient_release``.
 
     The o_orderkey tie-break makes the rank assignment a total order
     (deciles need that for deterministic bucket membership); percentile
     rank-selection is unaffected because any stable order over equal
     values yields the same value at every rank."""
-    hit = _RANKED_ORDERS_CACHE.get(sf_dir)
-    if hit is not None and hit[0] is spark:
-        return hit[1], hit[2]
-    orders = load_table(spark, sf_dir, "orders")
-    vals = orders.select("o_totalprice", "o_orderkey")
-    ranked, n = _global_ranks(vals, "o_totalprice", "o_orderkey")
-    _RANKED_ORDERS_CACHE.clear()
-    _RANKED_ORDERS_CACHE[sf_dir] = (spark, ranked, n)
-    return ranked, n
+    from ..materialize import shared
+
+    ranked = shared(
+        ("ranked_orders", sf_dir),
+        spark,
+        lambda: _global_ranks(
+            load_table(spark, sf_dir, "orders").select(
+                "o_totalprice", "o_orderkey"
+            ),
+            "o_totalprice",
+            "o_orderkey",
+        )[0],
+    )
+    hit = _RANKED_N.get(sf_dir)
+    if hit is None or hit[0] is not spark:
+        _RANKED_N.clear()
+        _RANKED_N[sf_dir] = (spark, ranked.count())
+    return ranked, _RANKED_N[sf_dir][1]
 
 
 @register(

@@ -404,7 +404,9 @@ def _sag_nxt(cur: DataFrame, k: int) -> DataFrame:
     ).drop("_nxt0")
 
 
-def _suffix_global_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _suffix_global_ranks(
+    spark: SparkSession, sf_dir: str, sample: tuple[int, int] | None = None
+) -> DataFrame:
     """Session-shared generalized-suffix-array table: one row per corpus
     token position with ordered ranks ``k0..kR`` where
     ``R = _sag_depth(spark, sf_dir)`` (rank ``k_j`` orders/equates
@@ -428,6 +430,8 @@ def _suffix_global_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .quality_q import _global_ranks
 
         docs = load_table(spark, sf_dir, "documents")
+        if sample is not None:
+            docs = docs.filter(F.col("doc_id") % sample[0] == sample[1])
         toks = docs.select(
             "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "tok")
         ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
@@ -459,10 +463,10 @@ def _suffix_global_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin, _ = _global_ranks(cur, f"k{R}", "doc_id", "i")
         return fin
 
-    return shared(("suffix_global_ranks", sf_dir, R), spark, build)
+    return shared(("suffix_global_ranks", sf_dir, R, sample), spark, build)
 
 
-def _sag_ctes(build_rounds: int = _SAG_ROUNDS) -> str:
+def _sag_ctes(build_rounds: int = _SAG_ROUNDS, doc_where: str = "TRUE") -> str:
     """The shared DuckDB CTE chain of the ordered doubling, through
     ``fin`` (doc_id, i, k0..k{build_rounds}, rn): per-round DENSE_RANK
     over (prev rank, lead-or--1) replicates the ordered rank classes
@@ -471,11 +475,13 @@ def _sag_ctes(build_rounds: int = _SAG_ROUNDS) -> str:
     (k_R, doc_id, i) replicates the global suffix order. Reused by the
     class panel, the LCP-array mirrors, and the span extractor.
     ``build_rounds`` defaults to the registered/report depth; the
-    long-doc gate regenerates at the corpus's ``_sag_depth``."""
+    long-doc gate regenerates at the corpus's ``_sag_depth``.
+    ``doc_where`` bounds the corpus (the sampled sf1-gate variant)."""
     ctes = [
-        """toks AS (
+        f"""toks AS (
       SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE {doc_where})
     )""",
         """r0 AS (
       SELECT doc_id, i, DENSE_RANK() OVER (ORDER BY tok) AS k0 FROM toks
@@ -674,7 +680,9 @@ def suffix_array_global_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # interval containing both suffixes changes doc_id somewhere inside it).
 
 
-def _suffix_lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _suffix_lcp_pairs(
+    spark: SparkSession, sf_dir: str, sample: tuple[int, int] | None = None
+) -> DataFrame:
     """Session-shared LCP-array table: one row per adjacent suffix pair
     in global SA order — (doc_a, pos_a, doc_b, pos_b, xd, lcp) with the
     EXACT token LCP.
@@ -692,7 +700,7 @@ def _suffix_lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     R = _sag_depth(spark, sf_dir)
 
     def build() -> DataFrame:
-        fin = _suffix_global_ranks(spark, sf_dir)
+        fin = _suffix_global_ranks(spark, sf_dir, sample)
         lens = fin.groupBy("doc_id").agg(F.max("i").alias("_len"))
         f = fin.join(F.broadcast(lens), "doc_id")
         a = f.select(
@@ -762,23 +770,27 @@ def _suffix_lcp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("acc"), rem).cast("long").alias("lcp"),
         )
 
-    return shared(("suffix_lcp_pairs", sf_dir, R), spark, build)
+    return shared(("suffix_lcp_pairs", sf_dir, R, sample), spark, build)
 
 
-def _lcp_pairs_ctes(build_rounds: int = _SAG_ROUNDS) -> str:
+def _lcp_pairs_ctes(
+    build_rounds: int = _SAG_ROUNDS, doc_where: str = "TRUE"
+) -> str:
     """DuckDB LCP mirror computed by a DIFFERENT algorithm — direct
     token-by-token comparison of the two suffixes' arrays (first unequal
     offset via a correlated scan) — so the hash gate cross-checks the
     level-decomposition construction against ground truth, not against a
     re-implementation of itself. The scan cap is 2^build_rounds (the
     longest possible common prefix at that depth), generated from the
-    SAME constant as the doubling chain."""
+    SAME constant as the doubling chain. ``doc_where`` must match the
+    :func:`_sag_ctes` bound."""
     return f"""adj AS (
       SELECT a.doc_id AS doc_a, a.i AS pos_a,
              b.doc_id AS doc_b, b.i AS pos_b
       FROM fin a JOIN fin b ON b.rn = a.rn + 1
     ),
-    tarr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tarr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             WHERE {doc_where}),
     lcp_pairs AS (
       SELECT p.doc_a, p.pos_a, p.doc_b, p.pos_b,
              (p.doc_a <> p.doc_b) AS xd,
@@ -968,21 +980,16 @@ def _merge_intervals(starts: DataFrame, part_cols: list[str]) -> DataFrame:
     )
 
 
-@register("substring_dedup_removal_stats", oracle=_removal_oracle())
-def substring_dedup_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Priced substring-dedup pass at thresholds {_REMOVAL_THRESHOLDS}:
-    per threshold L, the documents touched, the merged removable spans,
-    the covered token mass (union of [p, p + maxLCP(p) - 1] over
-    positions whose longest elsewhere-occurring substring is >= L
-    tokens), and the retained share — the go/no-go panel for a Lee-et-al
-    removal run, computed exactly from the suffix-array index.
-
-    Scale shape: endpoint melt + one (doc, pos) max-aggregation off the
-    pinned LCP pairs, then per-threshold interval union as doc-
-    partitioned gaps-and-islands windows (running max-end) — no join
-    with data width, no corpus rescan (document totals read off the
-    corpus scan once). Thresholds share ONE lcpmax table."""
-    p = _suffix_lcp_pairs(spark, sf_dir)
+def _removal_panel(
+    p: DataFrame, docs: DataFrame, exact_share: bool = False
+) -> DataFrame:
+    """The pricing-panel body shared by the full and the sampled
+    queries: LCP pairs ``p`` + the matching corpus slice ``docs`` →
+    per-threshold (docs touched, merged spans, covered mass, retained
+    share). ``exact_share=True`` computes retained_share with the
+    integer half-up (micro-units) instead of ROUND(double, 6) — the
+    sampled sf1-gate variant runs at a scale where the double-round
+    boundary class is live."""
     ends = p.select(
         F.col("doc_a").alias("doc_id"), F.col("pos_a").alias("pos"), "lcp"
     ).unionByName(
@@ -1007,9 +1014,24 @@ def substring_dedup_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.col("e") - F.col("s") + 1).alias("covered"),
         F.count(F.lit(1)).alias("n_islands"),
     )
-    docs = load_table(spark, sf_dir, "documents")
     tot = docs.agg(
         F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens")
+    )
+    share = (
+        # half-up on the RETAINED mass directly (not 1e6 minus the
+        # rounded covered share: the two differ by 1 micro-unit when the
+        # ratio lands exactly on a .5 boundary)
+        F.expr(
+            "(((2 * (total_tokens - covered_tokens) * 1000000"
+            " + total_tokens) div (2 * total_tokens))) / 1000000.0D"
+        )
+        if exact_share
+        else F.round(
+            F.lit(1.0)
+            - F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        )
     )
     return (
         per_doc.groupBy("span_threshold")
@@ -1025,14 +1047,130 @@ def substring_dedup_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_spans",
             "covered_tokens",
             "total_tokens",
-            F.round(
-                F.lit(1.0)
-                - F.col("covered_tokens").cast("double")
-                / F.col("total_tokens").cast("double"),
-                6,
-            ).alias("retained_share"),
+            share.alias("retained_share"),
         )
         .orderBy("span_threshold")
+    )
+
+
+@register("substring_dedup_removal_stats", oracle=_removal_oracle())
+def substring_dedup_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priced substring-dedup pass at thresholds {_REMOVAL_THRESHOLDS}:
+    per threshold L, the documents touched, the merged removable spans,
+    the covered token mass (union of [p, p + maxLCP(p) - 1] over
+    positions whose longest elsewhere-occurring substring is >= L
+    tokens), and the retained share — the go/no-go panel for a Lee-et-al
+    removal run, computed exactly from the suffix-array index.
+
+    Scale shape: endpoint melt + one (doc, pos) max-aggregation off the
+    pinned LCP pairs, then per-threshold interval union as doc-
+    partitioned gaps-and-islands windows (running max-end) — no join
+    with data width, no corpus rescan (document totals read off the
+    corpus scan once). Thresholds share ONE lcpmax table."""
+    return _removal_panel(
+        _suffix_lcp_pairs(spark, sf_dir),
+        load_table(spark, sf_dir, "documents"),
+    )
+
+
+#: deterministic ~10% document sample for the scale-gate pricing variant:
+#: the FULL panel's DuckDB ground-truth mirror (suffix doubling + token-
+#: scan LCP over every position) exceeds the box's spill disk at sf1; the
+#: sampled sub-corpus prices the identical pipeline at gate-runnable
+#: mirror cost. Both engines build their index over the SAME sample, so
+#: the hash compare stays exact — this is the production estimator shape
+#: too (price a removal run on a sample before paying for the corpus).
+_SAMPLE_MOD, _SAMPLE_REM = 10, 3
+
+
+def _removal_sampled_oracle() -> str:
+    where = f"doc_id % {_SAMPLE_MOD} = {_SAMPLE_REM}"
+    per_thr = []
+    for L in _REMOVAL_THRESHOLDS:
+        per_thr.append(
+            f"""SELECT {L} AS span_threshold, doc_id, pos, pos + mx - 1 AS e
+      FROM lcpmax WHERE mx >= {L}"""
+        )
+    starts = "\n      UNION ALL\n      ".join(per_thr)
+    return f"""
+    WITH {_sag_ctes(doc_where=where)},
+    {_lcp_pairs_ctes(doc_where=where)},
+    ends AS (
+      SELECT doc_a AS doc_id, pos_a AS pos, lcp FROM lcp_pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, pos_b AS pos, lcp FROM lcp_pairs
+    ),
+    lcpmax AS (
+      SELECT doc_id, pos, MAX(lcp) AS mx FROM ends GROUP BY doc_id, pos
+    ),
+    starts AS (
+      {starts}
+    ),
+    isl AS (
+      SELECT span_threshold, doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+                    PARTITION BY span_threshold, doc_id ORDER BY pos, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM starts
+    ),
+    grp AS (
+      SELECT span_threshold, doc_id, pos, e,
+             SUM(new_isl) OVER (PARTITION BY span_threshold, doc_id
+                                ORDER BY pos, e
+                                ROWS UNBOUNDED PRECEDING) AS g
+      FROM isl
+    ),
+    islands AS (
+      SELECT span_threshold, doc_id, MIN(pos) AS s, MAX(e) AS e
+      FROM grp GROUP BY span_threshold, doc_id, g
+    ),
+    per_doc AS (
+      SELECT span_threshold, doc_id,
+             SUM(e - s + 1) AS covered,
+             COUNT(*) AS n_islands
+      FROM islands GROUP BY span_threshold, doc_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS total_tokens
+      FROM documents WHERE {where}
+    )
+    SELECT p.span_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_affected,
+           CAST(SUM(p.n_islands) AS BIGINT) AS n_spans,
+           CAST(SUM(p.covered) AS BIGINT) AS covered_tokens,
+           t.total_tokens,
+           ((2 * (t.total_tokens - CAST(SUM(p.covered) AS BIGINT))
+             * 1000000 + t.total_tokens)
+            // (2 * t.total_tokens)) / 1000000.0
+             AS retained_share
+    FROM per_doc p CROSS JOIN tot t
+    GROUP BY p.span_threshold, t.total_tokens
+    ORDER BY p.span_threshold
+    """
+
+
+@register("substring_dedup_removal_sampled", oracle=_removal_sampled_oracle())
+def substring_dedup_removal_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The removal pricing panel over the deterministic
+    ``doc_id % {_SAMPLE_MOD} == {_SAMPLE_REM}`` sample — the
+    scale-gate-runnable ground truth for the substring family (round-10
+    verdict item 3): both engines build the full SA/LCP pipeline over
+    the same ~10% sub-corpus, so the mirror's token-scan cost at sf1
+    drops to ~sf0.1 levels (which the gate already runs) while
+    exercising the identical index, melt, and island-merge code paths at
+    10× document scale. retained_share uses the exact integer half-up
+    (micro-units), not ROUND(double, 6) — at gate scale the double-round
+    boundary class is live."""
+    sample = (_SAMPLE_MOD, _SAMPLE_REM)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _SAMPLE_MOD == _SAMPLE_REM
+    )
+    return _removal_panel(
+        _suffix_lcp_pairs(spark, sf_dir, sample), docs, exact_share=True
     )
 
 

@@ -129,3 +129,62 @@ def test_disk_mode_iterative_loop_keeps_bounded_pinned_state(
     # adj + final labels (+ the just-released round not yet GC'd) — far
     # below the 6+ a leaking loop would pin
     assert after - before <= 4, (before, after)
+
+
+def _storage_ids(spark):
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return set(jmap.keySet().toArray())
+
+
+def test_release_frees_pinned_blocks(spark):
+    """persistentRdds holds STRONG refs — del + GC never frees a local
+    pin (measured); release() must unpersist its tracked RDD ids."""
+    from ethical_data_ingestion_spark.materialize import release
+
+    before = _storage_ids(spark)
+    pinned = materialize(spark.range(1000).withColumn("x", F.col("id") * 2))
+    new = _storage_ids(spark) - before
+    assert new, "local pin should register a persistent RDD"
+    assert release(pinned) == len(new)
+    assert not (_storage_ids(spark) & new)
+    assert release(pinned) == 0  # idempotent
+
+
+def test_shared_release_evicts_and_rebuilds(spark):
+    from ethical_data_ingestion_spark.materialize import shared_release
+
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(50)
+
+    key = ("relspec", "t")
+    a = shared(key, spark, build)
+    assert a.count() == 50 and len(builds) == 1
+    before = _storage_ids(spark)
+    assert shared_release(spark, lambda k: k[0] == "relspec") == 1
+    assert shared_get(key, spark) is None
+    # blocks actually freed (strictly fewer persistent RDDs than before)
+    assert _storage_ids(spark) < before
+    b = shared(key, spark, build)
+    assert b.count() == 50 and len(builds) == 2  # rebuilt, not resurrected
+
+
+def test_transient_release_spares_shared_artifacts(spark):
+    """Per-call pins are freed; store-owned artifacts keep their blocks
+    AND stay usable."""
+    from ethical_data_ingestion_spark.materialize import (
+        shared_release,
+        transient_release,
+    )
+
+    key = ("transpec", "t")
+    owned = shared(key, spark, lambda: spark.range(25))
+    transient = materialize(spark.range(75))
+    assert transient.count() == 75
+    freed = transient_release(spark)
+    assert freed >= 1
+    assert owned.count() == 25  # shared artifact untouched and usable
+    assert shared_get(key, spark) is not None
+    shared_release(spark, lambda k: k[0] == "transpec")

@@ -54,6 +54,7 @@ HEAVY = [
     # round-8 late panels
     "suffix_cross_doc_spans",
     "substring_dedup_removal_stats",
+    "substring_dedup_removal_sampled",
     "sorted_neighborhood_stats",
     "label_propagation_communities",
     "community_modularity_stats",
