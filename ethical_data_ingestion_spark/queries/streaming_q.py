@@ -173,8 +173,13 @@ def streaming_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes with partitions while its state-store commits stay cheap
     (four scalars per key); measured 16 → 24 → 32 = 5.1 → 4.2 → 4.7s.
     The JVM twin below prices the same semantics without the Python
-    worker — the premium for the custom-state API is ~1.4× at sf0.1."""
-    with P.state_partitions(spark, 24):
+    worker — the premium for the custom-state API is ~1.4× at sf0.1.
+
+    State store: RocksDB (scoped per query start) — 29% faster than the
+    default HDFS-backed provider on this drain's many-keys/tiny-state
+    commit pattern (see ``pipeline.rocksdb_state_store``), rows
+    identical."""
+    with P.state_partitions(spark, 24), P.rocksdb_state_store(spark):
         stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=None)
         sess = P.run_available_now(
             P.sessionize_stateful(stream, _SESSION_GAP_S), name=None
@@ -407,6 +412,13 @@ def streaming_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             P.tumbling_stream(stream, "1 hour", ["event_type"]),
             output_mode="complete",
         ).select("window_start", "event_type", F.col("n_events").alias("n"))
+    return _anomaly_screen(win)
+
+
+def _anomaly_screen(win: DataFrame) -> DataFrame:
+    """The z-score screen over a drained (window_start, event_type, n)
+    table — shared by the single drain and the multiplexed pass so their
+    rows are identical by construction."""
     cnt = F.count(F.lit(1)).cast("double")
     mean = F.sum("n").cast("double") / cnt
     ex2 = F.sum(F.col("n") * F.col("n")).cast("double") / cnt
@@ -614,6 +626,13 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = win.select(
         P.as_ntz("w.start").alias("window_start"), "event_type", "n_events"
     )
+    return _topk_screen(win)
+
+
+def _topk_screen(win: DataFrame) -> DataFrame:
+    """Top-2-per-window rank screen over a drained (window_start,
+    event_type, n_events) table — shared by the single drain and the
+    multiplexed pass."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("window_start").orderBy(
@@ -1508,4 +1527,81 @@ def multiplexed_ingest_drains(
         "streaming_curation_gate": _curation_final(
             _curation_rollup(spark, sf_dir, rows)
         ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (round-10 verdict item 6): MULTIPLEX the window-family drains.
+# streaming_tumbling_hourly, streaming_anomaly_windows, and
+# streaming_topk_trending all drain the SAME spooled events stream —
+# anomaly even maintains the IDENTICAL 1-hour tumbling table as
+# tumbling_hourly, and topk only differs in its window spec. One
+# foreachBatch pass pins the micro-batches; the two window tables are
+# then batch aggregations over the union (F.window is the same operator
+# batch-side), and the three panels read off them. Windowed counts are
+# survivor-independent — batch boundaries cannot change a window's total
+# — so every panel is row-identical to its single-drain twin (pinned by
+# tests/test_streaming_multiplex.py, priced by
+# tools/streaming_decomp.py --multiplex).
+
+
+def multiplexed_window_drains(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """One streaming pass over the events spool serving the three
+    window-family panels. Returns {registered-query-name: DataFrame},
+    each row-identical to its single-drain twin.
+
+    Scale shape: one file-source listing / trigger sequence / checkpoint
+    instead of three; per micro-batch the only work is pinning the rows;
+    the 1-hour tumbling table is computed ONCE and feeds both the raw
+    panel and the anomaly screen."""
+    from ..materialize import materialize
+    from ..operators import windows as W
+
+    batches: list[DataFrame] = []
+
+    def _sink(bdf: DataFrame, _bid: int) -> None:
+        batches.append(materialize(bdf))
+
+    with P.state_partitions(spark, 4):
+        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
+        ckpt = scratch_dir("eds_muxw_ckpt_")
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not batches:
+        raise RuntimeError("multiplexed window drain saw no micro-batches")
+    rows = batches[0]
+    for b in batches[1:]:
+        rows = rows.unionByName(b)
+    wm = materialize(rows).withColumn("ts", P.as_instant("ts"))
+    tumb = materialize(
+        W.tumbling_agg(wm, "ts", "1 hour", ["event_type"]).withColumn(
+            "window_start", P.as_ntz("window_start")
+        )
+    )
+    slide = (
+        wm.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            P.as_ntz("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return {
+        "streaming_tumbling_hourly": tumb.orderBy(
+            "window_start", "event_type"
+        ),
+        "streaming_anomaly_windows": _anomaly_screen(
+            tumb.select(
+                "window_start", "event_type", F.col("n_events").alias("n")
+            )
+        ),
+        "streaming_topk_trending": _topk_screen(slide),
     }

@@ -114,6 +114,38 @@ def state_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Scope the RocksDB state-store provider for a streaming query start
+    (the provider is snapshot per query, like the partition count).
+
+    Why per-query and not session-global: for the custom-state
+    sessionizer — many keys, four scalars each, committed every
+    (partition × batch) — RocksDB beat the default HDFS-backed provider
+    29% wall at sf0.1 (15.1s → 10.8s min-of-3, rows identical; its
+    per-commit delta-file + CRC pair per partition costs more than
+    RocksDB's batched write path even on tmpfs). The tiny-state windowed
+    drains measured neutral, so they keep the default. On a real cluster
+    RocksDB is also the bounded-heap choice for large state (spills to
+    local SSD instead of executor heap)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def stream_from(
     spark: SparkSession,
     src_dir: str,

@@ -31,3 +31,25 @@ def test_multiplexed_panels_row_identical_to_single_drains(spark):
         got, want = _rows(muxed[name]), _rows(single)
         assert got == want, name
         assert got, name  # non-vacuous
+
+
+_WINDOW_PANELS = (
+    "streaming_tumbling_hourly",
+    "streaming_anomaly_windows",
+    "streaming_topk_trending",
+)
+
+
+def test_multiplexed_window_panels_row_identical_to_single_drains(spark):
+    from ethical_data_ingestion_spark.queries.streaming_q import (
+        multiplexed_window_drains,
+    )
+
+    muxed = multiplexed_window_drains(spark, SF_DIR)
+    assert set(muxed) == set(_WINDOW_PANELS)
+    for name in _WINDOW_PANELS:
+        single = registry.QUERIES[name](spark, SF_DIR)
+        assert muxed[name].columns == single.columns, name
+        got, want = _rows(muxed[name]), _rows(single)
+        assert got == want, name
+        assert got, name  # non-vacuous

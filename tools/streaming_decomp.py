@@ -355,36 +355,53 @@ def main() -> None:
     # ingest-side panels share one delta-document stream; serving them
     # from ONE foreachBatch pass must beat three separate engine drains
     # with every panel row-identical.
-    mux_panels = (
-        "streaming_incremental_dedup",
-        "streaming_quarantine_gate",
-        "streaming_curation_gate",
-    )
-    t0 = time.time()
-    muxed = {k: _rows(v) for k, v in SQ.multiplexed_ingest_drains(spark, sf_dir).items()}
-    t1 = time.time()
-    muxed = {k: _rows(v) for k, v in SQ.multiplexed_ingest_drains(spark, sf_dir).items()}
-    mux_s = round(min(t1 - t0, time.time() - t1), 3)
-    singles_s = 0.0
-    mux_match = True
-    for name in mux_panels:
-        s, rows = _time_min2(lambda: QUERIES[name](spark, sf_dir))
-        singles_s += s
-        if muxed[name] != rows:
-            mux_match = False
-    singles_s = round(singles_s, 3)
-    print()
-    print("| ingest panels | three single drains s | one multiplexed pass s | saved s | rows identical |")
-    print("|---|---|---|---|---|")
-    print(
-        f"| {', '.join(p.split('_', 1)[1] for p in mux_panels)} | {singles_s} "
-        f"| {mux_s} | {round(singles_s - mux_s, 3)} | "
-        f"{'yes' if mux_match else 'NO'} |"
-    )
+    mux_results = {}
+    for label, mux_fn, mux_panels in (
+        (
+            "ingest",
+            SQ.multiplexed_ingest_drains,
+            (
+                "streaming_incremental_dedup",
+                "streaming_quarantine_gate",
+                "streaming_curation_gate",
+            ),
+        ),
+        (
+            "window",
+            SQ.multiplexed_window_drains,
+            (
+                "streaming_tumbling_hourly",
+                "streaming_anomaly_windows",
+                "streaming_topk_trending",
+            ),
+        ),
+    ):
+        t0 = time.time()
+        muxed = {k: _rows(v) for k, v in mux_fn(spark, sf_dir).items()}
+        t1 = time.time()
+        muxed = {k: _rows(v) for k, v in mux_fn(spark, sf_dir).items()}
+        mux_s = round(min(t1 - t0, time.time() - t1), 3)
+        singles_s = 0.0
+        mux_match = True
+        for name in mux_panels:
+            s, rows = _time_min2(lambda: QUERIES[name](spark, sf_dir))
+            singles_s += s
+            if muxed[name] != rows:
+                mux_match = False
+        singles_s = round(singles_s, 3)
+        print()
+        print(f"| {label} panels | three single drains s | one multiplexed pass s | saved s | rows identical |")
+        print("|---|---|---|---|---|")
+        print(
+            f"| {', '.join(p.split('_', 1)[1] for p in mux_panels)} | {singles_s} "
+            f"| {mux_s} | {round(singles_s - mux_s, 3)} | "
+            f"{'yes' if mux_match else 'NO'} |"
+        )
+        mux_results[label] = {
+            "singles_s": singles_s, "mux_s": mux_s, "rows_match": mux_match,
+        }
     print(json.dumps({
-        "sf_dir": sf_dir, "rows": table,
-        "multiplex": {"singles_s": singles_s, "mux_s": mux_s,
-                       "rows_match": mux_match},
+        "sf_dir": sf_dir, "rows": table, "multiplex": mux_results,
     }))
 
 
