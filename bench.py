@@ -394,14 +394,24 @@ def main() -> None:
     # 2-8× their isolated truth. Discipline now: queries run grouped by
     # defining module (≈ one artifact family per block); transients are
     # freed after EVERY run (they never help the next run — each fn()
-    # call re-pins its own); a family's shared artifacts are freed when
-    # its block's re-runs finish. Within a block the min-over-fresh-runs
-    # rule is unchanged and runs warm against the family's own artifacts,
-    # so each recorded time is the family's steady-state marginal cost —
-    # not a function of whichever families happened to run earlier.
+    # call re-pins its own); shared artifacts are freed whenever the
+    # pinned-block total exceeds the budget at a block boundary (the
+    # DEPLOY §14 block-manager budgeting rule — HEADLINE interleaves
+    # modules, so releasing after EVERY block would rebuild expensive
+    # artifacts many times; the budget keeps legitimate cross-block
+    # reuse while bounding the squeeze). Within a block the
+    # min-over-fresh-runs rule is unchanged and runs warm against the
+    # family's own artifacts, so each recorded time is the family's
+    # steady-state marginal cost — not a function of whichever families
+    # happened to run earlier.
     from ethical_data_ingestion_spark.materialize import (
+        pinned_bytes,
         shared_release,
         transient_release,
+    )
+
+    pin_budget = int(
+        os.environ.get("SPARK_GRAFT_BENCH_PIN_BUDGET", 2 * 1024**3)
     )
 
     blocks: list[list[str]] = []
@@ -439,7 +449,8 @@ def main() -> None:
                         min(timings[name], time.time() - t0), 3
                     )
                     transient_release(spark)
-        shared_release(spark)
+        if pinned_bytes(spark) > pin_budget:
+            shared_release(spark)
 
     out = {
         "metric": "headline_suite_total_wall",

@@ -143,9 +143,15 @@ def write_training_mount(
     )
 
     corpus = _mount_corpus(spark, sf_dir)
-    corpus.write.mode("overwrite").partitionBy("shard_id").parquet(
-        f"{out_dir}/corpus"
-    )
+    # co-locate each shard on one task before the hive write: without
+    # this, partitionBy writes one file per (task × shard) — the sf1 run
+    # produced 2,914 files for 208 shards, and every downstream
+    # read-back/merkle stage paid one task per file. One file per shard
+    # is the webdataset contract; for multi-GB shards at 100 TB, salt
+    # the repartition key instead of letting one task own a whole shard.
+    corpus.repartition(F.col("shard_id")).write.mode("overwrite").partitionBy(
+        "shard_id"
+    ).parquet(f"{out_dir}/corpus")
     manifest = training_shard_manifest_curated(spark, sf_dir)
     manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
     audit = _curation_decisions(spark, sf_dir).orderBy("doc_id")

@@ -321,6 +321,17 @@ def transient_release(spark) -> int:
     return n
 
 
+def pinned_bytes(spark) -> int:
+    """Total block-manager bytes held by persistent RDDs (memory +
+    disk) — the number a long-lived session budgets against
+    (DEPLOY §14/§17)."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return int(sum(i.memSize() + i.diskSize() for i in infos))
+    except Exception:  # noqa: BLE001
+        return 0
+
+
 def shared_release(spark, predicate=None) -> int:
     """Evict session-shared artifacts and FREE their blocks (see
     :func:`release` for the contract — later :func:`shared` callers
