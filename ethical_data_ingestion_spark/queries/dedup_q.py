@@ -1314,15 +1314,17 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, "doc_id", "text", k=3, threshold=_SWEEP_TH[0], sets=sets
         )
     )
-    tdf = F.broadcast(
-        spark.createDataFrame(
-            [(t,) for t in _SWEEP_TH], schema="threshold double"
-        )
+    # NOTE hint placement: tdf is the PRESERVED (left) side of the final
+    # left joins — a broadcast hint there is unsupported for left outer
+    # and silently discarded (HintErrorLogger) — so the hint goes on the
+    # crossJoin use and on the build-side rollups instead.
+    tdf = spark.createDataFrame(
+        [(t,) for t in _SWEEP_TH], schema="threshold double"
     )
     n_docs = F.broadcast(
         docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    hit = pairs.crossJoin(tdf).filter(
+    hit = pairs.crossJoin(F.broadcast(tdf)).filter(
         F.col("jaccard") >= F.col("threshold")
     )
     pc = hit.groupBy("threshold").agg(
@@ -1336,8 +1338,8 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs_flagged"))
     )
     return (
-        tdf.join(pc, "threshold", "left")
-        .join(dc, "threshold", "left")
+        tdf.join(F.broadcast(pc), "threshold", "left")
+        .join(F.broadcast(dc), "threshold", "left")
         .crossJoin(n_docs)
         .select(
             "threshold",

@@ -1442,13 +1442,16 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c"),
         F.to_date("o_orderdate").alias("d"),
     )
-    b = F.broadcast(
-        o.agg(
-            F.max("c").alias("maxc"),
-            F.min("d").alias("mnd"),
-            F.datediff(F.max("d"), F.min("d")).alias("span"),
-        )
+    # hint placement: the hint lives at each JOIN USE (crossJoin below /
+    # the preds branches), never on `glob` itself — a hint nested under
+    # a Union branch is orphaned from any join relation and silently
+    # discarded (HintErrorLogger).
+    glob = o.agg(
+        F.max("c").alias("maxc"),
+        F.min("d").alias("mnd"),
+        F.datediff(F.max("d"), F.min("d")).alias("span"),
     )
+    b = F.broadcast(glob)
     bk = o.crossJoin(b).select(
         "c",
         "d",
@@ -1488,7 +1491,7 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
     preds = F.broadcast(
-        b.select(
+        glob.select(
             F.lit("date_band").alias("pred"),
             F.to_date(F.lit("1997-01-01")).alias("dlo"),
             F.to_date(F.lit("1997-06-30")).alias("dhi"),
@@ -1496,7 +1499,7 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("maxc").alias("chi"),
         )
         .union(
-            b.select(
+            glob.select(
                 F.lit("cust_band"),
                 F.col("mnd"),
                 F.date_add(F.col("mnd"), F.col("span")),
@@ -1505,7 +1508,7 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .union(
-            b.select(
+            glob.select(
                 F.lit("date_cust_box"),
                 F.to_date(F.lit("1997-01-01")),
                 F.to_date(F.lit("1997-06-30")),
