@@ -110,4 +110,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL mirror for each SQL-expressible query."""
-    return dict(registry.ORACLE_SQL)
+    return registry.resolved_oracles()

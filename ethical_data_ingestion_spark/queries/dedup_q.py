@@ -14,7 +14,6 @@ from ..materialize import materialize, shared, shared_get, shared_publish
 from ..operators import dedup as D
 from ..operators import text as T
 from ..registry import register
-from .text_q import QUALITY_Z_CTE
 
 
 def _doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,9 +793,13 @@ def dedup_tier_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "survivor_selection_stats",
-    oracle=f"""
+def _survivor_selection_stats_oracle() -> str:
+    # lazy: QUALITY_Z_CTE lives in the sibling text_q module — an
+    # import-time read dies when THIS module is the process's first
+    # import (registry loads siblings mid-initialization)
+    from .text_q import QUALITY_Z_CTE
+
+    return f"""
     WITH RECURSIVE {_TIER_COMP_SQL},
     {QUALITY_Z_CTE},
     cz AS (
@@ -829,8 +832,10 @@ def dedup_tier_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - CAST(SUM(CAST(zl AS DECIMAL(18,6))) AS DOUBLE), 6)
              AS q_gain
     FROM per
-    """,
-)
+    """
+
+
+@register("survivor_selection_stats", oracle=_survivor_selection_stats_oracle)
 def survivor_selection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor-selection policy comparison over the cross-tier duplicate
     clusters: for every cluster, compare the default keep-LOWEST-ID
@@ -877,9 +882,13 @@ def survivor_selection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "neardup_emit",
-    oracle=f"""
+def _neardup_emit_oracle() -> str:
+    # lazy: QUALITY_Z_CTE lives in the sibling text_q module — an
+    # import-time read dies when THIS module is the process's first
+    # import (registry loads siblings mid-initialization)
+    from .text_q import QUALITY_Z_CTE
+
+    return f"""
     WITH RECURSIVE {_TIER_COMP_SQL},
     {QUALITY_Z_CTE},
     cz AS (
@@ -905,8 +914,10 @@ def survivor_selection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN csz s ON s.cluster_id = c.cluster_id
     LEFT JOIN keep k ON k.cluster_id = c.cluster_id
     ORDER BY d.doc_id
-    """,
-)
+    """
+
+
+@register("neardup_emit", oracle=_neardup_emit_oracle)
 def neardup_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE deduplicated corpus manifest for the document-level near-dup
     family — the materialized counterpart of ``survivor_selection_stats``

@@ -234,9 +234,10 @@ def _fit_weights(spark: SparkSession, sf_dir: str) -> list[float]:
     return _solve({k: row[k] for k in _moment_names()})
 
 
-@register(
-    "quality_probe_fit",
-    oracle=f"""
+def _fit_oracle() -> str:
+    # lazy: _features_sql reads sibling text_q constants; building at
+    # decorator time dies on a text_q-first import
+    return f"""
     WITH {_features_sql()},
     {_moments_sql()},
     {_solve_ctes()}
@@ -246,8 +247,10 @@ def _fit_weights(spark: SparkSession, sf_dir: str) -> list[float]:
     ) s, LATERAL (VALUES {', '.join(f"('{t}', s.w{i})" for i, t in enumerate(_TERMS))})
          AS v(term, weight)
     ORDER BY v.term
-    """,
-)
+    """
+
+
+@register("quality_probe_fit", oracle=_fit_oracle)
 def quality_probe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained quality filter: least-squares probe coefficients over
     the four ensemble features + intercept against the ``lang = 'en'``
@@ -269,9 +272,8 @@ def _score_expr_sql() -> str:
     return parts
 
 
-@register(
-    "quality_probe_calibration",
-    oracle=f"""
+def _calibration_oracle() -> str:
+    return f"""
     WITH {_features_sql()},
     {_moments_sql()},
     {_solve_ctes()}
@@ -281,8 +283,10 @@ def _score_expr_sql() -> str:
            ROUND(SUM(f.y)::DOUBLE / COUNT(*)::DOUBLE, 4) AS en_rate
     FROM feats f, solved
     GROUP BY 1 ORDER BY 1
-    """,
-)
+    """
+
+
+@register("quality_probe_calibration", oracle=_calibration_oracle)
 def quality_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram of the TRAINED probe: corpus binned by the
     fitted score (width {_CAL_BIN}), with the empirical outcome rate per

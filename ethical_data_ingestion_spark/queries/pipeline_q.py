@@ -970,7 +970,7 @@ def _shard_bpe_oracle() -> str:
     """
 
 
-@register("training_shard_manifest_bpe", oracle=_shard_bpe_oracle())
+@register("training_shard_manifest_bpe", oracle=_shard_bpe_oracle)
 def training_shard_manifest_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`training_shard_manifest` re-priced in TRAINED-BPE tokens: each
     document's cost is the sum of its words' learned segmentation sizes
@@ -1136,7 +1136,7 @@ def _curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("corpus_curation_emit", oracle=_curation_emit_oracle())
+@register("corpus_curation_emit", oracle=_curation_emit_oracle)
 def corpus_curation_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE curated-corpus manifest: every document with its keep/drop
     decision through the full pipeline, reason-coded by the FIRST failing
@@ -1219,7 +1219,7 @@ def _shard_curated_oracle() -> str:
     """
 
 
-@register("training_shard_manifest_curated", oracle=_shard_curated_oracle())
+@register("training_shard_manifest_curated", oracle=_shard_curated_oracle)
 def training_shard_manifest_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training run's actual mount: the greedy contiguous shard
     manifest over ONLY the curation-kept documents (holdout, low-quality,

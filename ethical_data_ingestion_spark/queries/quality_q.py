@@ -2156,7 +2156,7 @@ def _quality_vs_dup_oracle() -> str:
 
 from ..registry import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
 
-_ORACLE_SQL["quality_vs_dup_lift"] = _quality_vs_dup_oracle()
+_ORACLE_SQL["quality_vs_dup_lift"] = _quality_vs_dup_oracle  # lazy: builder reads sibling modules
 
 
 #: Poisson-bootstrap resamples.
@@ -2486,7 +2486,7 @@ def _venn_oracle() -> str:
     """
 
 
-_ORACLE_SQL["quality_screen_venn"] = _venn_oracle()
+_ORACLE_SQL["quality_screen_venn"] = _venn_oracle  # lazy: builder reads sibling modules
 
 
 @register("screen_mutual_information", oracle=None)  # composed below
@@ -2645,4 +2645,4 @@ def _smi_oracle() -> str:
     """
 
 
-_ORACLE_SQL["screen_mutual_information"] = _smi_oracle()
+_ORACLE_SQL["screen_mutual_information"] = _smi_oracle  # lazy: builder reads sibling modules

@@ -1047,7 +1047,7 @@ def _ann_serving_oracle() -> str:
     """
 
 
-@register("streaming_knn_serving", oracle=_ann_serving_oracle())
+@register("streaming_knn_serving", oracle=_ann_serving_oracle)
 def streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN serving drain: the ~20% delta vectors arrive as a probe STREAM
     (4 spooled files, 2 micro-batches); candidates come from the
@@ -1344,7 +1344,7 @@ def _sgate_oracle() -> str:
     """
 
 
-@register("streaming_curation_gate", oracle=_sgate_oracle())
+@register("streaming_curation_gate", oracle=_sgate_oracle)
 def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline AS AN INGEST STREAM: the 20% delta batch
     flows in over micro-batches and every document is reason-coded

@@ -519,7 +519,7 @@ def _delta_oracle() -> str:
     """
 
 
-@register("incremental_curation_delta", oracle=_delta_oracle())
+@register("incremental_curation_delta", oracle=_delta_oracle)
 def incremental_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The backfill emit: every document whose curation decision DIFFERS
     between snapshot v1 and snapshot v2 — added / removed docs and

@@ -24,12 +24,21 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE_SQL: dict[str, str] = {}
+#: name -> oracle SQL, OR a zero-arg callable producing it (resolved and
+#: memoized on first use via :func:`resolve_oracle`). Callables exist so
+#: an oracle builder that reads constants from a SIBLING query module
+#: does not run at import time: with ``oracle=_builder()`` the decorator
+#: fires while ``registry._load_everything`` is mid-import, and if the
+#: process's FIRST import was that sibling module, the builder reads a
+#: partially-initialized module and dies (the corpus_q/dedup_q/text_q/
+#: strings_q first-import fragility). Pass ``oracle=_builder`` instead.
+ORACLE_SQL: dict[str, str | Callable[[], str]] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | Callable[[], str] | None = None):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the
-    registry, with its DuckDB-oracle SQL mirror."""
+    registry, with its DuckDB-oracle SQL mirror (a string, or a zero-arg
+    builder resolved lazily — see ``ORACLE_SQL``)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         QUERIES[name] = fn
@@ -38,6 +47,21 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def resolve_oracle(name: str) -> str:
+    """The oracle SQL for ``name``, resolving (and memoizing) a lazy
+    builder on first access."""
+    v = ORACLE_SQL[name]
+    if callable(v):
+        v = v()
+        ORACLE_SQL[name] = v
+    return v
+
+
+def resolved_oracles() -> dict[str, str]:
+    """Every oracle as a plain string — the driver-contract payload."""
+    return {n: resolve_oracle(n) for n in ORACLE_SQL}
 
 
 def _load_everything() -> None:

@@ -33,7 +33,7 @@ def test_oracle_sql_mentions_only_fixture_tables():
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     }
-    for name, sql in registry.ORACLE_SQL.items():
+    for name, sql in registry.resolved_oracles().items():
         # (?!\.) skips EXTRACT(year FROM x.col)-style qualified columns
         for m in re.finditer(r"\bFROM\s+([a-z_][a-z0-9_]*)\b(?!\.)", sql, re.I):
             t = m.group(1).lower()
@@ -119,3 +119,46 @@ def test_rotation_later_green_clears_earlier_red(tmp_path, monkeypatch):
     monkeypatch.setattr(entry.os.path, "dirname", lambda _p: str(tmp_path))
     order = entry._rotation_order(["q", "never_q"])
     assert order == ["never_q", "q"]
+
+
+def test_any_query_module_imports_first():
+    """Every query module must import cleanly as a process's FIRST
+    import: registry._load_everything() runs mid-import of whichever
+    module came first, so any oracle built AT IMPORT TIME from a sibling
+    module's constants reads a partially-initialized module and dies.
+    The fix is lazy oracles (``register(oracle=callable)``); this pins
+    the property for every module (subprocess each — the failure only
+    reproduces on a cold interpreter)."""
+    import subprocess
+    import sys
+
+    mods = [
+        "corpus_q", "dedup_q", "text_q", "strings_q", "pipeline_q",
+        "version_q", "mlfit_q", "streaming_q", "quality_q", "hybrid_q",
+    ]
+    for m in mods:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import sys; sys.path.insert(0, '/root/repo'); "
+                f"import ethical_data_ingestion_spark.queries.{m}",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert proc.returncode == 0, f"{m} first-import failed:\n{proc.stderr[-2000:]}"
+
+
+def test_lazy_oracles_resolve_to_sql():
+    """Every registered oracle — string or lazy builder — resolves to a
+    non-empty SELECT/WITH statement, and resolution is memoized."""
+    from ethical_data_ingestion_spark import registry
+
+    resolved = registry.resolved_oracles()
+    for name, sql in resolved.items():
+        assert isinstance(sql, str) and sql.strip(), name
+        head = sql.strip().split(None, 1)[0].upper()
+        assert head in ("SELECT", "WITH"), (name, head)
+        assert not callable(registry.ORACLE_SQL[name]), name  # memoized

@@ -25,7 +25,8 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-from ethical_data_ingestion_spark.registry import ORACLE_SQL, QUERIES  # noqa: E402
+from ethical_data_ingestion_spark.registry import QUERIES  # noqa: E402
+from ethical_data_ingestion_spark.registry import resolved_oracles  # noqa: E402
 from ethical_data_ingestion_spark.schemas import FIXTURE_TABLES  # noqa: E402
 
 
@@ -45,13 +46,14 @@ def main() -> None:
     # bench.py applies to the Spark side (symmetric methodology — the
     # Spark/DuckDB comparison in BASELINE.md must not rest on a
     # one-sided adjustment).
+    oracles = resolved_oracles()
     timings: dict[str, float] = {}
     first_pass: dict[str, float] = {}
     for name in QUERIES:
-        if name not in ORACLE_SQL:
+        if name not in oracles:
             continue
         t0 = time.time()
-        con.execute(ORACLE_SQL[name]).fetchall()
+        con.execute(oracles[name]).fetchall()
         first_pass[name] = timings[name] = round(time.time() - t0, 3)
     # min over fresh re-runs; queries over 2s get two re-runs (min-of-
     # three total) — the IDENTICAL rule bench.py applies on the Spark
@@ -61,7 +63,7 @@ def main() -> None:
         if t > 0.3:
             for _ in range(2 if t > 2.0 else 1):
                 t0 = time.time()
-                con.execute(ORACLE_SQL[name]).fetchall()
+                con.execute(oracles[name]).fetchall()
                 timings[name] = round(min(timings[name], time.time() - t0), 3)
 
     print(
