@@ -146,6 +146,8 @@ HEADLINE = [
     "chunk_dedup_stats",
     "training_shard_manifest",
     "training_shard_manifest_bpe",
+    "packing_strategy_stats",
+    "mixing_weights_stats",
     "training_shard_manifest_curated",
     "shard_merkle_manifest",
     "training_order_shuffle_stats",

@@ -41,6 +41,17 @@ def register(name: str, oracle: str | Callable[[], str] | None = None):
     builder resolved lazily — see ``ORACLE_SQL``)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        prev = QUERIES.get(name)
+        if prev is not None and prev.__module__ != fn.__module__:
+            # a silent override would make the LAST-loaded module win and
+            # the other's registration vanish without any test failing
+            # (same-module re-registration is allowed: conditional
+            # variants and test monkey-patching re-enter deliberately)
+            raise ValueError(
+                f"query name {name!r} already registered by "
+                f"{prev.__module__}; pick a distinct name in "
+                f"{fn.__module__}"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
@@ -80,6 +91,7 @@ def _load_everything() -> None:
         hybrid_q,
         mlfit_q,
         multimodal_q,
+        packs_q,
         pipeline_q,
         privacy_q,
         quality_q,

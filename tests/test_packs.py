@@ -1,0 +1,102 @@
+"""Packing-strategy and mixing-weight panels: cross-strategy invariants,
+a third (pure-Python) implementation of the greedy fold, and a bit-exact
+replay of the temperature shares."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ethical_data_ingestion_spark.io import load_table
+from ethical_data_ingestion_spark.queries import packs_q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_packing_strategy_invariants(spark):
+    rows = {r.strategy: r for r in
+            packs_q.packing_strategy_stats(spark, SF_DIR).collect()}
+    assert set(rows) == {"concat_chunk", "doc_per_seq", "greedy_group"}
+    cc, dps, gg = rows["concat_chunk"], rows["doc_per_seq"], rows["greedy_group"]
+    # same payload everywhere; ordering of efficiency is forced:
+    # concat >= greedy >= one-doc-per-sequence
+    assert cc.payload_tokens == dps.payload_tokens == gg.payload_tokens > 0
+    assert cc.n_sequences <= gg.n_sequences <= dps.n_sequences
+    assert cc.pack_efficiency >= gg.pack_efficiency >= dps.pack_efficiency
+    # only concat-chunk may split documents; it must split SOME on this
+    # fixture (multi-doc sequences are the point)
+    assert cc.n_docs_split > 0 and gg.n_docs_split == 0 == dps.n_docs_split
+    # accounting identity
+    for r in rows.values():
+        assert r.n_pad_tokens == r.n_sequences * packs_q._SEQ_LEN - r.payload_tokens
+        assert r.n_oversize == 0  # fixture docs are far under _SEQ_LEN
+
+
+def test_greedy_fold_matches_python_replay(spark):
+    """Third implementation: replay the greedy group fold in pure Python
+    over the raw token counts."""
+    counts = sorted(
+        (r.doc_id, r.n_tok)
+        for r in packs_q._counts(spark, SF_DIR).collect()
+        if r.n_tok <= packs_q._SEQ_LEN
+    )
+    groups: dict[int, list[int]] = {}
+    for doc_id, n in counts:
+        groups.setdefault(doc_id // packs_q._PACK_G, []).append(n)
+    total_seq = 0
+    for g in groups.values():
+        used, n_seq = 0, 0
+        for n in g:
+            if n_seq == 0 or used + n > packs_q._SEQ_LEN:
+                n_seq += 1
+                used = 0
+            used += n
+        total_seq += n_seq
+    got = {r.strategy: r for r in
+           packs_q.packing_strategy_stats(spark, SF_DIR).collect()}
+    assert got["greedy_group"].n_sequences == total_seq
+
+
+def test_mixing_shares_bit_exact_python_replay(spark):
+    """Replay mass -> sqrt -> name-ordered left fold -> quotient in pure
+    Python floats: every double must match BIT-EXACTLY (the panel's whole
+    exactness claim)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    mass = {
+        r.source: r.m
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("long").alias("m"))
+        .collect()
+    }
+    denom = 0.0
+    for s in sorted(mass):
+        denom = denom + math.sqrt(float(mass[s]))
+    total = sum(mass.values())
+    rows = {r.source: r for r in
+            packs_q.mixing_weights_stats(spark, SF_DIR).collect()}
+    assert set(rows) == set(mass)
+    for s, r in rows.items():
+        assert r.mass_tokens == mass[s]
+        share05 = math.sqrt(float(mass[s])) / denom
+        assert r.share_a05 == share05, s                       # bit-exact
+        ep = (packs_q._MIX_BUDGET_X * total) * share05 / float(mass[s])
+        assert r.epochs_a05 == ep, s                           # bit-exact
+        micro = (2 * mass[s] * 10**6 + total) // (2 * total)
+        assert r.share_a1 == micro / 1_000_000, s
+    # temperature flattens: smallest source gains share, largest loses
+    lo = min(mass, key=mass.get)
+    hi = max(mass, key=mass.get)
+    assert rows[lo].share_a05 > rows[lo].share_a1
+    assert rows[hi].share_a05 < rows[hi].share_a1
+
+
+def test_duplicate_query_name_rejected():
+    import pytest
+
+    from ethical_data_ingestion_spark.registry import register
+
+    with pytest.raises(ValueError, match="already registered"):
+        @register("mixing_weights_stats")
+        def mixing_weights_stats(spark, sf_dir):  # pragma: no cover
+            raise AssertionError

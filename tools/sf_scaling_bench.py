@@ -67,6 +67,7 @@ HEAVY = [
     "mmr_diversified_topk_ann",
     "lpa_semisync_communities",
     "training_shard_manifest_bpe",
+    "packing_strategy_stats",
     "neardup_emit",
     "corpus_curation_emit",
     # round-10 panels
