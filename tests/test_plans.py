@@ -557,3 +557,27 @@ def test_round9_emit_plan_pins(spark, sf_dir):
 
     cce = plans.formatted_plan(_q(spark, sf_dir, "corpus_curation_emit"))
     assert "BroadcastHashJoin" in cce  # benchmark 8-gram set stays broadcast
+
+
+def test_hybrid_serving_plan_shape(spark):
+    """The round-11 hybrid serving rebuild, pinned: each retriever side
+    runs on at most TWO shuffle exchanges (the probe-side rollup and the
+    query_id alignment that the rank window and fusion join reuse via
+    the HashPartitioning subset rule) and NO Python UDF node anywhere —
+    probe LSH buckets are DRIVER-compiled from the pinned vectors, so a
+    reintroduced pandas UDF or a broken partitioning-reuse shows up here
+    before it shows up in the pair bench."""
+    import re
+
+    from ethical_data_ingestion_spark.queries import hybrid_q as H
+
+    sf = "/root/testdata/sf0.001"
+    H.hybrid_retrieval_topk(spark, sf).collect()  # build session pins
+    for label, df in (
+        ("lex", H._lex_ranked(spark, sf)),
+        ("sem", H._sem_ranked(spark, sf)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_shuffle = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_shuffle <= 2, (label, n_shuffle)
+        assert "EvalPython" not in plan, label  # no Python in the serving path
