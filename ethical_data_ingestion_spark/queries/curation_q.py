@@ -609,8 +609,8 @@ def padding_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the bucket, and each batch pads to its own longest sequence —
     the panel reports the padding waste per bucket, the number an
     inference/training scheduler tunes bucket boundaries against
-    (complementing ``sequence_packing_stats``, which packs greedily
-    WITHOUT padding).
+    (complementing ``sequence_packing_stats``'s per-source concat-chunk
+    utilization and ``packing_strategy_stats``'s strategy comparison).
 
     All integer arithmetic; the only windows are partitioned by bucket
     (parallel, bounded), and the rollup is map-side combined."""
