@@ -197,6 +197,7 @@ HEADLINE = [
     "dedup_simhash",
     "neardup_clusters",
     "dedup_tier_attribution",
+    "split_leakage_audit",
     "winnowing_overlap_pairs",
     "survivor_selection_stats",
     "neardup_emit",

@@ -1977,3 +1977,165 @@ def sorted_neighborhood_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pass")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: split-leakage audit — the eval-contamination failure the split
+# and dedup panels each miss alone: a deterministic doc-hash train/test
+# split (train_test_split_stats' exact rule) puts the two halves of a
+# near-duplicate PAIR on opposite sides, so the model is evaluated on
+# paraphrases of its training data. The audit counts cross-split pairs
+# per near-dup tier under the naive split AND under the cluster-aware
+# fix (split by the cluster representative's hash — every member of a
+# cluster lands on the same side; singletons hash exactly as before, so
+# the fix only moves documents that needed moving).
+
+_SPLIT_MOD = 20  # ~5% test — MUST match train_test_split_stats
+
+
+def _split_leakage_oracle() -> str:
+    split = (
+        "CASE WHEN ('0x' || substring(md5(CAST({k} AS VARCHAR)), 1, 4))"
+        f"::BIGINT % {_SPLIT_MOD} = 0 THEN 'test' ELSE 'train' END"
+    )
+    return f"""
+    WITH RECURSIVE {_TIER_COMP_SQL},
+    pairsets AS (
+      SELECT tier, id1, id2 FROM tiered
+      UNION ALL
+      SELECT 'all', id1, id2 FROM edges
+    ),
+    assign AS (
+      SELECT d.doc_id,
+             {split.format(k='d.doc_id')} AS naive,
+             {split.format(k='COALESCE(c.cluster_id, d.doc_id)')}
+               AS cluster_aware
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    melted AS (
+      SELECT 'naive' AS scheme, doc_id, naive AS split FROM assign
+      UNION ALL
+      SELECT 'cluster_aware', doc_id, cluster_aware FROM assign
+    ),
+    pairjud AS (
+      SELECT m.scheme, p.tier,
+             CASE WHEN a.split <> b.split THEN 1 ELSE 0 END AS crossed
+      FROM pairsets p
+      JOIN (SELECT DISTINCT scheme FROM melted) m ON TRUE
+      JOIN melted a ON a.scheme = m.scheme AND a.doc_id = p.id1
+      JOIN melted b ON b.scheme = m.scheme AND b.doc_id = p.id2
+    ),
+    pair_roll AS (
+      SELECT scheme, tier,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(crossed) AS BIGINT) AS n_cross_pairs
+      FROM pairjud GROUP BY scheme, tier
+    ),
+    doc_roll AS (
+      SELECT scheme,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM melted GROUP BY scheme
+    )
+    SELECT p.scheme, p.tier, p.n_pairs, p.n_cross_pairs,
+           ((2 * p.n_cross_pairs * 1000000 + p.n_pairs)
+            // (2 * p.n_pairs)) / 1000000.0 AS cross_share,
+           d.n_test_docs,
+           ((2 * d.n_test_docs * 1000000 + d.n_docs)
+            // (2 * d.n_docs)) / 1000000.0 AS test_doc_share
+    FROM pair_roll p JOIN doc_roll d ON d.scheme = p.scheme
+    ORDER BY p.scheme, p.tier
+    """
+
+
+@register("split_leakage_audit", oracle=_split_leakage_oracle)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (scheme × tier) leakage panel: near-dup pairs, pairs whose
+    endpoints land on opposite sides of the train/test split, the exact
+    cross share, and the scheme's test-set size — under the naive
+    doc-hash split and the cluster-aware split (hash of the tier-union
+    cluster representative). The cluster-aware rows must show ZERO
+    cross-split pairs (pinned by test) because every near-dup edge is by
+    construction intra-cluster.
+
+    Scale shape: reads the session-shared tiered pair and cluster
+    artifacts; the audit itself is two doc-keyed equi-joins per pair set
+    plus per-(scheme, tier) rollups — linear, no new quadratic work."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = _tiered_comp(spark, sf_dir)
+    pairs = _tiered_pairs(spark, sf_dir)
+    pairsets = pairs.select("tier", "id1", "id2").unionByName(
+        pairs.select(F.lit("all").alias("tier"), "id1", "id2").distinct()
+    )
+
+    def _split(key: F.Column) -> F.Column:
+        b = F.conv(
+            F.substring(F.md5(key.cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        return F.when(b % _SPLIT_MOD == 0, F.lit("test")).otherwise(
+            F.lit("train")
+        )
+
+    assign = docs.join(
+        comp.select(F.col("id").alias("doc_id"), "cluster_id"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        _split(F.col("doc_id")).alias("naive"),
+        _split(F.coalesce("cluster_id", "doc_id")).alias("cluster_aware"),
+    )
+    melted = assign.select(
+        F.lit("naive").alias("scheme"), "doc_id", F.col("naive").alias("split")
+    ).unionByName(
+        assign.select(
+            F.lit("cluster_aware").alias("scheme"),
+            "doc_id",
+            F.col("cluster_aware").alias("split"),
+        )
+    )
+    a = melted.select(
+        "scheme", F.col("doc_id").alias("id1"), F.col("split").alias("s1")
+    )
+    b = melted.select(
+        "scheme", F.col("doc_id").alias("id2"), F.col("split").alias("s2")
+    )
+    pair_roll = (
+        pairsets.join(a, "id1")
+        .join(b, ["scheme", "id2"])
+        .groupBy("scheme", "tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("s1") != F.col("s2")).cast("long"))
+            .cast("long")
+            .alias("n_cross_pairs"),
+        )
+    )
+    doc_roll = F.broadcast(
+        melted.groupBy("scheme").agg(
+            F.sum((F.col("split") == "test").cast("long"))
+            .cast("long")
+            .alias("n_test_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+    return (
+        pair_roll.join(doc_roll, "scheme")
+        .select(
+            "scheme",
+            "tier",
+            "n_pairs",
+            "n_cross_pairs",
+            F.expr(
+                "((2 * n_cross_pairs * 1000000 + n_pairs)"
+                " div (2 * n_pairs)) / 1000000.0D"
+            ).alias("cross_share"),
+            "n_test_docs",
+            F.expr(
+                "((2 * n_test_docs * 1000000 + n_docs)"
+                " div (2 * n_docs)) / 1000000.0D"
+            ).alias("test_doc_share"),
+        )
+        .orderBy("scheme", "tier")
+    )

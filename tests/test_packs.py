@@ -100,3 +100,25 @@ def test_duplicate_query_name_rejected():
         @register("mixing_weights_stats")
         def mixing_weights_stats(spark, sf_dir):  # pragma: no cover
             raise AssertionError
+
+
+def test_split_leakage_cluster_aware_is_leak_free(spark):
+    """The audit's core claims: the naive doc-hash split leaks SOME
+    near-dup pairs on this fixture (the panel exists because this
+    happens), and the cluster-aware split leaks exactly ZERO on every
+    tier (every near-dup edge is intra-cluster by construction)."""
+    from ethical_data_ingestion_spark.queries.dedup_q import (
+        split_leakage_audit,
+    )
+
+    rows = split_leakage_audit(spark, SF_DIR).collect()
+    naive = [r for r in rows if r.scheme == "naive"]
+    fixed = [r for r in rows if r.scheme == "cluster_aware"]
+    assert naive and fixed and len(naive) == len(fixed)
+    assert sum(r.n_cross_pairs for r in naive) > 0
+    for r in fixed:
+        assert r.n_cross_pairs == 0, r.tier
+    # same pair universe under both schemes
+    assert {(r.tier, r.n_pairs) for r in naive} == {
+        (r.tier, r.n_pairs) for r in fixed
+    }
