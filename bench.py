@@ -197,7 +197,7 @@ HEADLINE = [
     "dedup_simhash",
     "neardup_clusters",
     "dedup_tier_attribution",
-    "split_leakage_audit",
+    "split_leakage_tier_audit",
     "winnowing_overlap_pairs",
     "survivor_selection_stats",
     "neardup_emit",

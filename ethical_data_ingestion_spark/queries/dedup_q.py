@@ -2049,8 +2049,8 @@ def _split_leakage_oracle() -> str:
     """
 
 
-@register("split_leakage_audit", oracle=_split_leakage_oracle)
-def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("split_leakage_tier_audit", oracle=_split_leakage_oracle)
+def split_leakage_tier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (scheme × tier) leakage panel: near-dup pairs, pairs whose
     endpoints land on opposite sides of the train/test split, the exact
     cross share, and the scheme's test-set size — under the naive

@@ -35,22 +35,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str | Callable[[], str]] = {}
 
 
-def register(name: str, oracle: str | Callable[[], str] | None = None):
+def register(
+    name: str,
+    oracle: str | Callable[[], str] | None = None,
+    override: bool = False,
+):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the
     registry, with its DuckDB-oracle SQL mirror (a string, or a zero-arg
-    builder resolved lazily — see ``ORACLE_SQL``)."""
+    builder resolved lazily — see ``ORACLE_SQL``).
+
+    Duplicate names raise regardless of module — the round-11 collision
+    showed the same-module loophole is just as silent (a later panel in
+    the same file shadowed an earlier one, and its test went red while
+    the registry stayed quiet). Deliberate re-registration (test
+    monkey-patching, conditional variants) must pass ``override=True``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         prev = QUERIES.get(name)
-        if prev is not None and prev.__module__ != fn.__module__:
-            # a silent override would make the LAST-loaded module win and
+        if prev is not None and not override:
+            # a silent override would make the LAST definition win and
             # the other's registration vanish without any test failing
-            # (same-module re-registration is allowed: conditional
-            # variants and test monkey-patching re-enter deliberately)
             raise ValueError(
                 f"query name {name!r} already registered by "
                 f"{prev.__module__}; pick a distinct name in "
-                f"{fn.__module__}"
+                f"{fn.__module__} or pass override=True"
             )
         QUERIES[name] = fn
         if oracle is not None:

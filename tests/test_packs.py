@@ -108,10 +108,10 @@ def test_split_leakage_cluster_aware_is_leak_free(spark):
     happens), and the cluster-aware split leaks exactly ZERO on every
     tier (every near-dup edge is intra-cluster by construction)."""
     from ethical_data_ingestion_spark.queries.dedup_q import (
-        split_leakage_audit,
+        split_leakage_tier_audit,
     )
 
-    rows = split_leakage_audit(spark, SF_DIR).collect()
+    rows = split_leakage_tier_audit(spark, SF_DIR).collect()
     naive = [r for r in rows if r.scheme == "naive"]
     fixed = [r for r in rows if r.scheme == "cluster_aware"]
     assert naive and fixed and len(naive) == len(fixed)

@@ -162,3 +162,48 @@ def test_lazy_oracles_resolve_to_sql():
         head = sql.strip().split(None, 1)[0].upper()
         assert head in ("SELECT", "WITH"), (name, head)
         assert not callable(registry.ORACLE_SQL[name]), name  # memoized
+
+
+def test_same_module_duplicate_rejected_and_override_allowed():
+    """The round-11 collision class: a same-module re-registration is just
+    as silent as a cross-module one (a later panel in the same file
+    shadowed an earlier one and its test went red while the registry
+    stayed quiet). Duplicates now raise regardless of module;
+    deliberate shadowing must say so with override=True."""
+    import pytest
+
+    from ethical_data_ingestion_spark.registry import QUERIES, register
+
+    name = "split_leakage_audit"  # registered by dedup_q
+    original = QUERIES[name]
+    with pytest.raises(ValueError, match="already registered"):
+        @register(name)
+        def split_leakage_audit(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
+
+    assert QUERIES[name] is original  # rejection left the registry intact
+
+    try:
+        @register(name, override=True)
+        def replacement(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
+
+        assert QUERIES[name] is replacement
+    finally:
+        QUERIES[name] = original
+
+
+def test_bench_headline_is_duplicate_free_and_registered():
+    """bench.py's HEADLINE list drives BENCH_r{N}.json: a duplicate entry
+    runs a query twice and shrinks the recorded count (round-11 What's
+    wrong #1b); an unregistered entry KeyErrors mid-suite."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    dupes = [n for n in set(bench.HEADLINE) if bench.HEADLINE.count(n) > 1]
+    assert not dupes, f"duplicate HEADLINE entries: {dupes}"
+    unregistered = [n for n in bench.HEADLINE if n not in registry.QUERIES]
+    assert not unregistered, f"unregistered HEADLINE entries: {unregistered}"
