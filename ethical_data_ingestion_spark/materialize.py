@@ -298,13 +298,25 @@ def transient_release(spark) -> int:
     A long-lived session (the bench, a notebook, a server) calls this
     between queries; one query's transients never help the next, so the
     only effect is execution memory handed back. Returns the number of
-    RDDs unpersisted."""
+    RDDs unpersisted.
+
+    Fail-safe rules (a wrong sweep frees blocks whose lineage was
+    truncated — a later consumer dies with missing blocks, worse than
+    any memory squeeze): no-op unless the materialize mode is ``local``
+    (under ``disk`` the pins are reliable-checkpoint files and _SHARED
+    ownership is not tracked via RDD ids at all), and no-op when ANY
+    live shared artifact of this session lacks a tracking record (the
+    ownership set would be incomplete, so the sweep could hit a shared
+    artifact's blocks)."""
+    if os.environ.get(_ENV_VAR, "local") != "local":
+        return 0
     owned: set = set()
     for s, df in _SHARED.values():
         if s is spark:
             e = _PIN_RDD_IDS.get(id(df))
-            if e is not None and e[0]() is df:
-                owned.update(e[1])
+            if e is None or e[0]() is not df:
+                return 0  # untracked shared artifact: keep everything
+            owned.update(e[1])
     n = 0
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()

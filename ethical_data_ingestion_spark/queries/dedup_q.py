@@ -2039,10 +2039,10 @@ def _split_leakage_oracle() -> str:
       FROM melted GROUP BY scheme
     )
     SELECT p.scheme, p.tier, p.n_pairs, p.n_cross_pairs,
-           ((2 * p.n_cross_pairs * 1000000 + p.n_pairs)
+           ((2 * p.n_cross_pairs::HUGEINT * 1000000 + p.n_pairs)
             // (2 * p.n_pairs)) / 1000000.0 AS cross_share,
            d.n_test_docs,
-           ((2 * d.n_test_docs * 1000000 + d.n_docs)
+           ((2 * d.n_test_docs::HUGEINT * 1000000 + d.n_docs)
             // (2 * d.n_docs)) / 1000000.0 AS test_doc_share
     FROM pair_roll p JOIN doc_roll d ON d.scheme = p.scheme
     ORDER BY p.scheme, p.tier
@@ -2127,14 +2127,17 @@ def split_leakage_tier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tier",
             "n_pairs",
             "n_cross_pairs",
+            # DECIMAL(38,0) numerators: corpus-scale pair/doc counts
+            # would wrap a BIGINT numerator past ~4.6e12 (non-ANSI Spark
+            # wraps silently where DuckDB raises — see packs_q._eff_micro)
             F.expr(
-                "((2 * n_cross_pairs * 1000000 + n_pairs)"
-                " div (2 * n_pairs)) / 1000000.0D"
+                "((2 * cast(n_cross_pairs as decimal(38,0)) * 1000000"
+                " + n_pairs) div (2 * n_pairs)) / 1000000.0D"
             ).alias("cross_share"),
             "n_test_docs",
             F.expr(
-                "((2 * n_test_docs * 1000000 + n_docs)"
-                " div (2 * n_docs)) / 1000000.0D"
+                "((2 * cast(n_test_docs as decimal(38,0)) * 1000000"
+                " + n_docs) div (2 * n_docs)) / 1000000.0D"
             ).alias("test_doc_share"),
         )
         .orderBy("scheme", "tier")

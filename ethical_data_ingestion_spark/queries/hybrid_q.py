@@ -429,7 +429,15 @@ def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stage materialize-and-replan costs more here than it can ever
     save (measured ~2× wall at sf0.1), so the plan executes eagerly with
     AQE scoped OFF — the standard point-query discipline; the heavy
-    analytical queries keep AQE for skew/coalesce wins."""
+    analytical queries keep AQE for skew/coalesce wins.
+
+    The toggle is session-global for the duration of the eager
+    materialize (conf set → execute → restore): a CONCURRENT query on
+    the same SparkSession during that window would plan without AQE.
+    The repo's callers (driver gate, bench, tests) are single-threaded
+    per session, which is the assumption; a multi-tenant server should
+    give serving traffic its own session (``spark.newSession()`` shares
+    the block manager, so the pinned artifacts stay warm)."""
     from ..materialize import materialize
 
     plan = (
@@ -442,9 +450,16 @@ def hybrid_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "hybrid_rank")
     )
     aqe = "spark.sql.adaptive.enabled"
-    old = spark.conf.get(aqe)
+    # restore to the PRIOR state: unset if the session never set the key
+    # explicitly (get(key, None) reads only explicit session overrides),
+    # so we don't pin a default that a later deployment-level change to
+    # the underlying conf would then silently lose.
+    old = spark.conf.get(aqe, None)
     spark.conf.set(aqe, "false")
     try:
         return materialize(plan)  # eager: executes under the scoped conf
     finally:
-        spark.conf.set(aqe, old)
+        if old is None:
+            spark.conf.unset(aqe)
+        else:
+            spark.conf.set(aqe, old)

@@ -80,16 +80,25 @@ def _counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _eff_micro(payload: str, seqs: str) -> str:
     """pack_efficiency = payload / (n_seq · L), exact half-up micro-units
-    (Spark SQL; ``//`` twin below)."""
+    (Spark SQL; ``//`` twin below).
+
+    The numerator is a whole-corpus token mass ×2e6, so it is computed in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): a BIGINT numerator wraps
+    silently in non-ANSI Spark past ~4.6e12 tokens (~18 TB of text) while
+    DuckDB raises — the one place the two engines would diverge WITHOUT
+    an error at 100-TB corpus scale. The QUOTIENT is ≤ 1e6 (a share in
+    micro-units), so Spark's ``decimal div → long`` result type is exact.
+    """
     return (
-        f"((2 * {payload} * 1000000 + ({seqs} * {_SEQ_LEN}))"
+        f"((2 * cast({payload} as decimal(38,0)) * 1000000"
+        f" + ({seqs} * {_SEQ_LEN}))"
         f" div (2 * {seqs} * {_SEQ_LEN})) / 1000000.0D"
     )
 
 
 def _eff_micro_duck(payload: str, seqs: str) -> str:
     return (
-        f"((2 * ({payload})::BIGINT * 1000000 + (({seqs}) * {_SEQ_LEN}))"
+        f"((2 * ({payload})::HUGEINT * 1000000 + (({seqs}) * {_SEQ_LEN}))"
         f" // (2 * ({seqs}) * {_SEQ_LEN})) / 1000000.0"
     )
 
@@ -321,7 +330,7 @@ def _mixing_oracle() -> str:
     )
     SELECT m.source,
            m.m AS mass_tokens,
-           ((2 * m.m * 1000000 + t.t) // (2 * t.t)) / 1000000.0
+           ((2 * m.m::HUGEINT * 1000000 + t.t) // (2 * t.t)) / 1000000.0
              AS share_a1,
            sqrt(m.m::DOUBLE) / t.denom05 AS share_a05,
            ({_MIX_BUDGET_X} * t.t) * (sqrt(m.m::DOUBLE) / t.denom05)
@@ -366,7 +375,10 @@ def mixing_weights_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("m").alias("mass_tokens"),
             F.expr(
-                f"((2 * m * 1000000 + t) div (2 * t)) / 1000000.0D"
+                # DECIMAL(38,0) numerator: m is a whole-source token
+                # mass — BIGINT wraps past ~4.6e12 tokens (see _eff_micro)
+                f"((2 * cast(m as decimal(38,0)) * 1000000 + t)"
+                f" div (2 * t)) / 1000000.0D"
             ).alias("share_a1"),
             share05.alias("share_a05"),
             (

@@ -1164,7 +1164,18 @@ def substring_dedup_removal_sampled(
     exercising the identical index, melt, and island-merge code paths at
     10× document scale. retained_share uses the exact integer half-up
     (micro-units), not ROUND(double, 6) — at gate scale the double-round
-    boundary class is live."""
+    boundary class is live.
+
+    Oracle depth bound (mirrors ``_sag_depth``'s): the REGISTERED oracle
+    is generated at the fixed ``_SAG_ROUNDS = 7`` (documents ≤ 2^7 = 128
+    tokens), while the Spark side builds at
+    ``R = _sag_depth(full corpus)`` ≥ 7. The two agree because every
+    fixture document fits in 128 tokens; a SAMPLED document longer than
+    that would hash-mismatch LOUDLY (the family-wide documented failure
+    mode, never silently wrong). On a corpus that outgrows the bound,
+    regenerate the oracle at the sample's own
+    ``max(7, ceil(log2(max sampled-doc tokens)))`` — the sample's maxlen
+    can differ from the full corpus's, so derive it from the sample."""
     sample = (_SAMPLE_MOD, _SAMPLE_REM)
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % _SAMPLE_MOD == _SAMPLE_REM

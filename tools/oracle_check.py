@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 import math
 import os
+import re
 import sys
 import time
 from datetime import date, datetime
@@ -78,7 +79,22 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     orig_err, err_path = _capture_stderr()
+    try:
+        return _checked_run(sf_dir, only, err_path)
+    finally:
+        # restore fd 2 and replay the captured bytes EVEN ON A CRASH —
+        # before this finally existed, a failure ahead of the replay
+        # lost the whole Spark/JVM stderr stream (round-11 ADVICE)
+        sys.stderr.flush()
+        try:
+            os.dup2(orig_err, 2)
+            with open(err_path, "rb") as fh:
+                os.write(2, fh.read())
+        except OSError:
+            pass
 
+
+def _checked_run(sf_dir: str, only: set, err_path: str) -> int:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -175,12 +191,13 @@ def main() -> int:
     try:
         with open(err_path, "rb") as fh:
             data = fh.read()
-        os.write(orig_err, data)
+        # match the actual log4j WARN line ("... WARN HintErrorLogger:"),
+        # not any stray mention of the logger name in other output
         hint_lines = sorted(
             {
                 ln.strip()
                 for ln in data.decode(errors="replace").splitlines()
-                if "HintErrorLogger" in ln
+                if re.search(r"\bWARN\s+(?:[\w.]*\.)?HintErrorLogger\b", ln)
             }
         )
     except OSError:
