@@ -147,6 +147,7 @@ HEADLINE = [
     "training_shard_manifest",
     "training_shard_manifest_bpe",
     "packing_strategy_stats",
+    "packing_bpe_stats",
     "mixing_weights_stats",
     "training_shard_manifest_curated",
     "shard_merkle_manifest",

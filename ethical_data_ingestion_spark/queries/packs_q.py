@@ -125,11 +125,13 @@ def _pack_group_fold(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _packing_oracle() -> str:
+def _packing_oracle_sql(counts_body: str) -> str:
+    """The strategy-pricing oracle over ANY per-doc ``counts(doc_id,
+    n_tok)`` CTE chain — the whitespace panel and the trained-BPE panel
+    share every CTE below it (same prefix math, same rank-stepped greedy
+    fold), differing only in the token currency."""
     return f"""
-    WITH RECURSIVE counts AS (
-      SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tok FROM documents
-    ),
+    WITH RECURSIVE {counts_body},
     eligible AS (SELECT * FROM counts WHERE n_tok <= {_SEQ_LEN}),
     oversize AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_over
@@ -210,13 +212,27 @@ def _packing_oracle() -> str:
     """
 
 
+def _packing_oracle() -> str:
+    return _packing_oracle_sql(
+        f"""counts AS (
+      SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tok FROM documents
+    )"""
+    )
+
+
 @register("packing_strategy_stats", oracle=_packing_oracle)
 def packing_strategy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per packing strategy: sequences produced, payload and
     padding token mass, exact pack efficiency, documents split across
     sequence boundaries, and the oversize-document count (see module
     docstring for strategy semantics and the distribution argument)."""
-    counts = _counts(spark, sf_dir)
+    return _strategies_panel(spark, _counts(spark, sf_dir))
+
+
+def _strategies_panel(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """Price the three packing strategies over ANY per-doc
+    ``(doc_id, n_tok)`` table — the Spark twin of
+    :func:`_packing_oracle_sql`'s parameterization."""
     eligible = counts.filter(F.col("n_tok") <= _SEQ_LEN)
     n_over = F.broadcast(
         counts.filter(F.col("n_tok") > _SEQ_LEN).agg(
@@ -388,3 +404,103 @@ def mixing_weights_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-priced packing (round-12): the SAME three strategies priced in
+# TRAINED-BPE tokens. `packing_strategy_stats` prices in whitespace
+# tokens, but the loader that consumes packed sequences budgets in the
+# trained tokenizer's tokens (the shard manifests and the curate mount
+# already price in them via `pipeline_q`): a curator comparing packing
+# strategies in whitespace currency and shard budgets in BPE currency is
+# comparing apples to oranges — fertility (BPE tokens per whitespace
+# token) is > 1 and VARIES BY SOURCE, so the strategies' efficiency
+# ordering and the oversize set can both differ between currencies.
+# Realizes the reference's declared-but-unused tiktoken import
+# (ethical_crawler.py:31-34) at the packing seam.
+
+
+def _bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trained-BPE token count: explode to (doc_id, word)
+    counts (map-side combined), join the session-shared word → symbol
+    table (vocabulary-sized — AQE broadcasts it), roll up per document.
+    Documents with no words (empty text) are kept at n_tok = 0 via the
+    LEFT join so every strategy prices the same document set.
+
+    Scale shape: the corpus-sized side collapses to (doc, distinct-word)
+    counts before the join; the per-token work is one split+explode scan.
+    No per-token join, no UDF — the trained segmentation is replayed once
+    per corpus by the shared artifact, not per query."""
+    from .strings_q import _bpe_word_segs
+
+    segs = _bpe_word_segs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    priced = (
+        wc.join(segs, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("n_bpe")
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(priced, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bpe", F.lit(0)).cast("long").alias("n_tok"),
+        )
+    )
+
+
+def _packing_bpe_oracle() -> str:
+    # lazy: reads sibling-module constants (strings_q) — must not run at
+    # import time (registry first-import rule)
+    from .strings_q import _BPE_ROUNDS, _bpe_round_ctes
+
+    s2 = "chr(31) || chr(31)"
+    counts_body = f"""{_bpe_round_ctes(_BPE_ROUNDS)},
+    wordsym AS (
+      SELECT word,
+             CAST(len(string_split(substr(seg, 2, length(seg) - 2), {s2}))
+                  AS BIGINT) AS n_sym
+      FROM seg{_BPE_ROUNDS}
+    ),
+    wcd AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY doc_id, word
+    ),
+    counts AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(SUM(w.cnt * s.n_sym), 0) AS BIGINT) AS n_tok
+      FROM documents d
+      LEFT JOIN wcd w ON w.doc_id = d.doc_id
+      LEFT JOIN wordsym s ON s.word = w.word
+      GROUP BY d.doc_id
+    )"""
+    return _packing_oracle_sql(counts_body)
+
+
+@register("packing_bpe_stats", oracle=_packing_bpe_oracle)
+def packing_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`packing_strategy_stats` in the LOADER's currency: the same three
+    strategies (concat-chunk / doc-per-seq / boundary-respecting greedy)
+    priced in trained-BPE tokens from the session-shared
+    `strings_q._bpe_word_segs` segmentation — so packing efficiency is
+    directly comparable with the shard manifests' token budgets. With
+    fertility > 1, documents near the whitespace sequence limit overflow
+    it in BPE tokens: expect a larger ``n_oversize``, more splits under
+    concat-chunk, and a DIFFERENT efficiency spread than the whitespace
+    panel (pinned by test on the fixture).
+
+    Shares every strategy/efficiency code path with the whitespace panel
+    (``_strategies_panel`` / ``_packing_oracle_sql``); only the counts
+    table differs."""
+    return _strategies_panel(spark, _bpe_counts(spark, sf_dir))

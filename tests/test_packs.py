@@ -122,3 +122,46 @@ def test_split_leakage_cluster_aware_is_leak_free(spark):
     assert {(r.tier, r.n_pairs) for r in naive} == {
         (r.tier, r.n_pairs) for r in fixed
     }
+
+
+def test_bpe_packing_diverges_from_whitespace_pricing(spark):
+    """The round-12 currency-match panel: the same three strategies priced
+    in trained-BPE tokens must KEEP the internal strategy invariants but
+    DIVERGE from the whitespace panel exactly the way fertility > 1
+    predicts — documents near the whitespace limit overflow it in BPE
+    tokens (oversize appears), concat-chunk splits more documents, and
+    the efficiency spread moves (greedy falls: the same documents fill
+    BPE sequences less evenly; doc-per-seq rises: padding shrinks
+    relative to fatter documents)."""
+    ws = {r.strategy: r for r in
+          packs_q.packing_strategy_stats(spark, SF_DIR).collect()}
+    bp = {r.strategy: r for r in
+          packs_q.packing_bpe_stats(spark, SF_DIR).collect()}
+    assert set(bp) == set(ws) == {"concat_chunk", "doc_per_seq",
+                                  "greedy_group"}
+    cc, dps, gg = (bp["concat_chunk"], bp["doc_per_seq"],
+                   bp["greedy_group"])
+    # internal invariants hold in the BPE currency too
+    assert cc.payload_tokens == dps.payload_tokens == gg.payload_tokens > 0
+    assert cc.n_sequences <= gg.n_sequences <= dps.n_sequences
+    assert cc.pack_efficiency >= gg.pack_efficiency >= dps.pack_efficiency
+    assert cc.n_docs_split > 0 and gg.n_docs_split == 0 == dps.n_docs_split
+    for r in bp.values():
+        assert r.n_pad_tokens == (r.n_sequences * packs_q._SEQ_LEN
+                                  - r.payload_tokens)
+    # the currency divergence (fertility ~2.3 on the fixture)
+    assert bp["concat_chunk"].n_oversize > ws["concat_chunk"].n_oversize
+    assert cc.n_docs_split > ws["concat_chunk"].n_docs_split
+    assert gg.pack_efficiency < ws["greedy_group"].pack_efficiency
+    assert dps.pack_efficiency > ws["doc_per_seq"].pack_efficiency
+    # conservation against the tokenizer-apply panel: the per-doc pricing
+    # table must sum to the corpus BPE mass bpe_encode_stats reports
+    from ethical_data_ingestion_spark.queries.strings_q import (
+        bpe_encode_stats,
+    )
+
+    total_priced = packs_q._bpe_counts(spark, SF_DIR).agg(
+        F.sum("n_tok")).collect()[0][0]
+    total_encode = sum(
+        r.bpe_tokens for r in bpe_encode_stats(spark, SF_DIR).collect())
+    assert total_priced == total_encode

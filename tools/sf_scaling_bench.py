@@ -68,6 +68,7 @@ HEAVY = [
     "lpa_semisync_communities",
     "training_shard_manifest_bpe",
     "packing_strategy_stats",
+    "packing_bpe_stats",
     "neardup_emit",
     "corpus_curation_emit",
     # round-10 panels
