@@ -197,7 +197,9 @@ HEADLINE = [
     "incremental_dedup_stats",
     "dedup_simhash",
     "neardup_clusters",
+    "neardup_clusters_sampled",
     "dedup_tier_attribution",
+    "dedup_tier_attribution_sampled",
     "split_leakage_tier_audit",
     "winnowing_overlap_pairs",
     "survivor_selection_stats",

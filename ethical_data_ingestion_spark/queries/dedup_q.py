@@ -755,8 +755,15 @@ def dedup_tier_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-size join from pairs to their id1's cluster label (both
     endpoints share a cluster by construction). Oracle: the identical
     transitive closure as a recursive CTE with per-tier counts."""
-    tiered = _tiered_pairs(spark, sf_dir)
-    comp = _tiered_comp(spark, sf_dir)
+    return _tier_attribution_rollup(
+        _tiered_pairs(spark, sf_dir), _tiered_comp(spark, sf_dir)
+    )
+
+
+def _tier_attribution_rollup(tiered: DataFrame, comp: DataFrame) -> DataFrame:
+    """The per-cluster tier-attribution rollup over ANY (tiered pairs,
+    component labels) — shared by the full panel and the round-12 sampled
+    scale-gate twin."""
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
@@ -2142,3 +2149,105 @@ def split_leakage_tier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scheme", "tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 sampled scale-gate twins for the two heaviest recursive-CTE
+# ground-truth mirrors (the round-11 `substring_dedup_removal_sampled`
+# pattern): the FULL panels' Spark sides are bucketed and sf1-clean, but
+# their DuckDB mirrors are deliberate all-pairs/transitive-closure ground
+# truth and stay adjudicated-expensive at sf1. A deterministic
+# ``doc_id % 10 == 3`` sub-corpus cuts the mirrors' quadratic terms 100×
+# (sf1 sample ≈ sf0.1 mirror cost, which the gate already runs).
+#
+# Pair semantics are PER-PAIR (a pair's fingerprint match, jaccard, or
+# simhash distance never depends on other documents), so pairs over the
+# sampled corpus are EXACTLY the full-corpus pairs with both endpoints
+# sampled — the Spark side filters the session-shared tier artifacts
+# (zero new index builds: the delta-audit shape a production corpus
+# would use) and re-resolves components over the sampled graph; the
+# mirror replays the identical full pipeline over the filtered corpus.
+# Components must be RE-RESOLVED, not filtered: two sampled documents
+# linked only through an unsampled intermediary are one cluster in the
+# full graph but two in the sample — on both engines alike.
+
+_DEDUP_SAMPLE_MOD, _DEDUP_SAMPLE_REM = 10, 3
+
+
+def _sampled_docs_sql(sql: str) -> str:
+    """The oracle transform: every ``documents`` scan becomes the
+    deterministic sub-corpus (derived-table form, so it composes with any
+    trailing WHERE/GROUP BY at the call sites)."""
+    return sql.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE doc_id % {_DEDUP_SAMPLE_MOD}"
+        f" = {_DEDUP_SAMPLE_REM}) documents",
+    )
+
+
+def _sample_pair_filter(pairs: DataFrame) -> DataFrame:
+    return pairs.filter(
+        (F.col("id1") % _DEDUP_SAMPLE_MOD == _DEDUP_SAMPLE_REM)
+        & (F.col("id2") % _DEDUP_SAMPLE_MOD == _DEDUP_SAMPLE_REM)
+    )
+
+
+def _neardup_clusters_sampled_oracle() -> str:
+    # lazy: reads the registered full-panel oracle, so the two pipelines
+    # can never drift apart
+    from ..registry import resolve_oracle
+
+    return _sampled_docs_sql(resolve_oracle("neardup_clusters"))
+
+
+@register("neardup_clusters_sampled", oracle=_neardup_clusters_sampled_oracle)
+def neardup_clusters_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`neardup_clusters` over the deterministic 10% sub-corpus — the
+    scale-gate-runnable ground truth for the cluster-resolution family:
+    the mirror's recursive closure (and the shingle self-join feeding it)
+    runs over 10% of documents, while the Spark side exercises the
+    production delta-audit path — filter the session-shared pair
+    artifact to sampled endpoints, then re-resolve components on the
+    sampled graph (same iterative min-label propagation as the full
+    panel). See the section comment for why filtering pairs is exact and
+    why components must be re-run."""
+    pairs = shared_get((*_PAIR_KEY, sf_dir), spark)
+    if pairs is None:
+        pairs = shared_publish(
+            (*_PAIR_KEY, sf_dir), spark, _build_jaccard_pairs(spark, sf_dir)
+        )
+    comp = D.connected_components(_sample_pair_filter(pairs), "id1", "id2")
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+def _tier_attribution_sampled_oracle() -> str:
+    from ..registry import resolve_oracle
+
+    return _sampled_docs_sql(resolve_oracle("dedup_tier_attribution"))
+
+
+@register(
+    "dedup_tier_attribution_sampled",
+    oracle=_tier_attribution_sampled_oracle,
+)
+def dedup_tier_attribution_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dedup_tier_attribution` over the deterministic 10% sub-corpus —
+    scale-gate ground truth for the cross-tier closure: the mirror's
+    three pair tiers + transitive closure run over the sample; the Spark
+    side filters the session-shared tiered pair union to sampled
+    endpoints, re-resolves components, and reuses the full panel's
+    rollup verbatim (``_tier_attribution_rollup``)."""
+    tiered = _sample_pair_filter(_tiered_pairs(spark, sf_dir))
+    comp = D.connected_components(
+        tiered.select("id1", "id2").distinct(), "id1", "id2"
+    )
+    return _tier_attribution_rollup(tiered, comp)

@@ -581,3 +581,42 @@ def test_hybrid_serving_plan_shape(spark):
         n_shuffle = len(re.findall(r"Exchange hashpartitioning", plan))
         assert n_shuffle <= 2, (label, n_shuffle)
         assert "EvalPython" not in plan, label  # no Python in the serving path
+
+
+def test_round12_packs_and_leakage_plan_pins(spark, sf_dir):
+    """Round-11/12 panels, pinned (round-11 verdict item 8): the packing
+    panels' ONLY Python node is the bounded per-group greedy fold (one
+    FlatMapGroupsInPandas each — a second one, or an ArrowEval creeping
+    into the efficiency math, fails here); their prefix-offset windows
+    are pid-partitioned (TeraSort pattern, never a global window); the
+    mixing and leakage panels are pure-JVM (zero Python nodes); nothing
+    anywhere goes cartesian."""
+    import re
+
+    one_python = ("packing_strategy_stats", "packing_bpe_stats")
+    no_python = (
+        "mixing_weights_stats",
+        "split_leakage_audit",
+        "split_leakage_tier_audit",
+        "neardup_clusters_sampled",
+        "dedup_tier_attribution_sampled",
+    )
+    for name in one_python + no_python:
+        df = _q(spark, sf_dir, name)
+        plan = plans.formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        # formatted plans list each node twice (tree + details); count
+        # the details-section headers, one per physical node
+        n_py = len(re.findall(
+            r"^\(\d+\) (?:FlatMapGroupsInPandas|ArrowEvalPython"
+            r"|BatchEvalPython)", plan, re.M))
+        assert n_py == (1 if name in one_python else 0), (name, n_py)
+
+    for name in one_python:
+        plan = plans.formatted_plan(_q(spark, sf_dir, name))
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert spec.startswith("pid"), f"{name}: global window {spec[:80]}"
+
+    # the tier audit's doc-share side must stay a broadcast attach
+    tier = plans.formatted_plan(_q(spark, sf_dir, "split_leakage_tier_audit"))
+    assert "BroadcastHashJoin" in tier

@@ -33,9 +33,11 @@ HEAVY = [
     "winnowing_overlap_pairs",
     "ngram_span_overlap",
     "dedup_tier_attribution",
+    "dedup_tier_attribution_sampled",
     "incremental_dedup_stats",
     "survivor_selection_stats",
     "neardup_clusters",
+    "neardup_clusters_sampled",
     "kcenter_coreset_stats",
     "bpe_training_rounds",
     # round-7 panels (round-7 verdict item 3): suffix_doubling_profile is
