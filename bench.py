@@ -201,8 +201,10 @@ HEADLINE = [
     "dedup_tier_attribution",
     "dedup_tier_attribution_sampled",
     "split_leakage_tier_audit",
+    "split_leakage_tier_audit_sampled",
     "winnowing_overlap_pairs",
     "survivor_selection_stats",
+    "survivor_selection_stats_sampled",
     "neardup_emit",
     "ngram_novelty_stats",
     "pagerank_trade_graph",

@@ -861,10 +861,15 @@ def survivor_selection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters."""
     from .text_q import quality_z_df
 
-    comp = _tiered_comp(spark, sf_dir)
     z = quality_z_df(load_table(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("id"), "z"
     )
+    return _survivor_rollup(_tiered_comp(spark, sf_dir), z)
+
+
+def _survivor_rollup(comp: DataFrame, z: DataFrame) -> DataFrame:
+    """The two-policy survivor rollup over ANY (component labels, per-doc
+    score) — shared by the full panel and the round-12 sampled twin."""
     cz = comp.join(z, "id")
     per = cz.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2069,9 +2074,20 @@ def split_leakage_tier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: reads the session-shared tiered pair and cluster
     artifacts; the audit itself is two doc-keyed equi-joins per pair set
     plus per-(scheme, tier) rollups — linear, no new quadratic work."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    comp = _tiered_comp(spark, sf_dir)
-    pairs = _tiered_pairs(spark, sf_dir)
+    return _tier_leakage_panel(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        _tiered_pairs(spark, sf_dir),
+        _tiered_comp(spark, sf_dir),
+    )
+
+
+def _tier_leakage_panel(
+    spark: SparkSession, docs: DataFrame, pairs: DataFrame, comp: DataFrame
+) -> DataFrame:
+    """The (scheme × tier) leakage rollup over ANY (doc list, tiered
+    pairs, component labels) — shared by the full audit and the round-12
+    sampled scale-gate twin."""
     pairsets = pairs.select("tier", "id1", "id2").unionByName(
         pairs.select(F.lit("all").alias("tier"), "id1", "id2").distinct()
     )
@@ -2176,12 +2192,16 @@ _DEDUP_SAMPLE_MOD, _DEDUP_SAMPLE_REM = 10, 3
 
 def _sampled_docs_sql(sql: str) -> str:
     """The oracle transform: every ``documents`` scan becomes the
-    deterministic sub-corpus (derived-table form, so it composes with any
-    trailing WHERE/GROUP BY at the call sites)."""
+    deterministic sub-corpus. Derived-table form WITHOUT an injected
+    alias, so it composes with whatever follows at the call site — a
+    trailing alias (``FROM documents d``), WHERE, or GROUP BY; none of
+    the transformed oracles reference the scan by the table name
+    (asserted below)."""
+    assert "documents." not in sql  # qualified refs would break unaliased
     return sql.replace(
         "FROM documents",
         f"FROM (SELECT * FROM documents WHERE doc_id % {_DEDUP_SAMPLE_MOD}"
-        f" = {_DEDUP_SAMPLE_REM}) documents",
+        f" = {_DEDUP_SAMPLE_REM})",
     )
 
 
@@ -2251,3 +2271,70 @@ def dedup_tier_attribution_sampled(
         tiered.select("id1", "id2").distinct(), "id1", "id2"
     )
     return _tier_attribution_rollup(tiered, comp)
+
+
+def _tier_leakage_sampled_oracle() -> str:
+    from ..registry import resolve_oracle
+
+    return _sampled_docs_sql(resolve_oracle("split_leakage_tier_audit"))
+
+
+@register(
+    "split_leakage_tier_audit_sampled",
+    oracle=_tier_leakage_sampled_oracle,
+)
+def split_leakage_tier_audit_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`split_leakage_tier_audit` over the deterministic 10% sub-corpus —
+    the third sampled scale-gate twin (its full mirror was the single
+    most expensive ground truth in the round-11 pair at 88.7 s for
+    sf0.1). Same construction as the other twins: filter the shared
+    tiered pairs to sampled endpoints, re-resolve components, rerun the
+    shared rollup (``_tier_leakage_panel``) over the sampled doc list;
+    the mirror replays the full recursive pipeline over the filtered
+    corpus. The cluster-aware scheme's zero-leak guarantee holds within
+    the sample for the same reason it holds in full: every sampled
+    near-dup edge is intra-(sampled-)cluster by construction."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % _DEDUP_SAMPLE_MOD == _DEDUP_SAMPLE_REM)
+    )
+    pairs = _sample_pair_filter(_tiered_pairs(spark, sf_dir))
+    comp = D.connected_components(
+        pairs.select("id1", "id2").distinct(), "id1", "id2"
+    )
+    return _tier_leakage_panel(spark, docs, pairs, comp)
+
+
+def _survivor_sampled_oracle() -> str:
+    from ..registry import resolve_oracle
+
+    return _sampled_docs_sql(resolve_oracle("survivor_selection_stats"))
+
+
+@register(
+    "survivor_selection_stats_sampled", oracle=_survivor_sampled_oracle
+)
+def survivor_selection_stats_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`survivor_selection_stats` over the deterministic 10% sub-corpus —
+    the fourth sampled twin (its full mirror: 56.8 s at sf0.1). The
+    quality score z is CORPUS-RELATIVE (per-source means/stds), so both
+    engines compute it over the SAMPLED corpus — the panel is exactly
+    the full panel of the sub-corpus, not a filter of full-corpus
+    numbers; `quality_z_df` already takes the doc table as an argument,
+    and the mirror's `quality_z_cte` scans transform with the rest."""
+    from .text_q import quality_z_df
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _DEDUP_SAMPLE_MOD == _DEDUP_SAMPLE_REM
+    )
+    pairs = _sample_pair_filter(_tiered_pairs(spark, sf_dir))
+    comp = D.connected_components(
+        pairs.select("id1", "id2").distinct(), "id1", "id2"
+    )
+    z = quality_z_df(docs).select(F.col("doc_id").alias("id"), "z")
+    return _survivor_rollup(comp, z)

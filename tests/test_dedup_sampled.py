@@ -17,6 +17,10 @@ from ethical_data_ingestion_spark.queries.dedup_q import (
     dedup_tier_attribution_sampled,
     neardup_clusters,
     neardup_clusters_sampled,
+    split_leakage_tier_audit,
+    split_leakage_tier_audit_sampled,
+    survivor_selection_stats,
+    survivor_selection_stats_sampled,
 )
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -38,6 +42,23 @@ def test_sampled_panels_are_full_panels_of_sampled_corpus(spark, tmp_path):
     want_t = dedup_tier_attribution(spark, sub).collect()
     assert len(got_t) > 0
     assert sorted(map(tuple, got_t)) == sorted(map(tuple, want_t))
+
+    got_l = split_leakage_tier_audit_sampled(spark, SF_DIR).collect()
+    want_l = split_leakage_tier_audit(spark, sub).collect()
+    assert len(got_l) > 0
+    assert sorted(map(tuple, got_l)) == sorted(map(tuple, want_l))
+    # the cluster-aware guarantee holds WITHIN the sample
+    assert all(
+        r.n_cross_pairs == 0 for r in got_l if r.scheme == "cluster_aware"
+    )
+
+    # survivor selection: z is corpus-relative, so the sampled panel is
+    # the full panel OF THE SUB-CORPUS (z over sampled docs) — exact
+    got_s = survivor_selection_stats_sampled(spark, SF_DIR).collect()
+    want_s = survivor_selection_stats(spark, sub).collect()
+    assert len(got_s) == len(want_s) == 1
+    assert tuple(got_s[0]) == tuple(want_s[0])
+    assert got_s[0].n_clusters > 0
 
 
 def test_sampled_components_are_not_a_filter_of_full_labels(spark):

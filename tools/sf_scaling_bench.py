@@ -36,6 +36,8 @@ HEAVY = [
     "dedup_tier_attribution_sampled",
     "incremental_dedup_stats",
     "survivor_selection_stats",
+    "survivor_selection_stats_sampled",
+    "split_leakage_tier_audit_sampled",
     "neardup_clusters",
     "neardup_clusters_sampled",
     "kcenter_coreset_stats",
