@@ -115,6 +115,45 @@ def _verify_jaccard(
     )
 
 
+def shingle_id_sets(sets: DataFrame, id_col: str) -> DataFrame:
+    """Dictionary-encoded twin of a shingle-set table: the string arrays
+    replaced by injectively-assigned BIGINT codes (``n_sh`` carried over
+    unchanged). Verification on codes computes the SAME intersection
+    sizes — the map is injective, so |A ∩ B| is preserved exactly — while
+    the candidate join ships ~8-byte longs instead of ~20-byte shingle
+    strings and ``array_intersect`` compares longs instead of hashing
+    strings (r12, guide §2.3 "narrower types": verification measured
+    2.2× faster at sf0.1).
+
+    Codes are dense ranks within hash-blocks of the vocabulary —
+    ``block = pmod(xxhash64(s), 4096)``, ``code = block·2⁴⁰ + row_number
+    within block ordered by s`` — so no global window is needed and the
+    encoding scales to billion-shingle vocabularies (bound: 2⁴⁰ distinct
+    shingles per block). Deterministic given the corpus; only
+    intersection SIZES feed results, so code values never surface."""
+    sh = sets.select(F.col(id_col), F.explode("sh").alias("s"))
+    wv = Window.partitionBy(F.pmod(F.xxhash64("s"), F.lit(4096))).orderBy("s")
+    vocab = (
+        sh.select("s")
+        .distinct()
+        .select(
+            "s",
+            (
+                F.pmod(F.xxhash64("s"), F.lit(4096)) * F.lit(1 << 40)
+                + F.row_number().over(wv)
+            ).alias("sid"),
+        )
+    )
+    return (
+        sh.join(vocab, "s")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("sid")).alias("sh"),
+            F.count(F.lit(1)).cast("int").alias("n_sh"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -122,6 +161,7 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     sets: DataFrame | None = None,
+    verify_sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT word-k-gram Jaccard pairs ≥ threshold, via prefix filtering
     (the PPJoin family): for J ≥ t, two docs must collide within the first
@@ -142,12 +182,17 @@ def jaccard_pairs(
 
     ``sets``: optionally pass a precomputed (materialized) shingle-set
     table — pipelines persist it once and feed every dedup family member
-    from it (see ``_shingle_sets``).
+    from it (see ``_shingle_sets``). ``verify_sets``: optionally a
+    dictionary-encoded twin (:func:`shingle_id_sets`) used for the
+    verification joins only — same exact results, cheaper arrays.
     """
     if sets is None:
         sets = _shingle_sets(df, id_col, text_col, k)
     candidates = jaccard_candidates(sets, id_col, threshold)
-    return _verify_jaccard(candidates, sets, id_col, threshold)
+    return _verify_jaccard(
+        candidates, verify_sets if verify_sets is not None else sets,
+        id_col, threshold,
+    )
 
 
 def jaccard_candidates(
@@ -261,6 +306,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.8,
     sets: DataFrame | None = None,
+    verify_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -281,7 +327,10 @@ def minhash_lsh_pairs(
         sets = _shingle_sets(df, id_col, text_col, k)
     sig = _minhash_from_sets(sets, id_col, num_hashes)
     candidates = minhash_band_candidates(sig, id_col, num_hashes, bands)
-    return _verify_jaccard(candidates, sets, id_col, threshold)
+    return _verify_jaccard(
+        candidates, verify_sets if verify_sets is not None else sets,
+        id_col, threshold,
+    )
 
 
 def _banded(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:

@@ -31,6 +31,19 @@ def _doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_idsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared dictionary-encoded twin of the shingle-set table
+    (``operators/dedup.shingle_id_sets``): BIGINT shingle codes for the
+    verification joins — same exact intersection sizes, ~2× cheaper
+    arrays (r12, guide §2.3). Built once per session from the shared
+    string sets, like every other corpus-prep artifact."""
+    return shared(
+        ("doc_shingle_idsets", sf_dir, 3),
+        spark,
+        lambda: D.shingle_id_sets(_doc_sets(spark, sf_dir), "doc_id"),
+    )
+
+
 def _doc_sig16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-shared 16-hash MinHash signature table over the shared
     shingle sets — the LSH index artifact both the recall panel and the
@@ -46,11 +59,29 @@ def _doc_sig16(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_KEY = ("jaccard_pairs", 3, 0.8)
 
 
+def _truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published ≥0.8 exact-Jaccard pair table, building and
+    publishing it on first need — the same pipeline-order discipline
+    ``neardup_clusters`` documents (pairs → downstream consumers read
+    the persisted table; only the pair query itself always rebuilds).
+    r12: the two LSH quality panels priced their banding against a
+    per-run REBUILD of this truth set — pure re-derivation of the
+    published artifact (guide §2.4: don't recompute what the pipeline
+    already persisted)."""
+    pairs = shared_get((*_PAIR_KEY, sf_dir), spark)
+    if pairs is None:
+        pairs = shared_publish(
+            (*_PAIR_KEY, sf_dir), spark, _build_jaccard_pairs(spark, sf_dir)
+        )
+    return pairs
+
+
 def _build_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         "doc_id", "text", k=3, threshold=0.8,
         sets=_doc_sets(spark, sf_dir),
+        verify_sets=_doc_idsets(spark, sf_dir),
     )
 
 # Shared SQL fragments (DuckDB): normalized text, word 3-gram shingles.
@@ -197,6 +228,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=16, bands=4, k=3, threshold=0.8,
         sets=_doc_sets(spark, sf_dir),
+        verify_sets=_doc_idsets(spark, sf_dir),
     )
 
 
@@ -560,9 +592,7 @@ def minhash_recall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked end to end (empty corpus ⇒ vacuous 1.0s, mirrored)."""
     sig = _doc_sig16(spark, sf_dir)
     cands = materialize(D.minhash_band_candidates(sig, "doc_id", 16, 4))
-    truth = materialize(
-        _build_jaccard_pairs(spark, sf_dir).select("id1", "id2")
-    )
+    truth = _truth_pairs(spark, sf_dir).select("id1", "id2")
     t = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     c = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
     h = cands.join(truth, ["id1", "id2"]).agg(
@@ -1334,7 +1364,8 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = _doc_sets(spark, sf_dir)
     pairs = materialize(
         D.jaccard_pairs(
-            docs, "doc_id", "text", k=3, threshold=_SWEEP_TH[0], sets=sets
+            docs, "doc_id", "text", k=3, threshold=_SWEEP_TH[0], sets=sets,
+            verify_sets=_doc_idsets(spark, sf_dir),
         )
     )
     # NOTE hint placement: tdf is the PRESERVED (left) side of the final
@@ -1790,9 +1821,11 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    truth = materialize(
-        _build_jaccard_pairs(spark, sf_dir).select("id1", "id2")
-    ).withColumn("_t", F.lit(1))
+    truth = (
+        _truth_pairs(spark, sf_dir)
+        .select("id1", "id2")
+        .withColumn("_t", F.lit(1))
+    )
     per = (
         cand.join(truth, ["id1", "id2"], "left")
         .groupBy("bands")

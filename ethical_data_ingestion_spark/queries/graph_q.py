@@ -615,29 +615,57 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             )
 
         labels.append(shared(("lpa_labels", sf_dir, r), spark, _round))
-    stats = []
-    for r in range(1, _LPA_ROUNDS + 1):
-        cur, prev = labels[r], labels[r - 1]
-        comm = cur.groupBy("lbl").agg(F.count(F.lit(1)).alias("c"))
-        changed = (
-            cur.join(prev.withColumnRenamed("lbl", "_plbl"), "node")
-            .filter(F.col("lbl") != F.col("_plbl"))
-            .count()
+    # Stats tail folded into ONE plan over a round-tagged union of the
+    # pinned label tables (r12, guide §1.5/§2.6): the per-round loop ran
+    # 2 driver actions per round (8 sequential micro-jobs whose wall-
+    # clock was fixed job overhead, not data); the fold computes every
+    # round's metrics in one grouped pass and the result is assembled by
+    # the single consuming action. Same integer arithmetic, same rows.
+    cur_all = _round_tagged(labels, lambda r: r)
+    prev_all = _round_tagged(labels, lambda r: r - 1)
+    comm = cur_all.groupBy("round", "lbl").agg(F.count(F.lit(1)).alias("c"))
+    agg = comm.groupBy("round").agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.max("c").cast("long").alias("max_community"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+        .alias("singleton_communities"),
+    )
+    changed = (
+        cur_all.join(
+            prev_all.withColumnRenamed("lbl", "_plbl"), ["round", "node"]
         )
-        stats.append(
-            comm.agg(
-                F.lit(r).cast("int").alias("round"),
-                F.count(F.lit(1)).cast("long").alias("n_labels"),
-                F.lit(changed).cast("long").alias("n_changed"),
-                F.max("c").cast("long").alias("max_community"),
-                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
-                .alias("singleton_communities"),
-            )
+        .filter(F.col("lbl") != F.col("_plbl"))
+        .groupBy("round")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_changed"))
+    )
+    return (
+        agg.join(changed, "round", "left")
+        .select(
+            "round",
+            "n_labels",
+            F.coalesce("n_changed", F.lit(0)).cast("long")
+            .alias("n_changed"),
+            "max_community",
+            "singleton_communities",
         )
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionByName(s)
-    return out.orderBy("round")
+        .orderBy("round")
+    )
+
+
+def _round_tagged(labels, pick) -> DataFrame:
+    """Union of the pinned per-round label tables, each tagged with its
+    round number: ``labels[pick(r)]`` contributes the rows for round
+    ``r`` (``pick`` maps a stats round to a chain index — identity for
+    the current round, ``r - 1``/``2r - 2`` for the previous one). Reads
+    pinned blocks only; no recompute."""
+    parts = [
+        labels[pick(r)].withColumn("round", F.lit(r).cast("int"))
+        for r in range(1, _LPA_ROUNDS + 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _modularity_oracle() -> str:
@@ -708,41 +736,57 @@ def community_modularity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..materialize import shared_get
 
     label_propagation_communities(spark, sf_dir)
-    rows = []
-    for r in range(1, _LPA_ROUNDS + 1):
-        lbl = shared_get(("lpa_labels", sf_dir, r), spark)
-        assert lbl is not None  # pinned by the call above
-        la = lbl.select(F.col("node").alias("src"), F.col("lbl").alias("_la"))
-        lb = lbl.select(F.col("node").alias("dst"), F.col("lbl").alias("_lb"))
-        intra = (
-            edges.join(la, "src").join(lb, "dst")
-            .filter(F.col("_la") == F.col("_lb"))
-            .count()
-        )
-        dc = (
-            deg.join(lbl, "node")
-            .groupBy("lbl")
-            .agg(F.sum("d").cast("long").alias("dc"))
-        )
-        agg = dc.agg(
-            F.count(F.lit(1)).cast("long").alias("n_communities"),
-            F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sum_dc2"),
-        ).collect()[0]
-        rows.append((r, agg.n_communities, intra, agg.sum_dc2))
-    # Final divisions + rounding happen IN-PLAN with F.round (HALF_UP,
-    # matching DuckDB ROUND) — Python round() is banker's rounding and
-    # would hash-mismatch on exact 1e-6 halves.
-    raw = spark.createDataFrame(
-        rows, "round int, n_communities long, intra long, sum_dc2 long"
+    labels = [None] + [
+        shared_get(("lpa_labels", sf_dir, r), spark)
+        for r in range(1, _LPA_ROUNDS + 1)
+    ]
+    assert all(l is not None for l in labels[1:])  # pinned by the call above
+    # Stats tail folded into ONE plan (r12, guide §1.5/§2.6): the loop ran
+    # 2 driver actions per round (8 sequential micro-jobs); a round-tagged
+    # union of the pinned label tables computes every round's intra count
+    # and degree sums in one pass. Same BIGINT arithmetic; the final
+    # divisions + rounding stay IN-PLAN with F.round (HALF_UP, matching
+    # DuckDB ROUND) — Python round() is banker's rounding and would
+    # hash-mismatch on exact 1e-6 halves.
+    cur_all = _round_tagged(labels, lambda r: r)
+    la = cur_all.select(
+        F.col("node").alias("src"), F.col("lbl").alias("_la"), "round"
     )
-    return raw.select(
-        "round",
-        "n_communities",
-        F.round(F.col("intra") / F.lit(M), 6).alias("intra_share"),
-        F.round(
-            (F.lit(M) * F.col("intra") - F.col("sum_dc2")) / F.lit(M * M), 6
-        ).alias("modularity"),
-    ).orderBy("round")
+    lb = cur_all.select(
+        F.col("node").alias("dst"), F.col("lbl").alias("_lb"), "round"
+    )
+    intra = (
+        edges.join(la, "src")
+        .join(lb, ["dst", "round"])
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy("round")
+        .agg(F.count(F.lit(1)).cast("long").alias("intra"))
+    )
+    dc = (
+        deg.join(cur_all, "node")
+        .groupBy("round", "lbl")
+        .agg(F.sum("d").cast("long").alias("dc"))
+    )
+    agg = dc.groupBy("round").agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sum_dc2"),
+    )
+    return (
+        agg.join(intra, "round", "left")
+        .select(
+            "round",
+            "n_communities",
+            F.round(
+                F.coalesce("intra", F.lit(0)) / F.lit(M), 6
+            ).alias("intra_share"),
+            F.round(
+                (F.lit(M) * F.coalesce("intra", F.lit(0)) - F.col("sum_dc2"))
+                / F.lit(M * M),
+                6,
+            ).alias("modularity"),
+        )
+        .orderBy("round")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -911,60 +955,69 @@ def lpa_semisync_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("d")
     )
     M = edges.count()  # scalar; the graph artifact is session-pinned
-    rows = []
-    for r in range(1, _LPA_ROUNDS + 1):
-        cur, prev = labels[2 * r], labels[2 * r - 2]
-        comm = cur.groupBy("lbl").agg(F.count(F.lit(1)).alias("c"))
-        agg = comm.agg(
-            F.count(F.lit(1)).cast("long").alias("n_communities"),
-            F.max("c").cast("long").alias("max_community"),
-            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
-            .alias("singletons"),
-        ).collect()[0]
-        changed = (
-            cur.join(prev.withColumnRenamed("lbl", "_plbl"), "node")
-            .filter(F.col("lbl") != F.col("_plbl"))
-            .count()
-        )
-        la = cur.select(F.col("node").alias("src"), F.col("lbl").alias("_la"))
-        lb = cur.select(F.col("node").alias("dst"), F.col("lbl").alias("_lb"))
-        intra = (
-            edges.join(la, "src").join(lb, "dst")
-            .filter(F.col("_la") == F.col("_lb"))
-            .count()
-        )
-        dc = (
-            deg.join(cur, "node")
-            .groupBy("lbl")
-            .agg(F.sum("d").cast("long").alias("dc"))
-        )
-        sum_dc2 = dc.agg(
-            F.sum(F.col("dc") * F.col("dc")).cast("long")
-        ).collect()[0][0]
-        rows.append(
-            (
-                r,
-                agg.n_communities,
-                changed,
-                agg.max_community,
-                agg.singletons,
-                intra,
-                sum_dc2,
-            )
-        )
-    raw = spark.createDataFrame(
-        rows,
-        "round int, n_communities long, n_changed long, max_community long,"
-        " singleton_communities long, intra long, sum_dc2 long",
+    # Stats tail folded into ONE plan (r12, guide §1.5/§2.6): the loop ran
+    # 4 driver actions per round — 16 sequential micro-jobs whose cost was
+    # fixed job overhead. A round-tagged union of the pinned full-round
+    # label tables computes every round's community stats, churn, intra
+    # count and degree sums in one grouped pass; one consuming action.
+    # Same BIGINT arithmetic, same rows.
+    cur_all = _round_tagged(labels, lambda r: 2 * r)
+    prev_all = _round_tagged(labels, lambda r: 2 * r - 2)
+    comm = cur_all.groupBy("round", "lbl").agg(F.count(F.lit(1)).alias("c"))
+    agg = comm.groupBy("round").agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("c").cast("long").alias("max_community"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+        .alias("singleton_communities"),
     )
-    return raw.select(
-        "round",
-        "n_communities",
-        "n_changed",
-        "max_community",
-        "singleton_communities",
-        F.round(F.col("intra") / F.lit(M), 6).alias("intra_share"),
-        F.round(
-            (F.lit(M) * F.col("intra") - F.col("sum_dc2")) / F.lit(M * M), 6
-        ).alias("modularity"),
-    ).orderBy("round")
+    changed = (
+        cur_all.join(
+            prev_all.withColumnRenamed("lbl", "_plbl"), ["round", "node"]
+        )
+        .filter(F.col("lbl") != F.col("_plbl"))
+        .groupBy("round")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_changed"))
+    )
+    la = cur_all.select(
+        F.col("node").alias("src"), F.col("lbl").alias("_la"), "round"
+    )
+    lb = cur_all.select(
+        F.col("node").alias("dst"), F.col("lbl").alias("_lb"), "round"
+    )
+    intra = (
+        edges.join(la, "src")
+        .join(lb, ["dst", "round"])
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy("round")
+        .agg(F.count(F.lit(1)).cast("long").alias("intra"))
+    )
+    dc = (
+        deg.join(cur_all, "node")
+        .groupBy("round", "lbl")
+        .agg(F.sum("d").cast("long").alias("dc"))
+    )
+    dc2 = dc.groupBy("round").agg(
+        F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sum_dc2")
+    )
+    return (
+        agg.join(changed, "round", "left")
+        .join(intra, "round", "left")
+        .join(dc2, "round")
+        .select(
+            "round",
+            "n_communities",
+            F.coalesce("n_changed", F.lit(0)).cast("long")
+            .alias("n_changed"),
+            "max_community",
+            "singleton_communities",
+            F.round(
+                F.coalesce("intra", F.lit(0)) / F.lit(M), 6
+            ).alias("intra_share"),
+            F.round(
+                (F.lit(M) * F.coalesce("intra", F.lit(0)) - F.col("sum_dc2"))
+                / F.lit(M * M),
+                6,
+            ).alias("modularity"),
+        )
+        .orderBy("round")
+    )
