@@ -54,14 +54,14 @@ def _mount_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes — curation-kept docs, span-deduped text, manifest-exact shard
     assignment."""
     from .queries.pipeline_q import (
-        _curation_decisions,
         _curated_token_counts,
+        _published_decisions,
         _shard_assignments_from_counts,
     )
     from .queries.spans_q import substring_dedup_emit
 
     kept = (
-        _curation_decisions(spark, sf_dir)
+        _published_decisions(spark, sf_dir)
         .filter(F.col("kept"))
         .select("doc_id", "source")
     )
@@ -138,7 +138,7 @@ def write_training_mount(
     ``out_dir`` (corpus / manifest / audit / merkle — see module
     docstring). Returns the summary dict the CLI prints."""
     from .queries.pipeline_q import (
-        _curation_decisions,
+        _published_decisions,
         training_shard_manifest_curated,
     )
 
@@ -154,7 +154,7 @@ def write_training_mount(
     ).parquet(f"{out_dir}/corpus")
     manifest = training_shard_manifest_curated(spark, sf_dir)
     manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
-    audit = _curation_decisions(spark, sf_dir).orderBy("doc_id")
+    audit = _published_decisions(spark, sf_dir).orderBy("doc_id")
     audit.write.mode("overwrite").parquet(f"{out_dir}/audit")
     # hash the mount that was WRITTEN, not the plan that produced it —
     # the manifest must certify the bytes a consumer will actually read.
@@ -173,7 +173,7 @@ def write_training_mount(
         F.countDistinct("shard_id").alias("s"),
         F.sum("n_tok").alias("t"),
     ).first()
-    n_total = _curation_decisions(spark, sf_dir).count()
+    n_total = _published_decisions(spark, sf_dir).count()
     return {
         "out": out_dir,
         "docs_kept": stats["n"],

@@ -33,6 +33,24 @@ from ..registry import register
 _BENCH_SOURCE = "src0"
 _DECON_K = 8  # n-gram size; long enough that collisions imply real overlap
 
+
+def _decon_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared (doc_id, source, 8-gram) explode over ``documents``
+    — the decontamination family's corpus-prep artifact, pinned once per
+    session like the dedup family's 3-gram shingle sets (r12, guide §2.4:
+    the exact-decontam panel re-evaluated the explode TWICE per run —
+    bench + tainted branches are unshared subtrees — and the Bloom panel
+    re-pinned it per run)."""
+    return shared(
+        ("decon_shingles", sf_dir, _DECON_K),
+        spark,
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.explode(shingles("text", _DECON_K)).alias("s"),
+        ),
+    )
+
 # DuckDB k-gram fragment (generalizes dedup_q's proven k=3 pattern).
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -81,9 +99,7 @@ def benchmark_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-grams (not 3) make shared shingles evidence of real duplication
     rather than phrase-level co-occurrence."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "source", F.explode(shingles("text", _DECON_K)).alias("s")
-    )
+    sh = _decon_shingles(spark, sf_dir)
     bench = F.broadcast(
         sh.filter(F.col("source") == _BENCH_SOURCE).select("s").distinct()
     )
@@ -507,15 +523,12 @@ def bloom_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, shingle) pairs — which reuses the exchange the distinct already
     paid. Zero false negatives is a structural guarantee of the filter and
     is asserted by the hash-checked ``doc_fns`` column being 0."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Pin the 8-gram explode: it feeds five branches (bench set, bitmap
-    # build, probe distinct, per-source shingle rollup, doc flags) and
-    # Catalyst re-evaluates unshared subtrees per branch.
-    sh = materialize(
-        docs.select(
-            "doc_id", "source", F.explode(shingles("text", _DECON_K)).alias("s")
-        )
-    )
+    # The pinned 8-gram explode feeds five branches (bench set, bitmap
+    # build, probe distinct, per-source shingle rollup, doc flags) —
+    # Catalyst would re-evaluate unshared subtrees per branch. r12: the
+    # pin is the session-shared decontam artifact instead of a per-run
+    # re-pin of the same table.
+    sh = _decon_shingles(spark, sf_dir)
     bench = sh.filter(F.col("source") == _BENCH_SOURCE).select("s").distinct()
     corpus = sh.filter(F.col("source") != _BENCH_SOURCE)
     seeds = F.explode(
