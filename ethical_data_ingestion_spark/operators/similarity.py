@@ -584,20 +584,16 @@ def knn_nsw(
             "left_anti",
         )
         prev = scored
-        scored = scored.unionByName(score(fresh))
-        # The LAST hop stays lazy (r12, guide §1): its pin job only
-        # re-wrote the accumulated table for the single consumer that
-        # follows — the consumer computes the final hop in its own job
-        # instead (measured ~0.5s/walk saved at sf0.1). Intermediate hops
-        # must still pin or the per-hop replay the docstring describes
-        # returns; the last intermediate pin also stays alive (the lazy
-        # final hop reads its blocks) until the session's release sweep.
-        # A caller whose plan consumes the RESULT more than once (several
-        # aggregations over the returned top-k) should materialize that
-        # result itself — see incremental_ann_stats.
-        if hop < n_hops - 1:
-            scored = materialize(scored)
-            unpin(prev)
+        # Every hop pins, INCLUDING the last (r12 adjudication, guide §1):
+        # a skip-last-pin variant measured ~0.5s faster standalone but
+        # REGRESSED in-suite (incremental_ann_stats 6.77 → 8.03s,
+        # knn_cosine_nsw 1.69 → 2.50s in the same bench run) — the fused
+        # final job re-plans/recompiles the deep last-hop plan on every
+        # suite re-run, costing more than the pin job it saved. Kept the
+        # in-suite-proven shape; the rejected variant and both numbers are
+        # recorded in OPTIMIZATION_r12.md.
+        scored = materialize(scored.unionByName(score(fresh)))
+        unpin(prev)
     wk = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col("_node"))
     return (
         scored.filter(F.col("_node") != F.col(query_id_col))

@@ -1951,15 +1951,8 @@ def incremental_ann_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     g = _nsw_index_graph(spark, sf_dir)
-    # Pinned because BOTH stats branches below consume it (out_stats and
-    # the back/kept path): knn_nsw no longer pins its final hop (r12), so
-    # an unpinned ins would replay that hop once per consumer. This pin
-    # is |delta|·E rows — far smaller than the walk's accumulated score
-    # table the operator used to checkpoint.
-    ins = materialize(
-        S.knn_nsw(
-            index, probes, g, k=_NSW_E, beam_width=_NSW_W, n_hops=_NSW_H
-        )
+    ins = S.knn_nsw(
+        index, probes, g, k=_NSW_E, beam_width=_NSW_W, n_hops=_NSW_H
     )
     back = ins.select(
         F.col("vec_id").alias("src"), F.col("query_id").alias("dst"), "cos"
