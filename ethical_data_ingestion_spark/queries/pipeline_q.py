@@ -116,9 +116,17 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once (same rationale as the dedup pipelines: three
     structurally different consumers), sized |vocab|·|sources| — vocab
     scale, not corpus scale."""
+    from .dedup_q import _doc_sets
+
     docs = load_table(spark, sf_dir, "documents")
+    # r12 (guide §2.4): read the session-shared word-3-gram shingle sets
+    # instead of re-normalizing + re-shingling the raw text per run — the
+    # per-doc arrays are list-distinct, and the (source, s) DISTINCT below
+    # collapses doc-level multiplicity identically either way.
     srcsh = materialize(
-        docs.select(F.col("source"), F.explode(shingles("text", 3)).alias("s"))
+        _doc_sets(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("sh").alias("s"))
         .distinct()
     )
     sizes = srcsh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
