@@ -5,12 +5,15 @@ Runs the headline query suite at ``$SPARK_GRAFT_SF_DIR`` (default
 ONE JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {}, "queries_file": "BENCH.json", "sf": ...}
+     "queries": {<top queries by time, as many as fit>},
+     "queries_file": "BENCH_c<cpus>.json", "sf": ..., "cpus": ...}
 
-The per-query timing map is written to ``BENCH.json`` (same payload plus
-``queries``); the stdout line carries totals only so it stays under the
-driver's tail buffer (round-5 verdict item 7 — BENCH_r05 had
-``parsed: null`` from line-length truncation).
+The FULL per-query timing map is written to ``BENCH_c<cpus>.json`` (and
+``BENCH.json``, for older tooling); the stdout line carries the totals
+plus the top-of-the-map entries that fit under the driver's 2000-char
+tail buffer (round-5 verdict item 7 — BENCH_r05 had ``parsed: null``
+from line-length truncation; round-12 verdict item 1 asked for the map
+back on stdout, trimmed to what the tail can hold).
 
 Timings are end-to-end per query: plan → execute → collect (results are
 small by construction; collect is the driver contract's own terminal step).
@@ -460,6 +463,7 @@ def main() -> None:
         if pinned_bytes(spark) > pin_budget:
             shared_release(spark)
 
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     out = {
         "metric": "headline_suite_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -467,19 +471,40 @@ def main() -> None:
         "queries": timings,
         "first_run_total": round(sum(first_pass.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus) if cpus.isdigit() else cpus,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
-        "w",
-    ) as fh:
-        fh.write(json.dumps(out) + "\n")
-    # stdout line: suite totals only. The full 135-query map makes the line
-    # ~4.5 KB, which overflows the driver's tail buffer and left BENCH_r05
-    # with ``parsed: null`` (round-5 verdict item 7); the per-query map
-    # lives in BENCH.json next to this script, referenced here by name.
-    stdout_line = dict(out, queries={}, queries_file="BENCH.json",
+    here = os.path.dirname(os.path.abspath(__file__))
+    # Full per-query map on disk, TWICE: the per-cpu file means a later run
+    # at a different core count can never clobber this run's map (round-12
+    # verdict item 1 — the driver's c8 run overwrote BENCH.json and lost
+    # the 32-core map), and BENCH.json stays for existing tooling.
+    queries_file = f"BENCH_c{cpus}.json"
+    for fname in ("BENCH.json", queries_file):
+        with open(os.path.join(here, fname), "w") as fh:
+            fh.write(json.dumps(out) + "\n")
+    # stdout line: totals plus as much of the per-query map as fits. The
+    # driver parses the JSON from the LAST 2000 chars of output (measured:
+    # BENCH_r04/r05 tails are exactly 2000 chars with the line's head cut
+    # off and ``parsed: null``), so the whole line must stay under that —
+    # the full 249-entry map is ~8 KB and can never fit. Compromise per the
+    # round-12 verdict ("trim ... if the tail genuinely overflows"): emit
+    # the TOP queries by wall time, greedily filled under a byte budget
+    # with ~150 chars of safety margin. Entries are only ever ADDED
+    # relative to the round-12 stdout map (which was empty); the complete
+    # map is in the per-cpu queries_file.
+    stdout_line = dict(out, queries={}, queries_file=queries_file,
                        n_queries=len(timings))
-    os.write(real_stdout_fd, (json.dumps(stdout_line) + "\n").encode())
+    budget = 1850 - len(json.dumps(stdout_line, separators=(",", ":")))
+    emitted: dict[str, float] = {}
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        entry = len(name) + len(f"{timings[name]:.2f}") + 5  # "n":v,
+        if entry > budget:
+            break
+        budget -= entry
+        emitted[name] = round(timings[name], 2)
+    stdout_line["queries"] = emitted
+    line = json.dumps(stdout_line, separators=(",", ":")) + "\n"
+    os.write(real_stdout_fd, line.encode())
     os.close(real_stdout_fd)
 
 
