@@ -71,14 +71,45 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 state partitions: windowed-agg state is JVM-side and tiny (one row
     per open (window × key)); each partition pays a per-batch state-store
     commit, so the partition count is sized to the state, not the CPU
-    count (8→4 measured 3.2s→1.7s at sf0.1)."""
+    count (8→4 measured 3.2s→1.7s at sf0.1).
+
+    r13: the drained window table is PUBLISHED per run (producer always
+    rebuilds — the _truth_pairs discipline) so the anomaly screen, which
+    consumes the identical 1-hour tumbling table, stops re-draining the
+    same stream (guide §2.4)."""
+    from ..materialize import shared_publish
+
+    out = _drain_tumbling_1h(spark, sf_dir)
+    shared_publish((*_TUMB_KEY, sf_dir), spark, out)
+    return out.orderBy("window_start", "event_type")
+
+
+_TUMB_KEY = ("drained_tumbling_1h",)
+
+
+def _drain_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-maintained 1-hour tumbling drain (complete mode) —
+    the registered producer body, also the rebuild path when the
+    published table is absent."""
     with P.state_partitions(spark, 4):
         stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
-        out = P.run_available_now(
+        return P.run_available_now(
             P.tumbling_stream(stream, "1 hour", ["event_type"]),
             output_mode="complete",
         )
-    return out.orderBy("window_start", "event_type")
+
+
+def _tumbling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published drained 1-hour window table, draining and publishing
+    on first need (same shape as dedup_q._truth_pairs)."""
+    from ..materialize import shared_get, shared_publish
+
+    hit = shared_get((*_TUMB_KEY, sf_dir), spark)
+    if hit is None:
+        hit = shared_publish(
+            (*_TUMB_KEY, sf_dir), spark, _drain_tumbling_1h(spark, sf_dir)
+        )
+    return hit
 
 
 @register(
@@ -295,17 +326,30 @@ def continuous_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (purchase → click within an hour by
-    the same user) drained over 2 micro-batches, then rolled up per user.
-    The files replay chronologically and the watermark delay exceeds the
-    join gap, so the inner join emits every qualifying pair exactly once —
-    which is why the batch SQL join is an exact oracle.
+    the same user), then rolled up per user. The files replay
+    chronologically and the watermark delay exceeds the join gap, so the
+    inner join emits every qualifying pair exactly once — which is why
+    the batch SQL join is an exact oracle.
 
     2 state partitions: stream-stream join keeps FOUR state stores per
     side per partition, so commits dominate wall-clock locally (12s @ 8 →
     3.6s @ 2 at sf0.1). On a cluster the same knob scales out with
-    executor count; the join logic is partition-count-independent."""
+    executor count; the join logic is partition-count-independent.
+
+    r13: drained in the largest micro-batch availableNow allows — the
+    same rationale as ``streaming_sessions_stateful`` (every extra batch
+    re-pays the per-(state store × partition × batch) commit; interleaved
+    A/B at sf0.1: 2 batches 2.39s → 1 batch 1.81s min-of-3, rows
+    identical). The cross-batch join-state handoff stays pinned at
+    fixture scale by tests/test_streaming_multibatch.py."""
+    return _purchase_click_drain(spark, sf_dir, mfpt=None)
+
+
+def _purchase_click_drain(
+    spark: SparkSession, sf_dir: str, mfpt: int | None
+) -> DataFrame:
     with P.state_partitions(spark, 2):
-        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
+        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=mfpt)
         pairs = P.run_available_now(
             P.interval_join_stream(
                 stream, "purchase", "click", max_gap_seconds=3600
@@ -405,7 +449,25 @@ def streaming_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SUM(n), SUM(n²)) with the identical expression order in both engines,
     so the flag booleans are IEEE-deterministic, not approximately so.
     In production the screen runs per-trigger on the updating state via
-    foreachBatch; availableNow + batch screen is the drained equivalent."""
+    foreachBatch; availableNow + batch screen is the drained equivalent.
+
+    r13 (guide §2.4): the screen reads the PUBLISHED drained 1-hour
+    window table (``_tumbling_table`` — the identical engine-maintained
+    table ``streaming_tumbling_hourly`` rebuilds and republishes every
+    run) instead of re-draining the same stream; row-identity against
+    the dedicated drain (``single_drain_anomaly_windows``) is pinned by
+    tests/test_streaming_multiplex.py."""
+    win = _tumbling_table(spark, sf_dir).select(
+        "window_start", "event_type", F.col("n_events").alias("n")
+    )
+    return _anomaly_screen(win)
+
+
+def single_drain_anomaly_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dedicated engine drain — the pre-r13 registered body, kept as
+    the equivalence twin the tests pin against."""
     with P.state_partitions(spark, 4):
         stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
         win = P.run_available_now(
@@ -471,6 +533,74 @@ def _doc_batch_stream(spark: SparkSession, sf_dir: str, mfpt: int | None) -> Dat
         spark, _DOC_SPOOL_CACHE[key], schema_ddl=_DOCS_DDL,
         max_files_per_trigger=mfpt,
     )
+
+
+def _drain_rows(spark: SparkSession, stream: DataFrame, ckpt_prefix: str) -> DataFrame:
+    """ONE foreachBatch pass that drains ``stream`` and returns the pinned
+    union of its micro-batches — the front half of the r10/r11 multiplex
+    functions, factored out so it can also back the session-shared drained-
+    rows artifacts below."""
+    from ..materialize import materialize
+
+    batches: list[DataFrame] = []
+
+    def _sink(bdf: DataFrame, _bid: int) -> None:
+        batches.append(materialize(bdf))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", scratch_dir(ckpt_prefix))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not batches:
+        raise RuntimeError("drain saw no micro-batches")
+    rows = batches[0]
+    for b in batches[1:]:
+        rows = rows.unionByName(b)
+    return rows
+
+
+def _drained_doc_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared drained delta-document rows: the SAME single ingest
+    stream pass ``multiplexed_ingest_drains`` documents (one file-source
+    listing, one trigger sequence, one checkpoint) published as a pinned
+    artifact, so the ingest panels whose rollups are survivor-independent
+    batch aggregations stop paying a drain each (r12 verdict item 2 —
+    guide §2.4/§2.6). Batch boundaries cannot change any consumer panel
+    (pinned by tests/test_streaming_multiplex.py against the real
+    single-drain twins)."""
+    from ..materialize import shared
+
+    def _build() -> DataFrame:
+        with P.state_partitions(spark, 4):
+            return _drain_rows(
+                spark, _doc_batch_stream(spark, sf_dir, mfpt=2), "eds_mux_ckpt_"
+            )
+
+    return shared(("drained_doc_rows", sf_dir), spark, _build)
+
+
+def _doc_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared persistent-corpus fingerprint index (the static 80%
+    side's DISTINCT md5 set) — the artifact a production ingest keeps
+    continuously; previously re-derived per run by BOTH the incremental-
+    dedup classifier and the curation gate's duplicate screen (guide
+    §2.4)."""
+    from ..materialize import shared
+    from ..operators import text as T
+    from .dedup_q import _is_batch
+
+    def _build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return (
+            docs.filter(~_is_batch())
+            .select(T.fingerprint("text").alias("fp"))
+            .distinct()
+        )
+
+    return shared(("doc_fp_index", sf_dir), spark, _build)
 
 
 @register(
@@ -544,19 +674,11 @@ def _classify_perfp(
     drain and its batch twin (tools/streaming_decomp.py), so the
     decomposition's two measurements differ ONLY in who maintained the
     per-fingerprint aggregate."""
-    from ..operators import text as T
-    from .dedup_q import _is_batch
-
     docs = load_table(spark, sf_dir, "documents")
     keeper_src = docs.select(
         F.col("doc_id").alias("first_doc_id"), "source"
     )
-    idx = (
-        docs.filter(~_is_batch())
-        .select(T.fingerprint("text").alias("fp"))
-        .distinct()
-        .withColumn("_ex", F.lit(1))
-    )
+    idx = _doc_fp_index(spark, sf_dir).withColumn("_ex", F.lit(1))
     keeper = (
         perfp.join(keeper_src, "first_doc_id")
         .join(F.broadcast(idx), "fp", "left")
@@ -613,7 +735,55 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rank screen runs batch-side on the |windows|·|types| drained
     table (in production: per-trigger via foreachBatch on the updating
     state); count ties break on the type name on both engines, so the
-    top-2 set is deterministic."""
+    top-2 set is deterministic.
+
+    r13 (guide §2.4/§2.6): served from the session-shared drained events
+    pass (``_drained_event_rows``) with the sliding window computed
+    batch-side over the pinned rows — exactly the
+    ``multiplexed_window_drains`` slide path, whose row-identity to the
+    dedicated drain (``single_drain_topk_trending``) windowed counts are
+    survivor-independent guarantees and tests pin."""
+    win = _slide_2h_1h(_drained_event_rows(spark, sf_dir))
+    return _topk_screen(win)
+
+
+def _slide_2h_1h(rows: DataFrame) -> DataFrame:
+    """Batch 2-hour/1-hour-slide per-type counts over drained event rows
+    (``F.window`` is the same TimeWindow operator batch-side) — shared by
+    the registered panel and the multiplex."""
+    wm = rows.withColumn("ts", P.as_instant("ts"))
+    return (
+        wm.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            P.as_ntz("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def _drained_event_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared drained event rows: one foreachBatch pass over the
+    spooled events stream (the ``multiplexed_window_drains`` front half)
+    published as a pinned artifact."""
+    from ..materialize import shared
+
+    def _build() -> DataFrame:
+        with P.state_partitions(spark, 4):
+            return _drain_rows(
+                spark,
+                _spooled_stream(spark, sf_dir, n_files=4, mfpt=2),
+                "eds_muxw_ckpt_",
+            )
+
+    return shared(("drained_event_rows", sf_dir), spark, _build)
+
+
+def single_drain_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedicated engine drain (sliding-window state handed off across
+    micro-batches) — the pre-r13 registered body, kept as the equivalence
+    twin the tests pin against."""
     with P.state_partitions(spark, 4):
         stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
         wm = stream.withColumn("ts", P.as_instant("ts")).withWatermark(
@@ -723,7 +893,27 @@ def streaming_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row flag count (no ordering, no firsts), so micro-batch
     boundaries cannot change the drained complete-mode table; the oracle
     is the identical screen over the batch-subset CTE. Scale: screening
-    is stateless per-row Catalyst work; state is O(|sources|) counters."""
+    is stateless per-row Catalyst work; state is O(|sources|) counters.
+
+    r13 (guide §2.4/§2.6): served from the session-shared drained ingest
+    pass (``_drained_doc_rows`` — ONE stream drain for the whole ingest
+    panel family, the ``multiplexed_ingest_drains`` deployment shape);
+    the rollup itself is survivor-independent, so the panel is
+    row-identical to the dedicated engine drain, which lives on as
+    ``single_drain_quarantine_gate`` and stays pinned against this panel
+    by tests/test_streaming_multiplex.py."""
+    return _quarantine_final(
+        _quarantine_rollup(_drained_doc_rows(spark, sf_dir))
+        # complete-mode drained table ≡ batch rollup over the drained rows
+    )
+
+
+def single_drain_quarantine_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dedicated engine drain (state held across micro-batches) —
+    the pre-r13 registered body, kept as the equivalence twin the
+    multiplex/shared-artifact tests pin against."""
     with P.state_partitions(spark, 4):
         stream = _doc_batch_stream(spark, sf_dir, mfpt=2)
         agg = _quarantine_rollup(stream)
@@ -1050,13 +1240,19 @@ def _ann_serving_oracle() -> str:
 @register("streaming_knn_serving", oracle=_ann_serving_oracle)
 def streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN serving drain: the ~20% delta vectors arrive as a probe STREAM
-    (4 spooled files, 2 micro-batches); candidates come from the
-    stream-static equi-join of the probes' Arrow-computed LSH buckets
-    against the pinned index bucket table, exact cosine rescoring runs
-    in the streaming plan, and a complete-mode per-probe aggregation
-    carries results across micro-batches (batch-1 probes stay answered
-    while batch-2 drains — the serving property under test). Top-{_SERVE_K}
-    per probe is cut post-drain from the k-boundable candidate sets.
+    (4 spooled files); candidates come from the stream-static equi-join
+    of the probes' Arrow-computed LSH buckets against the pinned index
+    bucket table, exact cosine rescoring runs in the streaming plan, and
+    a complete-mode per-probe aggregation holds each probe's candidate
+    set. Top-{_SERVE_K} per probe is cut post-drain from the k-boundable
+    candidate sets.
+
+    r13: drained in the largest micro-batch availableNow allows (the
+    ``streaming_sessions_stateful`` rationale — interleaved A/B at sf0.1:
+    2 batches 1.61s → 1 batch 1.09s min-of-3, rows identical). The
+    cross-batch serving property (batch-1 probes stay answered while
+    batch-2 drains) stays pinned at fixture scale by
+    tests/test_streaming_multibatch.py.
 
     Scale shape: per micro-batch cost is |batch| · bucket-size rows —
     the static side is the session-pinned index artifact (same blocks
@@ -1064,6 +1260,12 @@ def streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, state bounded by probes in flight. Hash-checked end to end
     against the extended LSH pipeline mirror with a disjoint probe
     relation (``_lsh_pipeline_ctes(q_body=...)``)."""
+    return _knn_serving_drain(spark, sf_dir, mfpt=None)
+
+
+def _knn_serving_drain(
+    spark: SparkSession, sf_dir: str, mfpt: int | None
+) -> DataFrame:
     from ..materialize import shared
     from ..operators import similarity as S
     from .similarity_q import _ann_is_new
@@ -1095,7 +1297,7 @@ def streaming_knn_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             _SPOOL_CACHE[key],
             schema_ddl="vec_id long, embedding array<float>, label int",
-            max_files_per_trigger=2,
+            max_files_per_trigger=mfpt,
         ).select(
             F.col("vec_id").alias("query_id"),
             S.as_double(F.col("embedding")).alias("_qv"),
@@ -1378,7 +1580,23 @@ def streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact join before a terminal drop — never delete on the Bloom bit
     alone. The drained panel itself is unchanged by that discipline (it
     counts screen hits), which is why the oracle mirrors the bitmap
-    exactly."""
+    exactly.
+
+    r13 (guide §2.4/§2.6): served from the session-shared drained ingest
+    pass (``_drained_doc_rows``), like ``streaming_quarantine_gate`` —
+    one stream drain for the ingest panel family; the reason-coding
+    rollup is survivor-independent, so the panel is row-identical to the
+    dedicated engine drain (``single_drain_curation_gate``, pinned by
+    tests/test_streaming_multiplex.py)."""
+    return _curation_final(
+        _curation_rollup(spark, sf_dir, _drained_doc_rows(spark, sf_dir))
+    )
+
+
+def single_drain_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedicated engine drain (per-source reason counts held in state
+    across micro-batches) — the pre-r13 registered body, kept as the
+    equivalence twin the multiplex/shared-artifact tests pin against."""
     with P.state_partitions(spark, 4):
         stream = _doc_batch_stream(spark, sf_dir, mfpt=2)
         agg = _curation_rollup(spark, sf_dir, stream)
@@ -1490,27 +1708,12 @@ def multiplexed_ingest_drains(
     from ..materialize import materialize
     from ..operators import text as T
 
-    batches: list[DataFrame] = []
-
-    def _sink(bdf: DataFrame, _bid: int) -> None:
-        batches.append(materialize(bdf))
-
     with P.state_partitions(spark, 4):
-        stream = _doc_batch_stream(spark, sf_dir, mfpt=2)
-        ckpt = scratch_dir("eds_mux_ckpt_")
-        q = (
-            stream.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        rows = materialize(
+            _drain_rows(
+                spark, _doc_batch_stream(spark, sf_dir, mfpt=2), "eds_mux_ckpt_"
+            )
         )
-        q.awaitTermination()
-    if not batches:
-        raise RuntimeError("multiplexed drain saw no micro-batches")
-    rows = batches[0]
-    for b in batches[1:]:
-        rows = rows.unionByName(b)
-    rows = materialize(rows)
     perfp = (
         rows.select("doc_id", T.fingerprint("text").alias("fp"))
         .groupBy("fp")
@@ -1559,41 +1762,21 @@ def multiplexed_window_drains(
     from ..materialize import materialize
     from ..operators import windows as W
 
-    batches: list[DataFrame] = []
-
-    def _sink(bdf: DataFrame, _bid: int) -> None:
-        batches.append(materialize(bdf))
-
     with P.state_partitions(spark, 4):
-        stream = _spooled_stream(spark, sf_dir, n_files=4, mfpt=2)
-        ckpt = scratch_dir("eds_muxw_ckpt_")
-        q = (
-            stream.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        rows = materialize(
+            _drain_rows(
+                spark,
+                _spooled_stream(spark, sf_dir, n_files=4, mfpt=2),
+                "eds_muxw_ckpt_",
+            )
         )
-        q.awaitTermination()
-    if not batches:
-        raise RuntimeError("multiplexed window drain saw no micro-batches")
-    rows = batches[0]
-    for b in batches[1:]:
-        rows = rows.unionByName(b)
-    wm = materialize(rows).withColumn("ts", P.as_instant("ts"))
+    wm = rows.withColumn("ts", P.as_instant("ts"))
     tumb = materialize(
         W.tumbling_agg(wm, "ts", "1 hour", ["event_type"]).withColumn(
             "window_start", P.as_ntz("window_start")
         )
     )
-    slide = (
-        wm.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            P.as_ntz("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-        )
-    )
+    slide = _slide_2h_1h(rows)
     return {
         "streaming_tumbling_hourly": tumb.orderBy(
             "window_start", "event_type"
