@@ -958,10 +958,145 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mmr_select(cands: DataFrame) -> DataFrame:
     """Greedy MMR (lambda={_MMR_LAMBDA}, {_MMR_K} picks) over a candidate
     pool (query_id, ckey, embedding, n2, rel) — factored out so the exact
-    panel and the ANN-served variant share the selection verbatim. All
-    cost is |queries|·{_MMR_N}-bounded: the pool pins once, the pairwise
-    similarity table is {_MMR_N}^2 per query, and each greedy round is an
-    anti-join + max-sim aggregate + per-query argmax on those tables."""
+    panel and the ANN-served variant share the selection verbatim.
+
+    r13 (guide §2.6 job-count, the LPA single-plan fold applied here):
+    the previous implementation pinned the pool AND an {_MMR_N}²-per-query
+    similarity table (2 eager materialize jobs) and built each greedy
+    round as an anti-join + max-sim aggregate + window argmax — ~3-4 s of
+    fixed pin/plan overhead for a |queries|·{_MMR_N}-row pool. Now the
+    pool is collected into ONE array per query and the {_MMR_K} greedy
+    rounds are unrolled as higher-order-function expressions (zip_with
+    dot products, array_sort argmax) — one shuffle, one job, no pins.
+    Arithmetic is expression-identical to the join form (same cast →
+    zip_with fold → round(…, 6) → desc-score/asc-ckey tie-break), pinned
+    row-identical against the retained join implementation
+    (``_mmr_select_joins``) by tests/test_r13_optimizations.py.
+
+    Scale shape: unchanged — per-query state is the ≤{_MMR_N}-element
+    candidate array ({_MMR_N}·dim doubles), grouped and processed
+    distributed; nothing is quadratic in the corpus and nothing lands on
+    the driver."""
+    lam = F.lit(_MMR_LAMBDA)
+    one_m_lam = F.lit(round(1 - _MMR_LAMBDA, 10))
+
+    def _sim(c, s):
+        dot = F.aggregate(
+            F.zip_with(c["e"], s["e"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.round(dot / (F.sqrt(c["m"]) * F.sqrt(s["m"])), 6)
+
+    def _argmax(arr, score_of, sort_of=None):
+        # smallest-ckey tie-break on the sort key — the join form's window
+        # row_number over (desc key, asc ckey). Round 1 sorts on the raw
+        # rel (its score round(λ·rel, 6) could collapse distinct rels and
+        # flip the tie-break); later rounds sort on the rounded mmr_score,
+        # exactly as the join form does.
+        tagged = F.transform(
+            arr,
+            lambda c: F.struct(
+                score_of(c).alias("s"),
+                (sort_of or score_of)(c).alias("k"),
+                c["ckey"].alias("ckey"),
+                c["rel"].alias("rel"), c["e"].alias("e"), c["m"].alias("m"),
+            ),
+        )
+        best = F.array_sort(
+            tagged,
+            lambda a, b: F.when(a["k"] > b["k"], -1)
+            .when(a["k"] < b["k"], 1)
+            .when(a["ckey"] < b["ckey"], -1)
+            .when(a["ckey"] > b["ckey"], 1)
+            .otherwise(0),
+        )
+        return F.element_at(best, 1)
+
+    grouped = (
+        cands.select(
+            "query_id",
+            F.struct(
+                F.col("ckey").alias("ckey"),
+                F.col("rel").alias("rel"),
+                F.col("embedding").cast("array<double>").alias("e"),
+                F.col("n2").cast("double").alias("m"),
+            ).alias("c"),
+        )
+        .groupBy("query_id")
+        .agg(F.collect_list("c").alias("cs"))
+    )
+
+    df = grouped.withColumn(
+        "p1",
+        _argmax(
+            F.col("cs"),
+            lambda c: F.round(lam * c["rel"], 6),
+            sort_of=lambda c: c["rel"],
+        ),
+    )
+    # single-arg closures via factories: PySpark's higher-order functions
+    # dispatch on the lambda's ARITY, so a default-arg closure would be
+    # handed the element index as its second argument
+    def _not_selected_fn(_sel):
+        def f(c):
+            cond = c["ckey"] != _sel[0]["ckey"]
+            for p in _sel[1:]:
+                cond = cond & (c["ckey"] != p["ckey"])
+            return cond
+
+        return f
+
+    def _score_fn(_sel):
+        def f(c):
+            mx = F.greatest(*[_sim(c, p) for p in _sel]) if len(_sel) > 1 \
+                else _sim(c, _sel[0])
+            return F.round(lam * c["rel"] - one_m_lam * mx, 6)
+
+        return f
+
+    sel: list = [F.col("p1")]
+    for t in range(2, _MMR_K + 1):
+        df = df.withColumn(
+            f"p{t}",
+            _argmax(
+                F.filter(F.col("cs"), _not_selected_fn(list(sel))),
+                _score_fn(list(sel)),
+            ),
+        )
+        sel.append(F.col(f"p{t}"))
+
+    picks = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("mmr_rank"), F.col(f"p{t}").alias("p")
+                )
+                for t in range(1, _MMR_K + 1)
+            ]
+        ),
+        lambda x: x["p"].isNotNull(),
+    )
+    ex = df.select("query_id", F.explode(picks).alias("x"))
+    return (
+        ex.select(
+            "query_id",
+            (F.col("x.p.ckey") / _CHUNK_KEYMUL).cast("long").alias("doc_id"),
+            (F.col("x.p.ckey") % _CHUNK_KEYMUL).cast("long").alias(
+                "chunk_idx"
+            ),
+            F.col("x.p.rel").alias("rel_cos"),
+            F.col("x.p.s").alias("mmr_score"),
+            F.col("x.mmr_rank").cast("int").alias("mmr_rank"),
+        )
+        .orderBy("query_id", "mmr_rank")
+    )
+
+
+def _mmr_select_joins(cands: DataFrame) -> DataFrame:
+    """The pre-r13 join-based greedy MMR (2 materialize pins + per-round
+    anti-join/aggregate/window) — retained as the equivalence twin
+    tests/test_r13_optimizations.py pins the single-plan form against."""
     from pyspark.sql import Window
 
     wq = Window.partitionBy("query_id")
@@ -1159,17 +1294,31 @@ def chunk_embed_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     own document are excluded AFTER candidate generation (same rule as
     the exact panel). Deterministic planes + strict-fold projections
     make the approximate result list itself hash-checkable against the
-    shared DuckDB LSH-pipeline mirror."""
+    shared DuckDB LSH-pipeline mirror.
+
+    r13 (guide §2.4): the exact-rescored candidate table is PUBLISHED per
+    run (producer always rebuilds — the _truth_pairs discipline) so the
+    ANN-served MMR re-ranker, whose pool is the identical
+    candidates-rescore, stops re-running the bucket join."""
+    from ..materialize import shared_publish
+
     base, b_buckets, planes = _chunk_lsh_buckets(spark, sf_dir)
-    return _chunk_ann_serve(spark, sf_dir, base, b_buckets, planes)
+    scored = shared_publish(
+        (*_ANN_SCORED_KEY, sf_dir), spark,
+        _ann_scored(spark, sf_dir, base, b_buckets, planes),
+    )
+    return _ann_rank_cut(scored)
 
 
-def _chunk_ann_serve(
+_ANN_SCORED_KEY = ("rag_ann_scored", _DIM)
+
+
+def _ann_scored(
     spark: SparkSession, sf_dir: str, base, b_buckets, planes
 ) -> DataFrame:
-    """The serving join over an arbitrary (base, bucket-index, planes)
-    triple — lets the persistence test serve from a parquet-reloaded
-    index and prove it answers identically to the freshly built one."""
+    """(query_id(+QOFF), ckey, cos): bucket-colliding chunk candidates for
+    the RAG probe set, exact-rescored, own-document chunks excluded — the
+    table both ANN-served panels cut their ranks from."""
     qd = (
         _searchable_docs(spark, sf_dir)
         .filter(F.col("doc_id") < _RAG_QUERIES)
@@ -1191,7 +1340,7 @@ def _chunk_ann_serve(
         F.expr(f"ckey div {_CHUNK_KEYMUL}")
         != (F.col("query_id") - F.lit(_CHUNK_QOFF))
     )
-    scored = (
+    return (
         cand.join(F.broadcast(qd), "query_id")
         .join(base.select("ckey", "_bv"), "ckey")
         .select(
@@ -1200,6 +1349,24 @@ def _chunk_ann_serve(
             F.round(S.cosine(F.col("_qv"), F.col("_bv")), 6).alias("cos"),
         )
     )
+
+
+def _ann_scored_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published rescored-candidate table, building and publishing on
+    first need (so consumers stay standalone-safe)."""
+    from ..materialize import shared_get, shared_publish
+
+    hit = shared_get((*_ANN_SCORED_KEY, sf_dir), spark)
+    if hit is None:
+        base, b_buckets, planes = _chunk_lsh_buckets(spark, sf_dir)
+        hit = shared_publish(
+            (*_ANN_SCORED_KEY, sf_dir), spark,
+            _ann_scored(spark, sf_dir, base, b_buckets, planes),
+        )
+    return hit
+
+
+def _ann_rank_cut(scored: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("ckey"))
@@ -1217,6 +1384,15 @@ def _chunk_ann_serve(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def _chunk_ann_serve(
+    spark: SparkSession, sf_dir: str, base, b_buckets, planes
+) -> DataFrame:
+    """The serving join over an arbitrary (base, bucket-index, planes)
+    triple — lets the persistence test serve from a parquet-reloaded
+    index and prove it answers identically to the freshly built one."""
+    return _ann_rank_cut(_ann_scored(spark, sf_dir, base, b_buckets, planes))
 
 
 def _mmr_ann_oracle() -> str:
@@ -1249,42 +1425,24 @@ def mmr_diversified_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact same greedy selection as `mmr_diversified_topk`
     (:func:`_mmr_select`) — the full production RAG serving path:
     pinned index -> bucket candidates -> exact re-score -> diversified
-    prompt assembly, every stage |queries|-bounded."""
-    base, b_buckets, planes = _chunk_lsh_buckets(spark, sf_dir)
+    prompt assembly, every stage |queries|-bounded.
+
+    r13 (guide §2.4): the re-rank pool reads the PUBLISHED rescored
+    candidate table (`_ann_scored_published` — the identical table
+    `chunk_embed_topk_ann` rebuilds and republishes every run) instead
+    of re-running the bucket join + rescore."""
     cemb = _chunk_index(spark, sf_dir)
-    qd = (
-        _searchable_docs(spark, sf_dir)
-        .filter(F.col("doc_id") < _RAG_QUERIES)
-        .select(
-            (F.col("doc_id") + F.lit(_CHUNK_QOFF)).alias("query_id"),
-            S.as_double(F.col("embedding")).alias("_qv"),
-        )
-    )
-    cand = S.lsh_candidates(
-        base.select("ckey", "_bv"),
-        qd,
-        "ckey",
-        "query_id",
-        planes,
-        base_vec="_bv",
-        query_vec="_qv",
-        b_buckets=b_buckets,
-    ).filter(
-        F.expr(f"ckey div {_CHUNK_KEYMUL}")
-        != (F.col("query_id") - F.lit(_CHUNK_QOFF))
-    )
     from pyspark.sql import Window
 
     wq = Window.partitionBy("query_id")
     pool = (
-        cand.join(F.broadcast(qd), "query_id")
-        .join(base.select("ckey", "_bv"), "ckey")
+        _ann_scored_published(spark, sf_dir)
         .select(
             (F.col("query_id") - F.lit(_CHUNK_QOFF)).cast("long").alias(
                 "query_id"
             ),
             "ckey",
-            F.round(S.cosine(F.col("_qv"), F.col("_bv")), 6).alias("rel"),
+            F.col("cos").alias("rel"),
         )
         .withColumn(
             "rank",
