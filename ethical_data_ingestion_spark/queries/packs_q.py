@@ -430,27 +430,16 @@ def _bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the corpus-sized side collapses to (doc, distinct-word)
     counts before the join; the per-token work is one split+explode scan.
     No per-token join, no UDF — the trained segmentation is replayed once
-    per corpus by the shared artifact, not per query."""
-    from .strings_q import _bpe_word_segs
+    per corpus by the shared artifact, not per query. r13: the per-doc
+    pricing itself is the session-shared `strings_q._doc_bpe_counts`
+    table (guide §2.4 — four query paths priced the same documents per
+    run)."""
+    from .strings_q import _doc_bpe_counts
 
-    segs = _bpe_word_segs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    wc = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    priced = (
-        wc.join(segs, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("n_bpe")
-        )
-    )
     return (
         docs.select("doc_id")
-        .join(priced, "doc_id", "left")
+        .join(_doc_bpe_counts(spark, sf_dir), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_bpe", F.lit(0)).cast("long").alias("n_tok"),

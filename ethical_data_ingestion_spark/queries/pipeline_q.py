@@ -987,16 +987,11 @@ def training_shard_manifest_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same distributed prefix-sum assignment, same manifest columns;
     documents whose every word is empty cost 0 and still appear in the
     id-contiguous chain."""
-    from .strings_q import _bpe_word_segs
+    from .strings_q import _doc_bpe_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    segs = _bpe_word_segs(spark, sf_dir)
-    per_doc = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .join(segs, "word")
-        .groupBy("doc_id")
-        .agg(F.sum("n_sym").cast("long").alias("n_tok"))
+    per_doc = _doc_bpe_counts(spark, sf_dir).select(
+        "doc_id", F.col("n_bpe").alias("n_tok")
     )
     d = docs.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("n_tok"), F.lit(0).cast("long")).alias("n_tok")
@@ -1287,20 +1282,13 @@ def _curated_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the ``curate`` product path (:mod:`..curate`) shard on, factored
     out so the written corpus partitions by EXACTLY the manifest's
     assignment."""
-    from .strings_q import _bpe_word_segs
+    from .strings_q import _doc_bpe_counts
 
-    docs = load_table(spark, sf_dir, "documents")
     kept = _published_decisions(spark, sf_dir).filter(F.col("kept")).select(
         "doc_id"
     )
-    segs = _bpe_word_segs(spark, sf_dir)
-    per_doc = (
-        docs.join(kept, "doc_id", "left_semi")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .join(segs, "word")
-        .groupBy("doc_id")
-        .agg(F.sum("n_sym").cast("long").alias("n_tok"))
+    per_doc = _doc_bpe_counts(spark, sf_dir).select(
+        "doc_id", F.col("n_bpe").alias("n_tok")
     )
     return kept.join(per_doc, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("n_tok"), F.lit(0).cast("long")).alias("n_tok")

@@ -826,6 +826,44 @@ def _bpe_word_segs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(("bpe_word_segs", sf_dir, _BPE_ROUNDS), spark, build)
 
 
+def _doc_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared per-document trained-BPE pricing table
+    (doc_id, n_ws, n_bpe, chars) — r13 (guide §2.4): FOUR query paths
+    (``packing_bpe_stats``, ``training_shard_manifest_bpe``, the curated
+    shard path, ``bpe_encode_stats``) each re-exploded the corpus into
+    (doc, word) counts and re-joined the segmentation per run; the
+    pipeline prices a document once and every consumer reads the table.
+    Documents whose every word is empty are ABSENT (consumers left-join
+    + coalesce 0, as before). All sums are exact BIGINTs, so rollups per
+    source/shard over this table are value-identical to the direct
+    per-run derivations."""
+
+    def build() -> DataFrame:
+        segs = _bpe_word_segs(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        wc = (
+            docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("doc_id", "word")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        return (
+            wc.join(segs, "word")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("cnt").cast("long").alias("n_ws"),
+                F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias(
+                    "n_bpe"
+                ),
+                F.sum(F.col("cnt") * F.length("word")).cast("long").alias(
+                    "chars"
+                ),
+            )
+        )
+
+    return shared(("doc_bpe_counts", sf_dir, _BPE_ROUNDS), spark, build)
+
+
 def _bpe_encode_oracle() -> str:
     R = _BPE_ROUNDS
     s2 = "chr(31) || chr(31)"
@@ -882,23 +920,18 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join (map-side combined), so the join is |vocab × sources| rows
     and AQE broadcasts the tiny segmentation table. No per-token join,
     no UDF."""
-    segs = _bpe_word_segs(spark, sf_dir)
+    # r13: per-source sums read the session-shared per-document pricing
+    # table (guide §2.4) — exact BIGINT sums, value-identical to the
+    # previous per-run (source, word)-count rollup
     docs = load_table(spark, sf_dir, "documents")
-    wc = (
-        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("source", "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
     tok = (
-        wc.join(segs, "word")
+        _doc_bpe_counts(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
-            F.sum("cnt").cast("long").alias("whitespace_tokens"),
-            F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias(
-                "bpe_tokens"
-            ),
-            F.sum(F.col("cnt") * F.length("word")).cast("long").alias("chars"),
+            F.sum("n_ws").cast("long").alias("whitespace_tokens"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+            F.sum("chars").cast("long").alias("chars"),
         )
     )
     nd = docs.groupBy("source").agg(
