@@ -1613,18 +1613,11 @@ def _curation_rollup(
     Bloom bitmap) come from the corpus, never from the frame."""
     from ..operators import text as T
     from .corpus_q import _BENCH_SOURCE, _DECON_K
-    from .dedup_q import _is_batch
     from .text_q import _ENS_TAU, quality_z_df
 
     words_lit = F.lit(_sgate_bloom_words(spark, sf_dir))
     pow2_lit = F.lit([1 << b for b in range(_SGATE_WORD + 1)])
-    corpus = load_table(spark, sf_dir, "documents")
-    idx = (
-        corpus.filter(~_is_batch())
-        .select(T.fingerprint("text").alias("fp"))
-        .distinct()
-        .withColumn("_dup", F.lit(1))
-    )
+    idx = _doc_fp_index(spark, sf_dir).withColumn("_dup", F.lit(1))
     zed = quality_z_df(docs, extra=("text",))
     flagged = (
         zed.withColumn("fp", T.fingerprint("text"))

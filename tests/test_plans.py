@@ -620,3 +620,67 @@ def test_round12_packs_and_leakage_plan_pins(spark, sf_dir):
     # the tier audit's doc-share side must stay a broadcast attach
     tier = plans.formatted_plan(_q(spark, sf_dir, "split_leakage_tier_audit"))
     assert "BroadcastHashJoin" in tier
+
+
+def test_r12_r13_rewrites_keep_their_plan_shapes(spark, sf_dir):
+    """Plan pins for the r12 optimization rewrites (r12 verdict item 6)
+    and the r13 ones: each rewrite's load-bearing plan property fails on
+    revert even though results stay correct."""
+    # triangle: edge-iterator closure — array_intersect counts closures;
+    # the wedge-enumeration join would roughly double the exchange count
+    df = _q(spark, sf_dir, "copurchase_triangle_stats")
+    assert "array_intersect" in plans.formatted_plan(df)
+    assert plans.shuffle_count(df) <= 8
+
+    # LPA stats tails: ONE real plan (grouped aggs over the round-tagged
+    # union), not a driver-assembled LocalTableScan
+    for name, max_sh in (
+        ("label_propagation_communities", 9),
+        ("community_modularity_stats", 13),
+        ("lpa_semisync_communities", 18),
+    ):
+        df = _q(spark, sf_dir, name)
+        plan = plans.formatted_plan(df)
+        assert "LocalTableScan" not in plan, name
+        assert "HashAggregate" in plan, name
+        assert plans.shuffle_count(df) <= max_sh, name
+
+    # curated manifest: input is the pinned published-decisions/pricing
+    # leaves — NO parquet scan may reappear in the plan
+    df = _q(spark, sf_dir, "training_shard_manifest_curated")
+    plan = plans.formatted_plan(df)
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+    # decontam consumer: reads the shared 8-gram explode — no Generate
+    # (re-explode) may reappear
+    df = _q(spark, sf_dir, "benchmark_decontam_stats")
+    assert "Generate" not in plans.formatted_plan(df)
+
+    # LSH quality panel: reads the published truth-pair artifact — no
+    # re-shingling (Generate) and no parquet re-scan of documents
+    df = _q(spark, sf_dir, "minhash_recall_stats")
+    plan = plans.formatted_plan(df)
+    assert "Generate" not in plan
+    assert "Scan parquet" not in plan
+
+    # r13 MMR: single-plan array greedy (array_sort argmax), no pin jobs
+    # means the whole selection is one narrow plan
+    for name in ("mmr_diversified_topk", "mmr_diversified_topk_ann"):
+        df = _q(spark, sf_dir, name)
+        plan = plans.formatted_plan(df)
+        assert "array_sort" in plan, name
+        assert plans.shuffle_count(df) <= 4, name
+
+    # r13 streaming consumers: served from pinned drained-rows artifacts —
+    # no parquet scan of the spool/corpus in the registered plan
+    for name in (
+        "streaming_anomaly_windows",
+        "streaming_topk_trending",
+        "streaming_quarantine_gate",
+        "streaming_curation_gate",
+    ):
+        df = _q(spark, sf_dir, name)
+        plan = plans.formatted_plan(df)
+        assert "Scan ExistingRDD" in plan, name
+        assert "Scan parquet" not in plan, name
