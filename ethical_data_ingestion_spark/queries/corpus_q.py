@@ -332,6 +332,19 @@ def _kmeans_assignments(emb: DataFrame, k: int = _KM_K) -> DataFrame:
     )
 
 
+def _kmeans_c1_shared(spark: SparkSession, sf_dir: str, k: int = _KM_K) -> DataFrame:
+    """Session-shared final centroid table (k tiny rows) off the exact
+    `_kmeans_model` chain — r13 (guide §2.4): the silhouette panel
+    re-ran the whole model chain (seed → assign → integer-centroid
+    update) per run when all it needs beyond the quantized points is
+    this constant-size model artifact."""
+    return shared(
+        ("kmeans_c1", sf_dir, k),
+        spark,
+        lambda: _kmeans_model(load_table(spark, sf_dir, "embeddings"), k)[1],
+    )
+
+
 def _kmeans_a2_shared(spark: SparkSession, sf_dir: str, k: int = _KM_K) -> DataFrame:
     """Session-shared pinned k-means assignment table: the model artifact
     a real pipeline computes once and every embedding-space consumer
@@ -1063,8 +1076,21 @@ def kmeans_silhouette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     table); sqrt is correctly-rounded in both engines; per-cluster means
     quantize round-9/round-6 to DECIMAL. Scale shape: one broadcast
     crossJoin against k centroid rows, one per-vec top-2 window over the
-    k-row-per-vec distance table, |k| output rows."""
-    q, c1 = _kmeans_model(load_table(spark, sf_dir, "embeddings"))
+    k-row-per-vec distance table, |k| output rows.
+
+    r13 (guide §2.4): the centroid table comes from the session-shared
+    `_kmeans_c1_shared` model artifact (the same deterministic chain,
+    computed once per session) — the per-run cost is the quantize scan +
+    broadcast distance pass, not a model rebuild."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+    c1 = _kmeans_c1_shared(spark, sf_dir)
     d2 = q.select("vec_id", "qv").crossJoin(F.broadcast(c1)).withColumn(
         "dist",
         F.aggregate(

@@ -1294,9 +1294,20 @@ def pca_power_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = gram.select(F.col("i").alias("j")).distinct().select(
         "j", F.lit(0.125).alias("v")
     )
-    nrm_col = None
+    # r13 (guide §2.6, the LPA fold precedent): the three rounds stay ONE
+    # lazy plan off the pinned gram — each round's 64-row matvec was
+    # materialized per round (3 eager pin jobs over a 4096-row table,
+    # pure fixed overhead). The per-round normalization is an
+    # unpartitioned window sum over the 64-row matvec (single reference
+    # to the round subtree — a crossJoin against the norm aggregate would
+    # double the subtree per round and blow the unrolled plan up 2^k).
+    # The arithmetic (round-9 → DECIMAL sum → sqrt → IEEE division) is
+    # the identical expression sequence, so values are unchanged (oracle
+    # hash green).
+    wall = Window.partitionBy()
+    vn = None
     for _ in range(_PCA_ITERS):
-        it = materialize(
+        it = (
             gram.join(F.broadcast(v), "j")
             .select(
                 "i",
@@ -1307,23 +1318,21 @@ def pca_power_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("i")
             .agg(F.sum("t").alias("s"))
         )
-        nrm = F.broadcast(
-            it.agg(
-                F.sqrt(
-                    F.sum(
-                        F.round(
-                            F.col("s").cast("double") * F.col("s").cast("double"),
-                            9,
-                        ).cast("decimal(18,9)")
-                    ).cast("double")
-                ).alias("nrm")
+        nrm_w = F.sqrt(
+            F.sum(
+                F.round(
+                    F.col("s").cast("double") * F.col("s").cast("double"), 9
+                ).cast("decimal(18,9)")
             )
+            .over(wall)
+            .cast("double")
         )
-        v = it.crossJoin(nrm).select(
+        vn = it.select(
             F.col("i").alias("j"),
-            (F.col("s").cast("double") / F.col("nrm")).alias("v"),
+            (F.col("s").cast("double") / nrm_w).alias("v"),
+            nrm_w.alias("nrm"),
         )
-        nrm_col = nrm
+        v = vn.select("j", "v")
     tr = F.broadcast(
         gram.filter(F.col("i") == F.col("j")).agg(
             (
@@ -1334,9 +1343,8 @@ def pca_power_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.abs(F.col("v")).desc(), "j")
     return (
-        v.withColumn("rn", F.row_number().over(w))
+        vn.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _PCA_TOP)
-        .crossJoin(nrm_col)
         .crossJoin(tr)
         .select(
             F.col("j").alias("dim"),
