@@ -567,7 +567,7 @@ def knn_nsw(
     wb = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos"), F.col("_node")
     )
-    for hop in range(n_hops):
+    for _ in range(n_hops):
         beam = (
             scored.withColumn("_rn", F.row_number().over(wb))
             .filter(F.col("_rn") <= beam_width)

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..materialize import materialize, shared_get, shared_publish
-from ..operators.text import shingles
+
 from ..registry import register
 
 #: 16-bit hash-bucket threshold for a ~20% sample: 13107/65536 ≈ 0.19999.
